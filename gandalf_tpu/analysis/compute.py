@@ -1,0 +1,54 @@
+"""Analysis computations (analogue of reference analysis/compute.py):
+L1errornorm is the regression-test workhorse (compute.py:109-148)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .analytical import compute_analytical
+from .facade import SimBuffer
+
+
+def particle_data(snap, quantity: str) -> np.ndarray:
+    return snap.extract_array(quantity)
+
+
+def L1errornorm(ic: str, x: str = None, y: str = None,
+                xmin: float = None, xmax: float = None,
+                normalise: float = None, sim: str = "current",
+                snap: str = "current") -> float:
+    """L1 norm of simulation data vs the analytic solution
+    (reference analysis/compute.py:109-148)."""
+    snapshot, simulation = SimBuffer.get_snapshot_and_sim(snap, sim)
+    ax, ay = compute_analytical(ic, simulation, snapshot.t, x, y)
+    px = snapshot.extract_array(x)
+    py = snapshot.extract_array(y)
+
+    if xmin is not None and xmax is not None:
+        amask = (ax > xmin) & (ax < xmax)
+        ax, ay = ax[amask], ay[amask]
+        pmask = (px > ax.min()) & (px < ax.max())
+        px, py = px[pmask], py[pmask]
+
+    if normalise is not None:
+        av = py.sum() / py.size
+        py = py / av / normalise
+
+    yinterp = np.interp(px, ax, ay)
+    return float(np.abs(py - yinterp).sum() / px.size)
+
+
+def COM(snap, quantity: str = "x") -> float:
+    x = snap.extract_array(quantity)
+    m = snap.extract_array("m")
+    return float((x * m).sum() / m.sum())
+
+
+def lagrangian_radii(snap, mfrac: float = 0.5) -> float:
+    """Radius enclosing a mass fraction (reference compute.py:149-)."""
+    r = np.sqrt((snap.data["r"] ** 2).sum(axis=-1))
+    m = snap.extract_array("m")
+    order = np.argsort(r)
+    mcum = np.cumsum(m[order])
+    idx = np.searchsorted(mcum, mfrac * mcum[-1])
+    return float(r[order][min(idx, len(r) - 1)])

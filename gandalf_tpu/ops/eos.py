@@ -1,0 +1,143 @@
+"""Equation-of-state family.
+
+Functional, array-in/array-out analogue of the reference EOS class hierarchy
+(src/Headers/EOS.h:53-518, src/Thermal/*.cpp).  Every EOS maps the particle
+thermodynamic state (rho, u, r, ...) to (u, pressure, sound-speed, temperature)
+vectors; the grad-h SPH driver calls :meth:`EOS.thermal_update` after each
+density pass (reference GradhSph::ComputeThermalProperties).
+
+All EOS work in dimensionless internal units; gamma conventions match the
+reference: ``pressure = (gamma-1)*rho*u`` (EOS.h:156).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class EOS:
+    """Base EOS: perfect-gas relations parameterised by gamma."""
+
+    gamma: float
+    mu_bar: float = 1.0
+
+    @property
+    def gammam1(self) -> float:
+        return self.gamma - 1.0
+
+    # -- interface ----------------------------------------------------------
+    def specific_internal_energy(self, rho: Array, u: Array,
+                                 r: Optional[Array] = None) -> Array:
+        raise NotImplementedError
+
+    def pressure(self, rho: Array, u: Array) -> Array:
+        return self.gammam1 * rho * u
+
+    def sound_speed(self, rho: Array, u: Array) -> Array:
+        raise NotImplementedError
+
+    def temperature(self, rho: Array, u: Array) -> Array:
+        return self.gammam1 * u
+
+    def entropic_function(self, rho: Array, u: Array) -> Array:
+        """P / rho^gamma (src/Thermal/AdiabaticEOS.cpp EntropicFunction)."""
+        return self.gammam1 * u * rho ** (1.0 - self.gamma)
+
+    def internal_energy_from_pressure(self, rho: Array, p: Array) -> Array:
+        return p / (self.gammam1 * rho)
+
+    def thermal_update(self, rho: Array, u: Array,
+                       r: Optional[Array] = None):
+        """Return (u, pressure, sound) after a density update."""
+        u_new = self.specific_internal_energy(rho, u, r)
+        return u_new, self.pressure(rho, u_new), self.sound_speed(rho, u_new)
+
+
+@dataclasses.dataclass(frozen=True)
+class Adiabatic(EOS):
+    """'energy_eqn': u evolves; c = sqrt(gamma*(gamma-1)*u)."""
+
+    def specific_internal_energy(self, rho, u, r=None):
+        return u
+
+    def sound_speed(self, rho, u):
+        return jnp.sqrt(self.gamma * self.gammam1 * u)
+
+
+@dataclasses.dataclass(frozen=True)
+class Isothermal(EOS):
+    """Fixed temperature: u = temp0/(gamma-1)/mu_bar, c = sqrt((gamma-1) u)."""
+
+    temp0: float = 1.0
+
+    def specific_internal_energy(self, rho, u, r=None):
+        return jnp.full_like(rho, self.temp0 / self.gammam1 / self.mu_bar)
+
+    def sound_speed(self, rho, u):
+        return jnp.sqrt(self.gammam1 * u)
+
+    def temperature(self, rho, u):
+        return jnp.full_like(rho, self.temp0)
+
+
+@dataclasses.dataclass(frozen=True)
+class Barotropic(EOS):
+    """Barotropic EOS (src/Thermal/BarotropicEOS.cpp): isothermal at low
+    density, adiabatic above rho_bary."""
+
+    temp0: float = 1.0
+    rho_bary: float = 1.0e-14
+
+    def specific_internal_energy(self, rho, u, r=None):
+        return (self.temp0 * (1.0 + (rho / self.rho_bary) ** self.gammam1)
+                / self.gammam1 / self.mu_bar)
+
+    def sound_speed(self, rho, u):
+        return jnp.sqrt(self.gammam1 * u)
+
+    def temperature(self, rho, u):
+        return self.temp0 * (1.0 + (rho / self.rho_bary) ** self.gammam1)
+
+
+@dataclasses.dataclass(frozen=True)
+class Polytropic(EOS):
+    """P = K rho^eta (src/Thermal/PolytropicEOS.cpp)."""
+
+    Kpoly: float = 1.0
+    eta: float = 1.4
+
+    def specific_internal_energy(self, rho, u, r=None):
+        return self.Kpoly * rho ** (self.eta - 1.0) / self.gammam1
+
+    def pressure(self, rho, u):
+        return self.Kpoly * rho ** self.eta
+
+    def sound_speed(self, rho, u):
+        return jnp.sqrt(self.gammam1 * u)
+
+
+def eos_factory(params) -> EOS:
+    """Build an EOS from a Parameters object, keyed by `gas_eos`
+    (reference factory in src/Thermal/EOS.cpp / Simulation::ProcessParameters)."""
+    name = params.stringparams["gas_eos"]
+    gamma = params.floatparams["gamma_eos"]
+    mu_bar = params.floatparams["mu_bar"]
+    temp0 = params.floatparams["temp0"]
+    if name in ("energy_eqn", "constant_temp"):
+        return Adiabatic(gamma=gamma, mu_bar=mu_bar)
+    if name == "isothermal":
+        return Isothermal(gamma=gamma, mu_bar=mu_bar, temp0=temp0)
+    if name == "barotropic":
+        return Barotropic(gamma=gamma, mu_bar=mu_bar, temp0=temp0,
+                          rho_bary=params.floatparams["rho_bary"])
+    if name == "polytropic":
+        return Polytropic(gamma=gamma, mu_bar=mu_bar,
+                          Kpoly=params.floatparams["Kpoly"],
+                          eta=params.floatparams["eta_eos"])
+    raise ValueError(f"Unrecognised or not-yet-implemented gas_eos: {name!r}")

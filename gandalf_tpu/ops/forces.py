@@ -1,0 +1,187 @@
+"""Pairwise grad-h SPH hydro forces.
+
+Vectorisation of GradhSph::ComputeSphHydroForces
+(src/GradhSph/GradhSph.cpp:361-460): Springel-Hernquist / Price-Monaghan
+conservative grad-h pressure force, Monaghan (1997) artificial viscosity
+(optionally time-dependent MM97 alpha), Wadsley (2008) / Price (2008)
+artificial conductivity, velocity divergence and compressive heating.
+
+The physics is expressed over (N, K) neighbour blocks so the same function
+serves the all-pairs oracle (K = M, no mask) and the gathered cell-list path
+(K = fixed capacity, with a validity mask).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+
+from ..kernels.smoothing import SmoothingKernel
+from ..state import DomainBox
+
+Array = jnp.ndarray
+
+# artificial viscosity / conductivity options (reference Sph.h enums)
+AVISC_NONE = 0
+AVISC_MON97 = 1
+AVISC_MON97MM97 = 2      # time-dependent alpha (Morris & Monaghan 97)
+ACOND_NONE = 0
+ACOND_WADSLEY2008 = 1
+ACOND_PRICE2008 = 2
+
+_AVISC_CODES = {"none": AVISC_NONE, "mon97": AVISC_MON97,
+                "mon97mm97": AVISC_MON97MM97, "mon97cd2010": AVISC_MON97MM97}
+_ACOND_CODES = {"none": ACOND_NONE, "wadsley2008": ACOND_WADSLEY2008,
+                "price2008": ACOND_PRICE2008}
+
+
+@dataclasses.dataclass(frozen=True)
+class ArtificialViscosity:
+    """Static dissipation configuration."""
+
+    avisc: int = AVISC_MON97
+    acond: int = ACOND_NONE
+    alpha_visc: float = 1.0
+    alpha_visc_min: float = 0.1
+    beta_visc: float = 2.0
+
+    @staticmethod
+    def from_params(params) -> "ArtificialViscosity":
+        return ArtificialViscosity(
+            avisc=_AVISC_CODES[params.stringparams["avisc"]],
+            acond=_ACOND_CODES[params.stringparams["acond"]],
+            alpha_visc=params.floatparams["alpha_visc"],
+            alpha_visc_min=params.floatparams["alpha_visc_min"],
+            beta_visc=params.floatparams["beta_visc"],
+        )
+
+
+class HydroForces(NamedTuple):
+    a: Array          # (N, ndim) hydro acceleration
+    dudt: Array       # (N,) du/dt
+    div_v: Array      # (N,) velocity divergence
+    dalphadt: Array   # (N,) time-dependent viscosity evolution (MM97)
+
+
+class NeighborView(NamedTuple):
+    """Gathered neighbour fields, shape (N, K) (+ ndim for vectors)."""
+
+    dr: Array        # displacement r_j - r_i, min-imaged: (N, K, ndim)
+    v: Array         # neighbour velocity (image-corrected): (N, K, ndim)
+    m: Array
+    h: Array
+    rho: Array
+    u: Array
+    pressure: Array
+    sound: Array
+    invomega: Array
+    hfactor: Array
+    alpha: Array
+    mask: Optional[Array]    # validity; None = all valid
+
+
+def compute_hydro_forces(kern: SmoothingKernel, visc: ArtificialViscosity,
+                         v_i: Array, h_i: Array, rho_i: Array, u_i: Array,
+                         press_i: Array, sound_i: Array, invomega_i: Array,
+                         hfactor_i: Array, alpha_i: Array,
+                         nb: NeighborView) -> HydroForces:
+    """Per-particle hydro force sums over a neighbour view.
+
+    All i-fields are (N,) or (N, ndim); nb fields are (N, K)(, ndim).
+    """
+    drmag = jnp.sqrt(jnp.sum(nb.dr * nb.dr, axis=-1))
+    valid = drmag > 0.0
+    if nb.mask is not None:
+        valid = valid & nb.mask
+    inv_drmag = jnp.where(valid, 1.0 / jnp.maximum(drmag, 1e-300), 0.0)
+    unit = nb.dr * inv_drmag[..., None]
+
+    invh_i = 1.0 / h_i
+    invh_j = 1.0 / nb.h
+    invrho_i = 1.0 / rho_i
+    invrho_j = 1.0 / nb.rho
+
+    wkerni = hfactor_i[:, None] * kern.w1(drmag * invh_i[:, None])
+    wkernj = nb.hfactor * kern.w1(drmag * invh_j)
+    wkerni = jnp.where(valid, wkerni, 0.0)
+    wkernj = jnp.where(valid, wkernj, 0.0)
+
+    dvdr = jnp.sum((nb.v - v_i[:, None, :]) * unit, axis=-1)
+
+    # velocity divergence contribution (GradhSph.cpp:404)
+    div_v = -jnp.sum(nb.m * dvdr * wkerni, axis=-1)
+
+    # main grad-h pressure force term (GradhSph.cpp:407-408)
+    paux = (
+        (press_i * invomega_i * invrho_i * invrho_i)[:, None] * wkerni
+        + nb.pressure * nb.invomega * invrho_j * invrho_j * wkernj
+    )
+
+    dudt = jnp.zeros_like(rho_i)
+    dalphadt = jnp.zeros_like(rho_i)
+    approach = valid & (dvdr < 0.0)
+
+    if visc.avisc != AVISC_NONE:
+        winvrho = 0.25 * (wkerni + wkernj) * (invrho_i[:, None] + invrho_j)
+        if visc.avisc == AVISC_MON97:
+            alpha_eff = visc.alpha_visc
+        else:  # mean particle alpha (MM97 / CD2010; GradhSph.cpp:420-426)
+            alpha_eff = 0.5 * (alpha_i[:, None] + nb.alpha)
+        vsignal = (sound_i[:, None] + nb.sound
+                   - visc.beta_visc * alpha_eff * dvdr)
+        visc_term = alpha_eff * vsignal * dvdr * winvrho
+        paux = paux - jnp.where(approach, visc_term, 0.0)
+        dudt = dudt - jnp.sum(
+            jnp.where(approach,
+                      0.5 * nb.m * alpha_eff * vsignal * dvdr * dvdr * winvrho,
+                      0.0),
+            axis=-1)
+        if visc.acond == ACOND_WADSLEY2008:
+            cond = nb.m * dvdr * (nb.u - u_i[:, None]) * (
+                invrho_i[:, None] * wkerni + invrho_j * wkernj)
+            dudt = dudt + jnp.sum(jnp.where(approach, cond, 0.0), axis=-1)
+        elif visc.acond == ACOND_PRICE2008:
+            cond = (0.5 * nb.m * (u_i[:, None] - nb.u) * winvrho
+                    * (invrho_i[:, None] + invrho_j)
+                    * jnp.sqrt(jnp.abs(press_i[:, None] - nb.pressure)))
+            dudt = dudt + jnp.sum(jnp.where(approach, cond, 0.0), axis=-1)
+
+    # total hydro acceleration (GradhSph.cpp:452-455)
+    a = jnp.sum((nb.m * paux)[..., None] * unit, axis=-2)
+
+    # normalise div_v; compressive heating (GradhSph.cpp:462-468)
+    div_v = div_v * invrho_i
+    dudt = dudt - press_i * div_v * invrho_i * invomega_i
+
+    if visc.avisc == AVISC_MON97MM97:
+        # Morris & Monaghan (1997) alpha evolution (GradhSph.cpp:469-471)
+        dalphadt = (0.1 * sound_i * (visc.alpha_visc_min - alpha_i) * invh_i
+                    + jnp.maximum(-div_v, 0.0) * (visc.alpha_visc - alpha_i))
+
+    return HydroForces(a=a, dudt=dudt, div_v=div_v, dalphadt=dalphadt)
+
+
+def bruteforce_neighbor_view(box: DomainBox, r: Array,
+                             r_ext: Array, v_ext: Array,
+                             scalars_ext) -> NeighborView:
+    """Build an all-pairs NeighborView from extended (image) arrays."""
+    dr = box.min_image(r_ext[None, :, :] - r[:, None, :])
+    N = r.shape[0]
+    M = r_ext.shape[0]
+    bcast = lambda x: jnp.broadcast_to(x[None, :], (N, M))
+    return NeighborView(
+        dr=dr,
+        v=jnp.broadcast_to(v_ext[None, :, :], (N, M, r.shape[1])),
+        m=bcast(scalars_ext["m"]),
+        h=bcast(scalars_ext["h"]),
+        rho=bcast(scalars_ext["rho"]),
+        u=bcast(scalars_ext["u"]),
+        pressure=bcast(scalars_ext["pressure"]),
+        sound=bcast(scalars_ext["sound"]),
+        invomega=bcast(scalars_ext["invomega"]),
+        hfactor=bcast(scalars_ext["hfactor"]),
+        alpha=bcast(scalars_ext["alpha"]),
+        mask=None,
+    )

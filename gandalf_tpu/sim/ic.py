@@ -1,0 +1,146 @@
+"""Initial-condition generators.
+
+Host-side numpy implementations of the reference IC factory
+(src/Common/SimulationIC.hpp:88-186, generators in src/Ic/).  ICs run once
+at setup on the host, so plain numpy (float64) is the right tool; the
+result is converted to device arrays by the simulation controller.
+
+Each generator returns a dict with keys r, v, m, h, u (+ optional extras).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+
+def add_cubic_lattice(n_lattice, boxmin, boxmax) -> np.ndarray:
+    """Cell-centred cubic lattice (Ic::AddCubicLattice, src/Ic/Ic.cpp:629)."""
+    ndim = len(n_lattice)
+    axes = [boxmin[k] + (np.arange(n_lattice[k]) + 0.5)
+            * (boxmax[k] - boxmin[k]) / n_lattice[k] for k in range(ndim)]
+    grids = np.meshgrid(*axes, indexing="ij")
+    # match reference ordering: x fastest (ii innermost loop)
+    r = np.stack([g.reshape(-1, order="F") for g in grids], axis=-1)
+    return r
+
+
+def shocktube_ic(params, eos) -> Dict[str, np.ndarray]:
+    """1D Riemann-problem shocktube (src/Ic/ShocktubeIc.cpp:57-206)."""
+    ndim = params.intparams["ndim"]
+    if ndim != 1:
+        raise ValueError("shocktube IC is 1D only")
+    fp = params.floatparams
+    ip = params.intparams
+    rho1, rho2 = fp["rhofluid1"], fp["rhofluid2"]
+    press1, press2 = fp["press1"], fp["press2"]
+    v1, v2 = fp["vfluid1[0]"], fp["vfluid2[0]"]
+    N1, N2 = ip["Nlattice1[0]"], ip["Nlattice2[0]"]
+    xmin, xmax = fp["boxmin[0]"], fp["boxmax[0]"]
+    h_fac = fp["h_fac"]
+    gammam1 = fp["gamma_eos"] - 1.0
+
+    if params.stringparams["gas_eos"] == "isothermal":
+        u1 = u2 = fp["temp0"] / gammam1 / fp["mu_bar"]
+    else:
+        u1 = press1 / (gammam1 * rho1)
+        u2 = press2 / (gammam1 * rho2)
+
+    r1 = add_cubic_lattice([N1], [xmin], [0.0])
+    r2 = add_cubic_lattice([N2], [0.0], [xmax])
+    vol1, vol2 = -xmin, xmax
+    m1 = np.full(N1, rho1 * vol1 / N1)
+    m2 = np.full(N2, rho2 * vol2 / N2)
+    u = np.concatenate([np.full(N1, u1), np.full(N2, u2)])
+    v = np.zeros((N1 + N2, 1))
+    v[:N1, 0] = v1
+    v[N1:, 0] = v2
+    r = np.concatenate([r1, r2], axis=0)
+    m = np.concatenate([m1, m2])
+    rho = np.concatenate([np.full(N1, rho1), np.full(N2, rho2)])
+    h = h_fac * (m / rho) ** (1.0 / ndim)
+    return {"r": r, "v": v, "m": m, "h": h, "u": u}
+
+
+def soundwave_ic(params, eos) -> Dict[str, np.ndarray]:
+    """1D linear soundwave perturbation (src/Ic/SoundwaveIc.cpp)."""
+    ndim = params.intparams["ndim"]
+    if ndim != 1:
+        raise ValueError("soundwave IC is 1D only")
+    fp = params.floatparams
+    ip = params.intparams
+    rho0 = fp["rhofluid1"]
+    press0 = fp["press1"]
+    amp = fp["amp"]
+    temp0 = fp["temp0"]
+    mu_bar = fp["mu_bar"]
+    gamma = fp["gamma_eos"]
+    gammam1 = gamma - 1.0
+    N = ip["Nlattice1[0]"]
+    xmin, xmax = fp["boxmin[0]"], fp["boxmax[0]"]
+    h_fac = fp["h_fac"]
+
+    if params.stringparams["gas_eos"] == "isothermal":
+        u0 = temp0 / gammam1 / mu_bar
+        csound = np.sqrt(gammam1 * u0)
+    else:
+        u0 = press0 / (gammam1 * rho0)
+        csound = np.sqrt(gamma * press0 / rho0)
+
+    L = xmax - xmin
+    lam = L                    # one wavelength across the box
+    kwave = 2.0 * np.pi / lam
+    # uniform lattice then displaced to give sinusoidal density
+    x = add_cubic_lattice([N], [xmin], [xmax])[:, 0]
+    # iterate x s.t. integrated density matches (simple fixed point like ref)
+    xnew = x.copy()
+    for _ in range(50):
+        xnew = x - amp * np.sin(kwave * (xnew - xmin)) / kwave
+    x = xnew
+    rho = rho0 * (1.0 + amp * np.sin(kwave * (x - xmin)))
+    v = np.zeros((N, 1))
+    v[:, 0] = csound * amp * np.sin(kwave * (x - xmin))
+    m = np.full(N, rho0 * L / N)
+    h = h_fac * (m / rho) ** 1.0
+    u = u0 * np.ones(N)
+    return {"r": x[:, None], "v": v, "m": m, "h": h, "u": u}
+
+
+def uniform_box_ic(params, eos) -> Dict[str, np.ndarray]:
+    """Uniform-density box ('box' IC, src/Ic/UniformIc.cpp)."""
+    ndim = params.intparams["ndim"]
+    fp = params.floatparams
+    ip = params.intparams
+    n_lattice = [ip[f"Nlattice1[{k}]"] for k in range(ndim)]
+    boxmin = [fp[f"boxmin[{k}]"] for k in range(ndim)]
+    boxmax = [fp[f"boxmax[{k}]"] for k in range(ndim)]
+    rho0 = fp["rhofluid1"]
+    press0 = fp["press1"]
+    gammam1 = fp["gamma_eos"] - 1.0
+    h_fac = fp["h_fac"]
+    r = add_cubic_lattice(n_lattice, boxmin, boxmax)
+    N = r.shape[0]
+    volume = np.prod([boxmax[k] - boxmin[k] for k in range(ndim)])
+    m = np.full(N, rho0 * volume / N)
+    h = h_fac * (m / rho0) ** (1.0 / ndim)
+    if params.stringparams["gas_eos"] == "isothermal":
+        u = np.full(N, fp["temp0"] / gammam1 / fp["mu_bar"])
+    else:
+        u = np.full(N, press0 / (gammam1 * rho0))
+    return {"r": r, "v": np.zeros((N, ndim)), "m": m, "h": h, "u": u}
+
+
+_IC_REGISTRY = {
+    "shocktube": shocktube_ic,
+    "soundwave": soundwave_ic,
+    "box": uniform_box_ic,
+}
+
+
+def generate_ic(params, eos) -> Dict[str, np.ndarray]:
+    """IC factory keyed by the `ic` parameter (SimulationIC.hpp:88-186)."""
+    name = params.stringparams["ic"]
+    if name not in _IC_REGISTRY:
+        raise ValueError(f"Unrecognised or not-yet-implemented ic: {name!r}")
+    return _IC_REGISTRY[name](params, eos)

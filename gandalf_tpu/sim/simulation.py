@@ -1,0 +1,273 @@
+"""Simulation controllers.
+
+TPU-native analogue of the reference controller hierarchy
+(src/Common/Simulation.cpp SimulationFactory/SetupSimulation/Run,
+src/Hydrodynamics/SphSimulation.cpp MainLoop): a host-side driver object
+owns parameters and snapshot cadence, while the entire integration step is
+ONE jitted pure function `step(state) -> state` compiled once per (N, ndim,
+physics-config) — predict, ghosts, h-rho iteration, EOS, forces, correct and
+the next global timestep all fuse into a single XLA program.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..integrate.leapfrog import IntegratorConfig, correct, predict, sph_timestep
+from ..kernels.smoothing import kernel_factory
+from ..ops.density import compute_h_bruteforce
+from ..ops.eos import eos_factory
+from ..ops.forces import (ArtificialViscosity, bruteforce_neighbor_view,
+                          compute_hydro_forces)
+from ..ops.neighbors import extend_with_mirror_images
+from ..params import Parameters
+from ..state import DomainBox, SphState, make_sph_state
+from ..utils.timing import CodeTiming
+from . import io as sim_io
+from .ic import generate_ic
+
+
+class Snapshot:
+    """In-memory snapshot (analogue of SphSnapshot, src/Common/SphSnapshot.cpp)."""
+
+    def __init__(self, t: float, data: Dict[str, np.ndarray], ndim: int):
+        self.t = float(t)
+        self.data = data
+        self.ndim = ndim
+
+    def extract_array(self, name: str) -> np.ndarray:
+        """Fetch a named quantity (SphSnapshotBase::ExtractArray)."""
+        scalar_axes = {"x": 0, "y": 1, "z": 2}
+        if name in scalar_axes and scalar_axes[name] < self.ndim:
+            return self.data["r"][:, scalar_axes[name]]
+        if name.startswith("v") and name[1:] in scalar_axes:
+            return self.data["v"][:, scalar_axes[name[1:]]]
+        if name in ("ax", "ay", "az"):
+            return self.data["a"][:, scalar_axes[name[1]]]
+        if name in self.data:
+            return self.data[name]
+        raise KeyError(name)
+
+
+class SimulationBase:
+    """Host-side driver: owns Parameters, state, snapshots, output cadence."""
+
+    def __init__(self, params: Parameters):
+        self.params = params
+        self.ndim = params.intparams["ndim"]
+        self.setup_complete = False
+        self.state: Optional[SphState] = None
+        self.snapshots: List[Snapshot] = []
+        self.Nsteps = 0
+        self.t = 0.0
+        self.tsnapnext = 0.0
+        self.Noutsnap = 0
+        self.timing = CodeTiming()
+
+    # -- reference-parity accessors (SWIG surface, Simulation.h:87-231) ------
+    def SetParam(self, key, value):
+        if self.setup_complete:
+            raise RuntimeError("Cannot change parameters after setup")
+        self.params.set(key, value)
+
+    def GetParam(self, key):
+        return self.params.get(key)
+
+    @staticmethod
+    def factory(params: Parameters) -> "SimulationBase":
+        """Build a controller by `sim` string + ndim
+        (SimulationBase::SimulationFactory, src/Common/Simulation.cpp:63-145)."""
+        sim = params.stringparams["sim"]
+        if sim in ("sph", "gradhsph", "gradsph"):
+            return GradhSphSimulation(params)
+        raise ValueError(f"Unrecognised or not-yet-implemented sim: {sim!r}")
+
+    # -- lifecycle ------------------------------------------------------------
+    def SetupSimulation(self):
+        raise NotImplementedError
+
+    def Run(self, Nadvance: int = -1):
+        """Main run loop (SimulationBase::Run, Simulation.cpp:382-431)."""
+        if not self.setup_complete:
+            self.SetupSimulation()
+        tend = self.params.floatparams["tend"]
+        Nstepsmax = (self.params.intparams["Nstepsmax"]
+                     if Nadvance < 0 else self.Nsteps + Nadvance)
+        while self.t < tend and self.Nsteps < Nstepsmax:
+            self.main_loop_step()
+            self.output()
+        self.output(final=True)
+
+    def InteractiveRun(self, Nadvance: int = -1):
+        """Run for ~dt_python wall-clock seconds, returning new snapshots
+        (SimulationBase::InteractiveRun, Simulation.cpp:440-494)."""
+        if not self.setup_complete:
+            self.SetupSimulation()
+        tend = self.params.floatparams["tend"]
+        budget = self.params.floatparams["dt_python"]
+        t0 = time.time()
+        new_snaps = []
+        n0 = len(self.snapshots)
+        while self.t < tend and time.time() - t0 < budget:
+            self.main_loop_step()
+            self.output()
+        if self.t >= tend:
+            self.output(final=True)
+        new_snaps = self.snapshots[n0:]
+        return new_snaps
+
+    def main_loop_step(self):
+        raise NotImplementedError
+
+    def output(self, final: bool = False):
+        raise NotImplementedError
+
+
+class GradhSphSimulation(SimulationBase):
+    """Conservative grad-h SPH simulation
+    (reference GradhSphSimulation + SphSimulation::MainLoop,
+    src/Hydrodynamics/SphSimulation.cpp:574-880, global-timestep scheme)."""
+
+    def __init__(self, params: Parameters):
+        super().__init__(params)
+        self._step_fn = None
+
+    # -- parameter processing (ProcessParameters/ProcessSphParameters) -------
+    def process_parameters(self):
+        p = self.params
+        self.kern = kernel_factory(p.stringparams["kernel"], self.ndim)
+        self.eos = eos_factory(p)
+        self.visc = ArtificialViscosity.from_params(p)
+        self.box = DomainBox.from_params(p)
+        gas_eos = p.stringparams["gas_eos"]
+        energy_integration = gas_eos == "energy_eqn" or (
+            gas_eos == "radws"
+            and p.stringparams["energy_integration"] in ("null", "none"))
+        self.integ = IntegratorConfig.from_params(p, energy_integration)
+        self.hydro_forces = bool(p.intparams["hydro_forces"])
+        self.h_fac = p.floatparams["h_fac"]
+        self.h_converge = p.floatparams["h_converge"]
+
+    def SetupSimulation(self):
+        """GenerateIC + PostInitialConditionsSetup
+        (Simulation.cpp:639-694, SphSimulation.cpp:204-565)."""
+        with self.timing.block("SETUP"):
+            self.process_parameters()
+            ic = generate_ic(self.params, self.eos)
+            self.state = make_sph_state(ic["r"], ic["v"], ic["m"],
+                                        ic["h"], ic["u"])
+            self._step_fn = jax.jit(self._build_step())
+            self._bootstrap_fn = jax.jit(self._build_bootstrap())
+            self.state = self._bootstrap_fn(self.state)
+        self.t = float(self.state.t)
+        self.tsnapnext = self.params.floatparams["tsnapfirst"]
+        self.setup_complete = True
+        # initial snapshot cadence matches reference: first output at
+        # tsnapfirst (clipped to start time)
+        if self.t >= self.tsnapnext:
+            self._take_snapshot()
+            self.tsnapnext += self.params.floatparams["dt_snap"]
+
+    # -- the jitted physics ----------------------------------------------------
+    def _hydro_pass(self, s: SphState) -> SphState:
+        """density -> EOS -> forces at current positions (one force pass)."""
+        kern, box, eos, visc = self.kern, self.box, self.eos, self.visc
+        # ghost images for mirror walls; periodic handled by min-image
+        scalars = {"m": s.m}
+        r_ext, v_ext, sc_ext, _ = extend_with_mirror_images(
+            box, s.r, s.v, scalars)
+        dens = compute_h_bruteforce(kern, box, self.h_fac, self.h_converge,
+                                    s.r, s.m, s.h, r_ext, sc_ext["m"])
+        u, pressure, sound = eos.thermal_update(dens.rho, s.u)
+        s = s.replace(h=dens.h, rho=dens.rho, invomega=dens.invomega,
+                      zeta=dens.zeta, hfactor=dens.hfactor,
+                      u=u, pressure=pressure, sound=sound)
+        if not self.hydro_forces:
+            return s.replace(a=jnp.zeros_like(s.a),
+                             dudt=jnp.zeros_like(s.dudt),
+                             div_v=jnp.zeros_like(s.div_v))
+        # rebuild extended views with post-density fields
+        fields = {"m": s.m, "h": s.h, "rho": s.rho, "u": s.u,
+                  "pressure": s.pressure, "sound": s.sound,
+                  "invomega": s.invomega, "hfactor": s.hfactor,
+                  "alpha": s.alpha}
+        r_ext, v_ext, sc_ext, _ = extend_with_mirror_images(
+            box, s.r, s.v, fields)
+        nb = bruteforce_neighbor_view(box, s.r, r_ext, v_ext, sc_ext)
+        f = compute_hydro_forces(kern, visc, s.v, s.h, s.rho, s.u,
+                                 s.pressure, s.sound, s.invomega,
+                                 s.hfactor, s.alpha, nb)
+        return s.replace(a=f.a, dudt=f.dudt, div_v=f.div_v)
+
+    def _build_bootstrap(self):
+        """Initial force/timestep pass (PostInitialConditionsSetup)."""
+        integ = self.integ
+
+        def bootstrap(s: SphState) -> SphState:
+            s = self._hydro_pass(s)
+            s = s.replace(a0=s.a, dudt0=s.dudt, u0=s.u, r0=s.r, v0=s.v)
+            dt = jnp.min(sph_timestep(integ, s, self.hydro_forces))
+            return s.replace(dt=dt)
+
+        return bootstrap
+
+    def _build_step(self):
+        """One global-timestep KDK step (SphSimulation::MainLoop)."""
+        integ, box = self.integ, self.box
+
+        def step(s: SphState) -> SphState:
+            dt = s.dt
+            t = s.t + dt
+            s = predict(integ, s, dt)
+            # boundary enforcement (CheckBoundaries)
+            r = box.wrap(s.r)
+            r, v = box.reflect(r, s.v)
+            r0 = box.wrap(s.r0)
+            s = s.replace(r=r, v=v, r0=r0)
+            s = self._hydro_pass(s)
+            dalphadt = jnp.zeros_like(s.alpha)
+            s = correct(integ, s, dt, dalphadt)
+            dt_next = jnp.min(sph_timestep(integ, s, self.hydro_forces))
+            return s.replace(t=t, dt=dt_next, nstep=s.nstep + 1)
+
+        return step
+
+    # -- host driver ------------------------------------------------------------
+    def main_loop_step(self):
+        with self.timing.block("MAIN_LOOP"):
+            self.state = self._step_fn(self.state)
+        self.Nsteps += 1
+        self.t = float(self.state.t)
+
+    def _state_to_host(self) -> Dict[str, np.ndarray]:
+        s = self.state
+        return {k: np.asarray(getattr(s, k))
+                for k in ("r", "v", "a", "m", "h", "rho", "u", "dudt",
+                          "pressure", "sound", "div_v")}
+
+    def _take_snapshot(self):
+        self.snapshots.append(Snapshot(self.t, self._state_to_host(),
+                                       self.ndim))
+
+    def output(self, final: bool = False):
+        """Snapshot cadence + optional file output (SimulationBase::Output)."""
+        took = False
+        if self.t >= self.tsnapnext or final:
+            self._take_snapshot()
+            self.tsnapnext += self.params.floatparams["dt_snap"]
+            took = True
+            form = self.params.stringparams["out_file_form"]
+            run_id = self.params.stringparams["run_id"]
+            if run_id and form == "column" and os.environ.get(
+                    "GANDALF_WRITE_SNAPSHOTS", "0") == "1":
+                fname = f"{run_id}.{form}.{self.Noutsnap:05d}"
+                sim_io.write_column_snapshot(fname, self.t,
+                                             self._state_to_host())
+            self.Noutsnap += 1
+        return took

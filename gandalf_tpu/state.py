@@ -1,0 +1,212 @@
+"""Particle state: structure-of-arrays pytrees.
+
+The reference stores particles as arrays-of-structs (`Particle<ndim>`,
+src/Headers/Particle.h:133-223) with trimmed per-loop proxy structs.  The
+TPU-native layout is the transpose: one jax array per field (SoA), so every
+hot loop is a fused vector op and per-kernel "proxies" are just field
+selections.  Fixed capacity + dead mask replaces dynamic allocation.
+
+`SphState` carries the same physical fields as `GradhSphParticle`
+(Particle.h:233-368): r, v, a and their step-start copies r0/v0/a0, m, h,
+rho, u/u0, dudt/dudt0, pressure, sound, invomega, zeta, hfactor, div_v,
+alpha (time-dependent artificial viscosity), gpot, plus integer block-time
+step bookkeeping (level, levelneib, nlast/tlast) and status flags.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jnp.ndarray
+
+# particle types (reference src/Headers/Particle.h:43)
+GAS_TYPE = 0
+ICM_TYPE = 1
+CDM_TYPE = 2
+DUST_TYPE = 3
+BOUNDARY_TYPE = 4
+
+# status flag bits (reference src/Headers/Flags.h:29-60)
+FLAG_DEAD = 1 << 0
+FLAG_ACTIVE = 1 << 1
+FLAG_POTMIN = 1 << 2
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SphState:
+    """SoA grad-h SPH particle state (+ global time scalars)."""
+
+    # kinematics: shape (N, ndim)
+    r: Array
+    v: Array
+    a: Array
+    r0: Array
+    v0: Array
+    a0: Array
+    # scalars per particle: shape (N,)
+    m: Array
+    h: Array
+    rho: Array
+    u: Array
+    u0: Array
+    dudt: Array
+    dudt0: Array
+    pressure: Array
+    sound: Array
+    invomega: Array
+    zeta: Array
+    hfactor: Array
+    div_v: Array
+    alpha: Array
+    gpot: Array
+    dt_part: Array          # per-particle timestep (block scheme)
+    # integer bookkeeping: shape (N,)
+    ptype: Array
+    flags: Array
+    level: Array
+    levelneib: Array
+    nlast: Array
+    tlast: Array
+    iorig: Array
+    # global scalars (0-d arrays so the whole state is one pytree)
+    t: Array
+    dt: Array
+    nstep: Array            # integer step counter
+
+    # -- helpers ------------------------------------------------------------
+    @property
+    def N(self) -> int:
+        return self.r.shape[0]
+
+    @property
+    def ndim(self) -> int:
+        return self.r.shape[1]
+
+    @property
+    def alive(self) -> Array:
+        return (self.flags & FLAG_DEAD) == 0
+
+    def replace(self, **kw) -> "SphState":
+        return dataclasses.replace(self, **kw)
+
+
+def make_sph_state(r: np.ndarray, v: np.ndarray, m: np.ndarray,
+                   h: np.ndarray, u: np.ndarray,
+                   dtype=jnp.float64) -> SphState:
+    """Build an initial SphState from IC arrays (all velocities/energies at
+    t=0; derived fields zeroed until the first density/force pass)."""
+    N, ndim = r.shape
+    if not jax.config.jax_enable_x64 and dtype == jnp.float64:
+        dtype = jnp.float32
+    fz = lambda: jnp.zeros((N,), dtype=dtype)
+    iz = lambda: jnp.zeros((N,), dtype=jnp.int32)
+    asdt = lambda x: jnp.asarray(x, dtype=dtype)
+    return SphState(
+        r=asdt(r), v=asdt(v), a=jnp.zeros((N, ndim), dtype=dtype),
+        r0=asdt(r), v0=asdt(v), a0=jnp.zeros((N, ndim), dtype=dtype),
+        m=asdt(m), h=asdt(h), rho=fz(),
+        u=asdt(u), u0=asdt(u), dudt=fz(), dudt0=fz(),
+        pressure=fz(), sound=fz(), invomega=jnp.ones((N,), dtype=dtype),
+        zeta=fz(), hfactor=fz(), div_v=fz(),
+        alpha=jnp.ones((N,), dtype=dtype), gpot=fz(), dt_part=fz(),
+        ptype=iz() + GAS_TYPE, flags=iz(), level=iz(), levelneib=iz(),
+        nlast=iz(), tlast=fz(), iorig=jnp.arange(N, dtype=jnp.int32),
+        t=jnp.asarray(0.0, dtype=dtype), dt=jnp.asarray(0.0, dtype=dtype),
+        nstep=jnp.asarray(0, dtype=jnp.int64 if
+                          jax.config.jax_enable_x64 else jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Simulation domain & boundaries (reference src/Headers/DomainBox.h)
+# ---------------------------------------------------------------------------
+
+OPEN = 0
+PERIODIC = 1
+MIRROR = 2
+WALL = 3
+
+_BOUNDARY_CODES = {"open": OPEN, "periodic": PERIODIC, "mirror": MIRROR,
+                   "wall": WALL}
+
+
+@dataclasses.dataclass(frozen=True)
+class DomainBox:
+    """Static (compile-time) simulation box description."""
+
+    ndim: int
+    boxmin: Tuple[float, ...]
+    boxmax: Tuple[float, ...]
+    lhs: Tuple[int, ...]   # boundary type codes per dim
+    rhs: Tuple[int, ...]
+
+    @staticmethod
+    def from_params(params) -> "DomainBox":
+        ndim = params.intparams["ndim"]
+        boxmin = tuple(params.floatparams[f"boxmin[{k}]"] for k in range(ndim))
+        boxmax = tuple(params.floatparams[f"boxmax[{k}]"] for k in range(ndim))
+        lhs = tuple(_BOUNDARY_CODES[params.stringparams[f"boundary_lhs[{k}]"]]
+                    for k in range(ndim))
+        rhs = tuple(_BOUNDARY_CODES[params.stringparams[f"boundary_rhs[{k}]"]]
+                    for k in range(ndim))
+        return DomainBox(ndim, boxmin, boxmax, lhs, rhs)
+
+    @property
+    def size(self) -> Tuple[float, ...]:
+        return tuple(hi - lo for lo, hi in zip(self.boxmin, self.boxmax))
+
+    def periodic_dims(self) -> Tuple[int, ...]:
+        return tuple(k for k in range(self.ndim)
+                     if self.lhs[k] == PERIODIC and self.rhs[k] == PERIODIC)
+
+    def mirror_walls(self) -> Tuple[Tuple[int, int], ...]:
+        """All (dim, side) mirror/wall boundaries; side 0=lhs, 1=rhs."""
+        out = []
+        for k in range(self.ndim):
+            if self.lhs[k] in (MIRROR, WALL):
+                out.append((k, 0))
+            if self.rhs[k] in (MIRROR, WALL):
+                out.append((k, 1))
+        return tuple(out)
+
+    def min_image(self, dr: Array) -> Array:
+        """Apply the minimum-image convention along periodic dims
+        (reference NearestPeriodicVector, src/Headers/GhostNeighbours.hpp)."""
+        pdims = self.periodic_dims()
+        if not pdims:
+            return dr
+        L = jnp.asarray(self.size, dtype=dr.dtype)
+        mask = jnp.asarray([1.0 if k in pdims else 0.0
+                            for k in range(self.ndim)], dtype=dr.dtype)
+        return dr - mask * L * jnp.round(dr / L)
+
+    def wrap(self, r: Array) -> Array:
+        """Wrap positions into the box along periodic dims (the functional
+        equivalent of SphIntegration::CheckBoundaries)."""
+        pdims = self.periodic_dims()
+        if not pdims:
+            return r
+        lo = jnp.asarray(self.boxmin, dtype=r.dtype)
+        L = jnp.asarray(self.size, dtype=r.dtype)
+        mask = jnp.asarray([k in pdims for k in range(self.ndim)])
+        wrapped = lo + jnp.mod(r - lo, L)
+        return jnp.where(mask, wrapped, r)
+
+    def reflect(self, r: Array, v: Array) -> Tuple[Array, Array]:
+        """Reflect escaped particles back across mirror/wall boundaries."""
+        walls = self.mirror_walls()
+        if not walls:
+            return r, v
+        for (k, side) in walls:
+            bound = self.boxmin[k] if side == 0 else self.boxmax[k]
+            crossed = (r[:, k] < bound) if side == 0 else (r[:, k] > bound)
+            r = r.at[:, k].set(jnp.where(crossed, 2.0 * bound - r[:, k],
+                                         r[:, k]))
+            v = v.at[:, k].set(jnp.where(crossed, -v[:, k], v[:, k]))
+        return r, v

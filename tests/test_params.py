@@ -1,0 +1,66 @@
+"""Parameter system tests: grammar, typing, defaults."""
+
+import pytest
+
+from gandalf_tpu.params import Parameters
+
+
+def test_defaults_present():
+    p = Parameters()
+    assert p.intparams["ndim"] == 3
+    assert p.stringparams["sim"] == "sph"
+    assert p.floatparams["h_fac"] == 1.2
+    assert p.floatparams["gamma_eos"] == pytest.approx(5.0 / 3.0, rel=1e-5)
+    assert p.stringparams["boundary_lhs[0]"] == "open"
+    # total default count mirrors the reference's ~300 parameters
+    total = len(p.intparams) + len(p.floatparams) + len(p.stringparams)
+    assert total >= 290
+
+
+def test_parse_line_grammar():
+    p = Parameters()
+    p.parse_line("Number of dims                  : ndim = 1")
+    assert p.intparams["ndim"] == 1
+    p.parse_line("# comment line : ndim = 3")
+    assert p.intparams["ndim"] == 1
+    p.parse_line("ndim = 2")          # colon optional
+    assert p.intparams["ndim"] == 2
+    p.parse_line("just some text")     # no '=' -> ignored
+    p.parse_line("Pressure of LHS fluid : press1 = 0.25")
+    assert p.floatparams["press1"] == 0.25
+    p.parse_line("Select SPH simulation : sim = gradhsph")
+    assert p.stringparams["sim"] == "gradhsph"
+
+
+def test_read_file(tmp_path):
+    f = tmp_path / "test.dat"
+    f.write_text(
+        "#--------------------------\n"
+        "# my test parameter file\n"
+        "#--------------------------\n"
+        "Simulation run id string   : run_id = TEST1\n"
+        "1D test                    : ndim = 1\n"
+        "Boundary                   : boundary_lhs[0] = periodic\n"
+        "\n"
+        "End time                   : tend = 0.25\n"
+    )
+    p = Parameters()
+    p.read_file(str(f))
+    assert p.stringparams["run_id"] == "TEST1"
+    assert p.intparams["ndim"] == 1
+    assert p.floatparams["tend"] == 0.25
+    assert p.stringparams["boundary_lhs[0]"] == "periodic"
+
+
+def test_missing_run_id_raises(tmp_path):
+    f = tmp_path / "norunid.dat"
+    f.write_text("ndim = 1\n")
+    with pytest.raises(ValueError):
+        Parameters().read_file(str(f))
+
+
+def test_sm2012_disabled():
+    p = Parameters()
+    p.set("sim", "sm2012sph")
+    with pytest.raises(ValueError):
+        p.check_invalid_parameters()
