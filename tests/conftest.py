@@ -13,6 +13,9 @@ os.environ.setdefault("GANDALF_PRECISION", "double")
 
 import jax  # noqa: E402
 
+# NOTE: the axon TPU plugin in this image ignores the JAX_PLATFORMS env var;
+# the config route works.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # Persistent compile cache makes repeated test runs much faster.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
