@@ -52,8 +52,18 @@ def main() -> None:
     n_steps = int(os.environ.get("BENCH_NSTEPS", "20"))
     sim = build_sim(n_side)
     ic = generate_ic(sim.params, sim.eos)
+    # Jitter positions and velocities so the h-rho iteration and the
+    # neighbour structure do realistic work (a perfect static lattice
+    # converges in one iteration and flatters the result).
+    rng = np.random.default_rng(42)
+    spacing = 1.0 / n_side
+    ic["r"] = np.mod(ic["r"] + 0.2 * spacing
+                     * rng.standard_normal(ic["r"].shape), 1.0)
+    ic["v"] = 0.05 * rng.standard_normal(ic["v"].shape)
     state = make_sph_state(ic["r"], ic["v"], ic["m"], ic["h"], ic["u"])
     N = state.N
+    if sim.use_celllist:
+        sim._plan_grid(ic["r"], ic["h"], growth=1.15)
 
     bootstrap = jax.jit(sim._build_bootstrap())
     step = jax.jit(sim._build_step())

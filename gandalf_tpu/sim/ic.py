@@ -131,11 +131,110 @@ def uniform_box_ic(params, eos) -> Dict[str, np.ndarray]:
     return {"r": r, "v": np.zeros((N, ndim)), "m": m, "h": h, "u": u}
 
 
+def plummer_stars_ic(params) -> Dict[str, np.ndarray]:
+    """Plummer sphere of stars via the Aarseth rejection method
+    (src/Ic/PlummerSphereIc.cpp:57-170, star branch)."""
+    ip, fp = params.intparams, params.floatparams
+    Nstar = ip["Nstar"]
+    mplummer = fp["mplummer"]
+    rplummer = fp["rplummer"]
+    radius = fp["radius"]
+    rstar = fp["rstar"]
+    rng = np.random.default_rng(ip["randseed"])
+
+    r = np.zeros((Nstar, 3))
+    v = np.zeros((Nstar, 3))
+    n = 0
+    while n < Nstar:
+        x1, x2, x3 = rng.random(3)
+        if x1 <= 0.0:
+            continue
+        rad = 1.0 / np.sqrt(x1 ** (-2.0 / 3.0) - 1.0)
+        if rad > radius / rplummer:
+            continue
+        z = (1.0 - 2.0 * x2) * rad
+        rxy = np.sqrt(max(rad * rad - z * z, 0.0))
+        r[n] = [rxy * np.cos(2 * np.pi * x3), rxy * np.sin(2 * np.pi * x3), z]
+        # velocity: rejection-sample q = v/v_esc from q^2 (1-q^2)^3.5
+        ve = np.sqrt(2.0 / np.sqrt(1.0 + rad * rad))
+        while True:
+            x4, x5 = rng.random(2)
+            if 0.1 * x5 <= x4 * x4 * (1.0 - x4 * x4) ** 3.5:
+                break
+        vm = ve * x4
+        x6, x7 = rng.random(2)
+        w = (1.0 - 2.0 * x6) * vm
+        vxy = np.sqrt(max(vm * vm - w * w, 0.0))
+        v[n] = [vxy * np.cos(2 * np.pi * x7), vxy * np.sin(2 * np.pi * x7), w]
+        n += 1
+
+    # scale to physical units (G = 1; Plummer natural units -> mplummer,
+    # rplummer; velocity scale sqrt(M/R))
+    vscale = np.sqrt(mplummer / rplummer)
+    r *= rplummer
+    v *= vscale
+    m = np.full(Nstar, mplummer / Nstar)
+    h = np.full(Nstar, rstar)
+    ndim = params.intparams["ndim"]
+    return {"r": r[:, :ndim], "v": v[:, :ndim], "m": m, "h": h}
+
+
+def binary_ic(params) -> Dict[str, np.ndarray]:
+    """Binary star from orbital elements (Ic::AddBinaryStar,
+    src/Ic/Ic.cpp)."""
+    fp = params.floatparams
+    ndim = params.intparams["ndim"]
+    if ndim < 2:
+        raise ValueError("binary IC needs ndim >= 2")
+    sma, ecc = fp["abin"], fp["ebin"]
+    m1, m2 = fp["m1"], fp["m2"]
+    rng = np.random.default_rng(params.intparams["randseed"])
+    M = 2.0 * np.pi * rng.random()
+    # solve Kepler's equation for the eccentric anomaly
+    Ee = M
+    for _ in range(100):
+        Ee = Ee - (Ee - ecc * np.sin(Ee) - M) / (1.0 - ecc * np.cos(Ee))
+    theta = 2.0 * np.arctan(np.sqrt((1.0 + ecc) / (1.0 - ecc))
+                            * np.tan(0.5 * Ee))
+    sep = sma * (1.0 - ecc * ecc) / (1.0 + ecc * np.cos(theta))
+    vel = np.sqrt((m1 + m2) * (2.0 / sep - 1.0 / sma))
+    hc = np.sqrt((1.0 + ecc * np.cos(theta)) / (2.0 - sep / sma))
+    phi = np.arccos(np.clip(hc, -1.0, 1.0))
+    mbin = m1 + m2
+
+    r = np.zeros((2, ndim))
+    v = np.zeros((2, ndim))
+    rx = sep * np.cos(theta)
+    ry = sep * np.sin(theta)
+    vx = -vel * np.cos(0.5 * np.pi - theta + phi)
+    vy = vel * np.sin(0.5 * np.pi - theta + phi)
+    r[0, 0], r[0, 1] = rx * m2 / mbin, ry * m2 / mbin
+    v[0, 0], v[0, 1] = vx * m2 / mbin, vy * m2 / mbin
+    r[1, 0], r[1, 1] = -rx * m1 / mbin, -ry * m1 / mbin
+    v[1, 0], v[1, 1] = -vx * m1 / mbin, -vy * m1 / mbin
+    m = np.array([m1, m2])
+    h = np.full(2, fp["rstar"])
+    return {"r": r, "v": v, "m": m, "h": h}
+
+
 _IC_REGISTRY = {
     "shocktube": shocktube_ic,
     "soundwave": soundwave_ic,
     "box": uniform_box_ic,
 }
+
+_NBODY_IC_REGISTRY = {
+    "plummer": plummer_stars_ic,
+    "binary": binary_ic,
+}
+
+
+def generate_nbody_ic(params) -> Dict[str, np.ndarray]:
+    name = params.stringparams["ic"]
+    if name not in _NBODY_IC_REGISTRY:
+        raise ValueError(
+            f"Unrecognised or not-yet-implemented nbody ic: {name!r}")
+    return _NBODY_IC_REGISTRY[name](params)
 
 
 def generate_ic(params, eos) -> Dict[str, np.ndarray]:

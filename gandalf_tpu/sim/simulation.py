@@ -86,6 +86,9 @@ class SimulationBase:
         sim = params.stringparams["sim"]
         if sim in ("sph", "gradhsph", "gradsph"):
             return GradhSphSimulation(params)
+        if sim == "nbody":
+            from .nbody_sim import NbodySimulation
+            return NbodySimulation(params)
         raise ValueError(f"Unrecognised or not-yet-implemented sim: {sim!r}")
 
     # -- lifecycle ------------------------------------------------------------
@@ -153,6 +156,28 @@ class GradhSphSimulation(SimulationBase):
         self.hydro_forces = bool(p.intparams["hydro_forces"])
         self.h_fac = p.floatparams["h_fac"]
         self.h_converge = p.floatparams["h_converge"]
+        # neighbour-search strategy: "bruteforce" = all-pairs oracle;
+        # anything else (kdtree/octtree/celllist) maps to the TPU cell-list
+        # production path.  Mirror walls currently require the image-based
+        # all-pairs path.
+        self.neib_search = p.stringparams["neib_search"]
+        self.use_celllist = (self.neib_search != "bruteforce"
+                             and not self.box.mirror_walls())
+        self.gridspec = None
+        self.chunk = 4096
+
+    def _plan_grid(self, r, h, growth: float = 1.3):
+        """(Re)plan the cell-list grid from current positions/h (host-side;
+        the TPU analogue of the tree rebuild, HydroTree::BuildTree)."""
+        from ..ops.celllist import plan_grid
+
+        h_max = float(np.asarray(h).max()) * growth
+        self.gridspec = plan_grid(self.box, np.asarray(r), h_max,
+                                  self.kern.kernrange)
+
+    def _compile(self):
+        self._step_fn = jax.jit(self._build_step())
+        self._bootstrap_fn = jax.jit(self._build_bootstrap())
 
     def SetupSimulation(self):
         """GenerateIC + PostInitialConditionsSetup
@@ -162,9 +187,14 @@ class GradhSphSimulation(SimulationBase):
             ic = generate_ic(self.params, self.eos)
             self.state = make_sph_state(ic["r"], ic["v"], ic["m"],
                                         ic["h"], ic["u"])
-            self._step_fn = jax.jit(self._build_step())
-            self._bootstrap_fn = jax.jit(self._build_bootstrap())
+            if self.use_celllist:
+                self._plan_grid(ic["r"], ic["h"])
+            self._compile()
             self.state = self._bootstrap_fn(self.state)
+            while self.use_celllist and bool(self.state.neib_overflow):
+                self._plan_grid(self.state.r, self.state.h)
+                self._compile()
+                self.state = self._bootstrap_fn(self.state)
         self.t = float(self.state.t)
         self.tsnapnext = self.params.floatparams["tsnapfirst"]
         self.setup_complete = True
@@ -178,6 +208,13 @@ class GradhSphSimulation(SimulationBase):
     def _hydro_pass(self, s: SphState) -> SphState:
         """density -> EOS -> forces at current positions (one force pass)."""
         kern, box, eos, visc = self.kern, self.box, self.eos, self.visc
+        if self.use_celllist:
+            from ..ops.sph_cl import hydro_pass_celllist
+
+            return hydro_pass_celllist(kern, visc, box, self.gridspec, eos,
+                                       self.h_fac, self.h_converge,
+                                       self.hydro_forces, s,
+                                       chunk=self.chunk)
         # ghost images for mirror walls; periodic handled by min-image
         scalars = {"m": s.m}
         r_ext, v_ext, sc_ext, _ = extend_with_mirror_images(
@@ -241,7 +278,15 @@ class GradhSphSimulation(SimulationBase):
     # -- host driver ------------------------------------------------------------
     def main_loop_step(self):
         with self.timing.block("MAIN_LOOP"):
-            self.state = self._step_fn(self.state)
+            prev = self.state
+            self.state = self._step_fn(prev)
+            # neighbour-capacity overflow: replan the grid and redo the step
+            # (reference analogue: Nneibmax doubling, GradhSphTree.cpp:172).
+            if self.use_celllist and bool(self.state.neib_overflow):
+                with self.timing.block("GRID_REPLAN"):
+                    self._plan_grid(self.state.r, self.state.h)
+                    self._compile()
+                    self.state = self._step_fn(prev)
         self.Nsteps += 1
         self.t = float(self.state.t)
 

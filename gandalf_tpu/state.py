@@ -78,6 +78,7 @@ class SphState:
     t: Array
     dt: Array
     nstep: Array            # integer step counter
+    neib_overflow: Array    # bool: neighbour-capacity overflow this step
 
     # -- helpers ------------------------------------------------------------
     @property
@@ -117,6 +118,69 @@ def make_sph_state(r: np.ndarray, v: np.ndarray, m: np.ndarray,
         alpha=jnp.ones((N,), dtype=dtype), gpot=fz(), dt_part=fz(),
         ptype=iz() + GAS_TYPE, flags=iz(), level=iz(), levelneib=iz(),
         nlast=iz(), tlast=fz(), iorig=jnp.arange(N, dtype=jnp.int32),
+        t=jnp.asarray(0.0, dtype=dtype), dt=jnp.asarray(0.0, dtype=dtype),
+        nstep=jnp.asarray(0, dtype=jnp.int64 if
+                          jax.config.jax_enable_x64 else jnp.int32),
+        neib_overflow=jnp.asarray(False),
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class NbodyState:
+    """SoA star/N-body particle state (reference NbodyParticle,
+    src/Headers/NbodyParticle.h:42: Hermite state a/adot/a2dot/a3dot plus
+    step-start copies)."""
+
+    r: Array
+    v: Array
+    a: Array
+    adot: Array
+    a2dot: Array
+    a3dot: Array
+    r0: Array
+    v0: Array
+    a0: Array
+    adot0: Array
+    m: Array
+    h: Array          # softening length
+    gpot: Array
+    dt_part: Array
+    level: Array
+    nlast: Array
+    tlast: Array
+    active: Array
+    t: Array
+    dt: Array
+    nstep: Array
+
+    @property
+    def N(self) -> int:
+        return self.r.shape[0]
+
+    @property
+    def ndim(self) -> int:
+        return self.r.shape[1]
+
+    def replace(self, **kw) -> "NbodyState":
+        return dataclasses.replace(self, **kw)
+
+
+def make_nbody_state(r: np.ndarray, v: np.ndarray, m: np.ndarray,
+                     h: np.ndarray, dtype=jnp.float64) -> NbodyState:
+    N, ndim = r.shape
+    if not jax.config.jax_enable_x64 and dtype == jnp.float64:
+        dtype = jnp.float32
+    vz = lambda: jnp.zeros((N, ndim), dtype=dtype)
+    fz = lambda: jnp.zeros((N,), dtype=dtype)
+    iz = lambda: jnp.zeros((N,), dtype=jnp.int32)
+    asdt = lambda x: jnp.asarray(x, dtype=dtype)
+    return NbodyState(
+        r=asdt(r), v=asdt(v), a=vz(), adot=vz(), a2dot=vz(), a3dot=vz(),
+        r0=asdt(r), v0=asdt(v), a0=vz(), adot0=vz(),
+        m=asdt(m), h=asdt(h), gpot=fz(), dt_part=fz(),
+        level=iz(), nlast=iz(), tlast=fz(),
+        active=jnp.ones((N,), dtype=bool),
         t=jnp.asarray(0.0, dtype=dtype), dt=jnp.asarray(0.0, dtype=dtype),
         nstep=jnp.asarray(0, dtype=jnp.int64 if
                           jax.config.jax_enable_x64 else jnp.int32),

@@ -1,0 +1,97 @@
+"""Cell-list neighbour search vs the all-pairs brute-force oracle
+(the TPU analogue of the reference's bruteforce-tree validation,
+src/Tree/BruteForceTree.cpp usage in tests/paper_tests/treescaling.py)."""
+
+import numpy as np
+import pytest
+
+from gandalf_tpu.params import Parameters
+from gandalf_tpu.sim.simulation import GradhSphSimulation
+from gandalf_tpu.state import make_sph_state
+
+
+def make_box_params(n_side=10, ndim=3, neib="kdtree"):
+    p = Parameters()
+    updates = {
+        "run_id": "CLTEST", "sim": "gradhsph", "ic": "box", "ndim": ndim,
+        "dimensionless": 1, "gas_eos": "energy_eqn", "gamma_eos": 1.4,
+        "rhofluid1": 1.0, "press1": 1.0, "tend": 1.0e30,
+        "tsnapfirst": 1.0e30, "neib_search": neib,
+    }
+    for k in range(ndim):
+        updates[f"boxmin[{k}]"] = 0.0
+        updates[f"boxmax[{k}]"] = 1.0
+        updates[f"boundary_lhs[{k}]"] = "periodic"
+        updates[f"boundary_rhs[{k}]"] = "periodic"
+        updates[f"Nlattice1[{k}]"] = n_side
+    for k, v in updates.items():
+        p.set(k, v)
+    return p
+
+
+def jittered_state(sim, seed=3, jitter=0.2):
+    from gandalf_tpu.sim.ic import generate_ic
+
+    ic = generate_ic(sim.params, sim.eos)
+    rng = np.random.default_rng(seed)
+    spacing = 1.0 / round(len(ic["m"]) ** (1 / 3))
+    ic["r"] = ic["r"] + jitter * spacing * rng.standard_normal(ic["r"].shape)
+    ic["r"] = np.mod(ic["r"], 1.0)
+    ic["v"] = 0.1 * rng.standard_normal(ic["v"].shape)
+    return make_sph_state(ic["r"], ic["v"], ic["m"], ic["h"], ic["u"])
+
+
+@pytest.fixture(scope="module")
+def oracle_pair():
+    """Same jittered 3D state pushed through both neighbour paths."""
+    import jax
+
+    sims = {}
+    for neib in ("bruteforce", "kdtree"):
+        sim = GradhSphSimulation(make_box_params(neib=neib))
+        sim.process_parameters()
+        sims[neib] = sim
+    state = jittered_state(sims["bruteforce"])
+    if sims["kdtree"].use_celllist:
+        sims["kdtree"]._plan_grid(state.r, state.h)
+    out = {}
+    for neib, sim in sims.items():
+        out[neib] = jax.jit(sim._build_bootstrap())(state)
+    return out
+
+
+FIELDS = ["h", "rho", "invomega", "hfactor", "u", "pressure", "sound",
+          "dudt", "div_v"]
+
+
+@pytest.mark.parametrize("field", FIELDS)
+def test_field_matches_oracle(oracle_pair, field):
+    bf = np.asarray(getattr(oracle_pair["bruteforce"], field))
+    cl = np.asarray(getattr(oracle_pair["kdtree"], field))
+    np.testing.assert_allclose(cl, bf, rtol=1e-10, atol=1e-12)
+
+
+def test_accel_matches_oracle(oracle_pair):
+    bf = np.asarray(oracle_pair["bruteforce"].a)
+    cl = np.asarray(oracle_pair["kdtree"].a)
+    np.testing.assert_allclose(cl, bf, rtol=1e-9, atol=1e-10)
+
+
+def test_no_overflow(oracle_pair):
+    assert not bool(oracle_pair["kdtree"].neib_overflow)
+
+
+def test_celllist_run_stable():
+    """Short end-to-end run on the cell-list path stays finite and
+    conserves momentum."""
+    sim = GradhSphSimulation(make_box_params(neib="kdtree"))
+    sim.SetupSimulation()
+    assert sim.use_celllist
+    for _ in range(5):
+        sim.main_loop_step()
+    r = np.asarray(sim.state.rho)
+    assert np.isfinite(r).all()
+    m = np.asarray(sim.state.m)
+    v = np.asarray(sim.state.v)
+    mom = np.abs((m[:, None] * v).sum(0)).max()
+    assert mom < 1e-10
