@@ -67,14 +67,26 @@ def main() -> None:
 
     bootstrap = jax.jit(sim._build_bootstrap())
     step = jax.jit(sim._build_step())
-    state = jax.block_until_ready(bootstrap(state))
-    state = jax.block_until_ready(step(state))  # compile + warm
+    state = bootstrap(state)
+    state = step(state)          # compile + warm
+    # On the axon TPU tunnel, block_until_ready does NOT surface device
+    # faults; only a host value read does.  Sync through a scalar read and
+    # validate the physics so a crashed/garbage run can never report a
+    # number.
+    assert np.isfinite(float(state.rho.min())), "non-finite density"
 
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state = step(state)
-    jax.block_until_ready(state)
+    t_end = float(state.t)                      # forces full completion
     elapsed = time.perf_counter() - t0
+    assert t_end > 0.0 and np.isfinite(t_end)
+    rho_min = float(state.rho.min())
+    rho_max = float(state.rho.max())
+    assert np.isfinite(rho_min) and np.isfinite(rho_max) and rho_min > 0.0, \
+        f"invalid density after bench: [{rho_min}, {rho_max}]"
+    if bool(state.neib_overflow):
+        raise RuntimeError("neighbour overflow during bench — grid too small")
     steps_per_sec = n_steps / elapsed
     particle_steps_per_sec = N * steps_per_sec
 

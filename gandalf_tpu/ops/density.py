@@ -71,7 +71,8 @@ def compute_h(kern: SmoothingKernel, ndim: int,
               drsqd: Array, m_j: Array,
               mask: Optional[Array] = None,
               hmax: float = 1.0e30,
-              h_lower_bound: float = 0.0) -> DensityResult:
+              h_lower_bound: float = 0.0,
+              active: Optional[Array] = None) -> DensityResult:
     """Converge h and return density sums (batch ComputeH).
 
     Args:
@@ -113,7 +114,8 @@ def compute_h(kern: SmoothingKernel, ndim: int,
     dtype = h_init.dtype
     lo0 = jnp.full((N,), h_lower_bound, dtype=dtype)
     hi0 = jnp.full((N,), hmax, dtype=dtype)
-    done0 = jnp.zeros((N,), dtype=bool)
+    # inactive lanes (padded slots) start "done" so they never spin the loop
+    done0 = jnp.zeros((N,), dtype=bool) if active is None else ~active
     carry0 = (h_init, jnp.zeros_like(m), jnp.zeros_like(m),
               jnp.zeros_like(m), lo0, hi0, jnp.asarray(0), done0)
     # One priming evaluation so the carried sums always match the carried h.

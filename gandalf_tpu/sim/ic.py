@@ -131,6 +131,61 @@ def uniform_box_ic(params, eos) -> Dict[str, np.ndarray]:
     return {"r": r, "v": np.zeros((N, ndim)), "m": m, "h": h, "u": u}
 
 
+def add_lattice_sphere(n_target: int, radius: float, ndim: int = 3
+                       ) -> np.ndarray:
+    """Cubic-lattice points inside a sphere, tuned to ~n_target points
+    (Ic::AddLatticeSphere, src/Ic/Ic.cpp)."""
+    # binary-search the lattice resolution whose sphere cut best matches
+    best = None
+    lo, hi = 2, max(4, int(3.0 * n_target ** (1.0 / ndim)))
+    for n_lat in range(lo, hi):
+        r = add_cubic_lattice([n_lat] * ndim, [-radius] * ndim,
+                              [radius] * ndim)
+        inside = (r ** 2).sum(-1) <= radius * radius
+        cnt = int(inside.sum())
+        if best is None or abs(cnt - n_target) < abs(best[0] - n_target):
+            best = (cnt, r[inside])
+        if cnt >= n_target and best[0] == cnt:
+            break
+    return best[1]
+
+
+def sphere_ic(params, eos) -> Dict[str, np.ndarray]:
+    """Uniform-density sphere ('sphere' IC; UniformIc sphere branch,
+    src/Ic/UniformIc.cpp)."""
+    ip, fp = params.intparams, params.floatparams
+    ndim = ip["ndim"]
+    n_target = ip["Nhydro"]
+    mcloud = fp["mcloud"]
+    radius = fp["radius"]
+    press = fp["press1"]
+    gammam1 = fp["gamma_eos"] - 1.0
+    h_fac = fp["h_fac"]
+    dist = params.stringparams["particle_distribution"]
+    if dist == "random":
+        rng = np.random.default_rng(ip["randseed"])
+        pts = []
+        while len(pts) < n_target:
+            cand = rng.uniform(-radius, radius, size=(n_target * 2, ndim))
+            cand = cand[(cand ** 2).sum(-1) <= radius * radius]
+            pts.extend(cand.tolist())
+        r = np.asarray(pts[:n_target])
+    else:
+        r = add_lattice_sphere(n_target, radius, ndim)
+    N = r.shape[0]
+    if ndim == 1:
+        volume = 2.0 * radius
+    elif ndim == 2:
+        volume = np.pi * radius ** 2
+    else:
+        volume = 4.0 / 3.0 * np.pi * radius ** 3
+    rho0 = mcloud / volume
+    m = np.full(N, mcloud / N)
+    h = h_fac * (m / rho0) ** (1.0 / ndim)
+    u = np.full(N, press / (gammam1 * rho0))
+    return {"r": r, "v": np.zeros((N, ndim)), "m": m, "h": h, "u": u}
+
+
 def plummer_stars_ic(params) -> Dict[str, np.ndarray]:
     """Plummer sphere of stars via the Aarseth rejection method
     (src/Ic/PlummerSphereIc.cpp:57-170, star branch)."""
@@ -221,6 +276,7 @@ _IC_REGISTRY = {
     "shocktube": shocktube_ic,
     "soundwave": soundwave_ic,
     "box": uniform_box_ic,
+    "sphere": sphere_ic,
 }
 
 _NBODY_IC_REGISTRY = {

@@ -154,6 +154,10 @@ class GradhSphSimulation(SimulationBase):
             and p.stringparams["energy_integration"] in ("null", "none"))
         self.integ = IntegratorConfig.from_params(p, energy_integration)
         self.hydro_forces = bool(p.intparams["hydro_forces"])
+        self.self_gravity = bool(p.intparams["self_gravity"])
+        if self.self_gravity and self.box.periodic_dims():
+            raise ValueError("periodic self-gravity (Ewald) not yet "
+                             "implemented in the TPU build")
         self.h_fac = p.floatparams["h_fac"]
         self.h_converge = p.floatparams["h_converge"]
         # neighbour-search strategy: "bruteforce" = all-pairs oracle;
@@ -164,7 +168,8 @@ class GradhSphSimulation(SimulationBase):
         self.use_celllist = (self.neib_search != "bruteforce"
                              and not self.box.mirror_walls())
         self.gridspec = None
-        self.chunk = 4096
+        self.chunk = 4096        # particle chunk (gather pipeline)
+        self.cell_chunk = 256    # cell chunk (dense pipeline)
 
     def _plan_grid(self, r, h, growth: float = 1.3):
         """(Re)plan the cell-list grid from current positions/h (host-side;
@@ -206,15 +211,26 @@ class GradhSphSimulation(SimulationBase):
 
     # -- the jitted physics ----------------------------------------------------
     def _hydro_pass(self, s: SphState) -> SphState:
-        """density -> EOS -> forces at current positions (one force pass)."""
+        """density -> EOS -> hydro forces -> self-gravity."""
+        s = self._hydro_only_pass(s)
+        if self.self_gravity:
+            from ..ops.sph_gravity import direct_sph_gravity
+
+            g = direct_sph_gravity(self.kern, s.r, s.m, s.h,
+                                   s.zeta, s.hfactor)
+            s = s.replace(a=s.a + g.a, gpot=g.gpot)
+        return s
+
+    def _hydro_only_pass(self, s: SphState) -> SphState:
+        """density -> EOS -> hydro forces at current positions."""
         kern, box, eos, visc = self.kern, self.box, self.eos, self.visc
         if self.use_celllist:
-            from ..ops.sph_cl import hydro_pass_celllist
+            from ..ops.sph_dense import hydro_pass_dense
 
-            return hydro_pass_celllist(kern, visc, box, self.gridspec, eos,
-                                       self.h_fac, self.h_converge,
-                                       self.hydro_forces, s,
-                                       chunk=self.chunk)
+            return hydro_pass_dense(kern, visc, box, self.gridspec, eos,
+                                    self.h_fac, self.h_converge,
+                                    self.hydro_forces, s,
+                                    cell_chunk=self.cell_chunk)
         # ghost images for mirror walls; periodic handled by min-image
         scalars = {"m": s.m}
         r_ext, v_ext, sc_ext, _ = extend_with_mirror_images(

@@ -1,0 +1,74 @@
+"""Free-fall collapse regression gate (reference
+tests/grav_tests/test_freefall.py): pressureless uniform sphere with
+self-gravity; the half-mass Lagrangian radius must follow the analytic
+cycloid solution with L1 < 9e-3."""
+
+import numpy as np
+import pytest
+
+from gandalf_tpu.analysis.compute import lagrangian_radii
+from gandalf_tpu.params import Parameters
+from gandalf_tpu.sim.simulation import SimulationBase
+
+
+def freefall_analytical_radius(tfrac: float) -> float:
+    """r(t)/r0 for homologous collapse: t/tff = (2/pi)(beta + sin(2beta)/2),
+    r/r0 = cos^2(beta)."""
+    beta = np.linspace(0.0, np.pi / 2.0, 100001)
+    tf = (beta + 0.5 * np.sin(2.0 * beta)) * 2.0 / np.pi
+    rf = np.cos(beta) ** 2
+    return float(np.interp(tfrac, tf, rf))
+
+
+@pytest.fixture(scope="module")
+def freefall_sim():
+    p = Parameters()
+    updates = {
+        "run_id": "FREEFALL1", "sim": "gradhsph", "ic": "sphere", "ndim": 3,
+        "Nhydro": 1000, "particle_distribution": "cubic_lattice",
+        "mcloud": 1.0, "radius": 1.0, "dimensionless": 1,
+        "tend": 1.0, "tsnapfirst": 0.0, "dt_snap": 0.05,
+        "hydro_forces": 0, "gas_eos": "energy_eqn",
+        "gamma_eos": 1.66666666666666666, "self_gravity": 1,
+        "kernel": "m4", "h_converge": 0.01, "sph_integration": "lfkdk",
+        "courant_mult": 0.1, "accel_mult": 0.2, "energy_mult": 0.5,
+        "Nlevels": 1, "neib_search": "bruteforce",
+    }
+    for k, v in updates.items():
+        p.set(k, v)
+    sim = SimulationBase.factory(p)
+    sim.Run()
+    return sim
+
+
+def test_freefall_l1(freefall_sim):
+    """Half-mass radius vs analytic homologous collapse."""
+    sim = freefall_sim
+    # free-fall time for G=1, M=1, R=1: tff = pi/2 * sqrt(R^3/(2GM))
+    tff = 0.5 * np.pi / np.sqrt(2.0)
+    r0 = lagrangian_radii(sim.snapshots[0], 0.5)
+    errs = []
+    for snap in sim.snapshots:
+        tfrac = snap.t / tff
+        if tfrac > 0.95:           # late collapse: discreteness dominates
+            break
+        lr = lagrangian_radii(snap, 0.5)
+        errs.append(abs(lr - freefall_analytical_radius(tfrac) * r0))
+    assert len(errs) > 10
+    l1 = float(np.mean(errs))
+    assert l1 < 9e-3, f"freefall L1 = {l1}"
+
+
+def test_freefall_homologous(freefall_sim):
+    """Uniform-sphere collapse is homologous: 25% and 75% Lagrangian radii
+    shrink by the same factor."""
+    sim = freefall_sim
+    first, mid = sim.snapshots[0], sim.snapshots[len(sim.snapshots) // 2]
+    f25 = lagrangian_radii(mid, 0.25) / lagrangian_radii(first, 0.25)
+    f75 = lagrangian_radii(mid, 0.75) / lagrangian_radii(first, 0.75)
+    assert abs(f25 - f75) < 0.04
+
+
+def test_gpot_positive(freefall_sim):
+    gpot = np.asarray(freefall_sim.state.gpot)
+    assert (gpot > 0).all()
