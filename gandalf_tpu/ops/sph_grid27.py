@@ -1,0 +1,434 @@
+"""Structured 27-shift SPH pipeline: zero gathers in the hot loop.
+
+The TPU-native formulation of the neighbour problem:
+
+1. particles are binned to a uniform grid and scattered into dense per-cell
+   storage shaped (nz, ny, nx, K, ...) (K = padded slots per cell),
+2. one layer of GHOST CELLS is added around the grid — wrap-copied for
+   periodic dimensions, empty for open ones — so that
+3. every neighbour access in the hot loops is a STATIC slice of the ghosted
+   tensor: the 3^ndim adjacent cells of all cells at once are
+   `padded[1+dz : 1+dz+nz, 1+dy : 1+dy+ny, 1+dx : 1+dx+nx]` for the 27
+   (dz, dy, dx) offsets.  No argsort-order gathers, no scatter in the pair
+   loop — XLA fuses each shift's pair block into one loop nest.
+
+This mirrors how the reference bounds its working set with per-cell
+neighbour buffers (SURVEY.md §5 'long-context analogue'); the structured
+grid replaces the KD-tree walk entirely for near-uniform h.  Gravity and
+strongly-adaptive h go through the tree (ops.tree).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..kernels.smoothing import SmoothingKernel
+from ..state import DomainBox, SphState
+from .forces import ArtificialViscosity
+
+Array = jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class Grid27Spec:
+    """Static grid geometry. ncells excludes ghost layers."""
+
+    ndim: int
+    ncells: Tuple[int, ...]        # (nz, ny, nx) order = (dim0, dim1, ...)
+    lo: Tuple[float, ...]
+    extents: Tuple[float, ...]
+    k_cell: int
+    periodic: Tuple[bool, ...]
+
+    @property
+    def total_cells(self) -> int:
+        return int(np.prod(self.ncells))
+
+
+def plan_grid27(box: DomainBox, r: np.ndarray, h_max: float,
+                kernrange: float, k_slack: float = 1.35) -> Grid27Spec:
+    """Host-side planning (per rebuild cadence)."""
+    r = np.asarray(r)
+    ndim = r.shape[1]
+    support = float(kernrange * h_max)
+    pdims = box.periodic_dims()
+    lo, hi, periodic = [], [], []
+    for k in range(ndim):
+        if k in pdims:
+            lo_k, hi_k = box.boxmin[k], box.boxmax[k]
+            periodic.append(True)
+        else:
+            lo_k = float(r[:, k].min()) - 1e-6
+            hi_k = float(r[:, k].max()) + 1e-6
+            periodic.append(False)
+        lo.append(lo_k)
+        hi.append(hi_k)
+    ncells = tuple(max(int(np.floor((hi[k] - lo[k]) / support)), 1)
+                   for k in range(ndim))
+    extents = tuple(hi[k] - lo[k] for k in range(ndim))
+    # occupancy
+    cid = np.zeros(r.shape[0], dtype=np.int64)
+    for k in range(ndim):
+        ck = np.clip(np.floor((r[:, k] - lo[k]) / extents[k] * ncells[k]
+                              ).astype(np.int64), 0, ncells[k] - 1)
+        cid = cid * ncells[k] + ck
+    counts = np.bincount(cid, minlength=int(np.prod(ncells)))
+    k_cell = int(np.ceil(counts.max() * k_slack)) + 1
+    return Grid27Spec(ndim=ndim, ncells=ncells, lo=tuple(lo),
+                      extents=tuple(extents), k_cell=k_cell,
+                      periodic=tuple(periodic))
+
+
+class GridBinning(NamedTuple):
+    cell_of: Array      # (N,) flat cell id per ORIGINAL particle
+    slot_of: Array      # (N,) slot within the cell (may exceed K: overflow)
+    overflow: Array     # () bool
+
+
+def bin_particles(spec: Grid27Spec, r: Array) -> GridBinning:
+    """Assign (cell, slot) to each particle — no sort needed: slots come
+    from a stable segment-cumsum over cell ids."""
+    N = r.shape[0]
+    cid = jnp.zeros((N,), dtype=jnp.int32)
+    for k in range(spec.ndim):
+        ck = jnp.floor((r[:, k] - spec.lo[k]) / spec.extents[k]
+                       * spec.ncells[k]).astype(jnp.int32)
+        ck = jnp.clip(ck, 0, spec.ncells[k] - 1)
+        cid = cid * spec.ncells[k] + ck
+    # slot = rank of the particle among same-cell particles (stable):
+    # sort by cid, rank within runs, scatter back.
+    order = jnp.argsort(cid, stable=True)
+    cid_sorted = cid[order]
+    idx = jnp.arange(N, dtype=jnp.int32)
+    first_of_run = jnp.concatenate([
+        jnp.zeros((1,), bool), cid_sorted[1:] != cid_sorted[:-1]])
+    run_start = jnp.where(first_of_run, idx, 0)
+    run_start = jax.lax.associative_scan(jnp.maximum, run_start)
+    slot_sorted = idx - run_start
+    slot = jnp.zeros((N,), dtype=jnp.int32).at[order].set(slot_sorted)
+    overflow = jnp.any(slot >= spec.k_cell)
+    return GridBinning(cell_of=cid, slot_of=jnp.minimum(slot,
+                                                        spec.k_cell - 1),
+                       overflow=overflow)
+
+
+def to_dense(spec: Grid27Spec, b: GridBinning, x: Array) -> Array:
+    """(N, ...) -> (*ncells, K, ...) dense cell tensor."""
+    K = spec.k_cell
+    C = spec.total_cells
+    out = jnp.zeros((C, K) + x.shape[1:], dtype=x.dtype)
+    out = out.at[b.cell_of, b.slot_of].set(x)
+    return out.reshape(spec.ncells + (K,) + x.shape[1:])
+
+
+def dense_fill_mask(spec: Grid27Spec, b: GridBinning) -> Array:
+    K = spec.k_cell
+    C = spec.total_cells
+    fill = jnp.zeros((C, K), dtype=bool)
+    fill = fill.at[b.cell_of, b.slot_of].set(True)
+    return fill.reshape(spec.ncells + (K,))
+
+
+def from_dense(spec: Grid27Spec, b: GridBinning, x_d: Array) -> Array:
+    """(*ncells, K, ...) -> (N, ...)."""
+    K = spec.k_cell
+    C = spec.total_cells
+    flat = x_d.reshape((C, K) + x_d.shape[spec.ndim + 1:])
+    return flat[b.cell_of, b.slot_of]
+
+
+def add_ghost_layers(spec: Grid27Spec, x_d: Array, shift_vec=None) -> Array:
+    """Pad the grid with one ghost layer per face.
+
+    Periodic dims wrap-copy (with optional coordinate shift ±L applied via
+    shift_vec for position tensors); open dims pad with zeros (masked by the
+    fill tensor which pads to False).
+    """
+    nd = spec.ndim
+    out = x_d
+    for k in range(nd):
+        n = spec.ncells[k]
+        if spec.periodic[k]:
+            lo_slice = jax.lax.slice_in_dim(out, n - 1, n, axis=k)
+            hi_slice = jax.lax.slice_in_dim(out, 0, 1, axis=k)
+            if shift_vec is not None:
+                L = spec.extents[k]
+                lo_slice = lo_slice.at[..., k].add(-L)
+                hi_slice = hi_slice.at[..., k].add(L)
+            out = jnp.concatenate([lo_slice, out, hi_slice], axis=k)
+        else:
+            pad = [(0, 0)] * out.ndim
+            pad[k] = (1, 1)
+            out = jnp.pad(out, pad)
+    return out
+
+
+def _shifts(ndim: int):
+    return list(itertools.product(*([(0, 1, 2)] * ndim)))
+
+
+def _shift_view(spec: Grid27Spec, padded: Array, sh) -> Array:
+    """Static slice selecting the (dz, dy, dx)-shifted neighbour block."""
+    out = padded
+    for k in range(spec.ndim):
+        out = jax.lax.slice_in_dim(out, sh[k], sh[k] + spec.ncells[k],
+                                   axis=k)
+    return out
+
+
+class Grid27Density(NamedTuple):
+    h: Array
+    rho: Array
+    invomega: Array
+    zeta: Array
+    hfactor: Array
+    overflow: Array
+
+
+ITER_FP = 30
+ITER_MAX = 150
+
+
+def density_grid27(kern: SmoothingKernel, spec: Grid27Spec,
+                   h_fac: float, h_converge: float,
+                   r_d: Array, m_d: Array, h_d: Array, fill: Array,
+                   hmax: float) -> Grid27Density:
+    """Grad-h h-rho iteration over the structured grid (27 static shifts).
+
+    All tensors are dense (*ncells, K, ...); returns dense results.
+    Mirrors GradhSph::ComputeH (GradhSph.cpp:142-326) exactly, with the
+    whole grid iterating under one while_loop and a converged mask.
+    """
+    nd = spec.ndim
+    invndim = 1.0 / nd
+    rp = add_ghost_layers(spec, r_d, shift_vec=True)
+    mp = add_ghost_layers(spec, m_d)
+    fp_ = add_ghost_layers(spec, fill)
+    mp = jnp.where(fp_, mp, 0.0)
+
+    shifts = _shifts(nd)
+    # cells axes (..., K); target K axis -> (..., K, 1); source -> (..., 1, K)
+    def sums_at(h):
+        invh = 1.0 / h
+        invhsqd = invh * invh
+        rho = jnp.zeros_like(h)
+        invom = jnp.zeros_like(h)
+        zeta = jnp.zeros_like(h)
+        for sh in shifts:
+            r_nb = _shift_view(spec, rp, sh)       # (*nc, K, ndim)
+            m_nb = _shift_view(spec, mp, sh)       # (*nc, K)
+            dr = r_nb[..., None, :, :] - r_d[..., :, None, :]
+            drsqd = jnp.sum(dr * dr, axis=-1)       # (*nc, K, K)
+            ssqd = drsqd * invhsqd[..., None]
+            rho = rho + jnp.sum(m_nb[..., None, :] * kern.w0_s2(ssqd), -1)
+            invom = invom + jnp.sum(m_nb[..., None, :]
+                                    * kern.womega_s2(ssqd), -1)
+            zeta = zeta + jnp.sum(m_nb[..., None, :]
+                                  * kern.wzeta_s2(ssqd), -1)
+        hfac = invh ** nd
+        return rho * hfac, invom * hfac * invh, zeta * invhsqd
+
+    m_t = jnp.maximum(m_d, 1e-30)
+
+    def h_rho(rho):
+        return h_fac * (m_t / jnp.maximum(rho, 1e-300)) ** invndim
+
+    def body(carry):
+        h, _, _, _, lo, hi, it, done = carry
+        rho, invom, zeta = sums_at(h)
+        h_target = h_rho(rho)
+        conv = (rho > 0.0) & (jnp.abs(h - h_target) / h < h_converge)
+        too_big = (rho < 1e-30) | (h > h_target)
+        start_bis = it >= ITER_FP
+        hi_n = jnp.where(start_bis & too_big & ~conv, h, hi)
+        lo_n = jnp.where(start_bis & ~too_big & ~conv, h, lo)
+        h_new = jnp.where(it < ITER_FP, h_target, 0.5 * (lo_n + hi_n))
+        h_out = jnp.where(conv | done, h, jnp.clip(h_new, 1e-6 * hmax, hmax))
+        return (h_out, rho, invom, zeta, lo_n, hi_n, it + 1, done | conv)
+
+    def cond(carry):
+        *_, it, done = carry
+        return (it < ITER_MAX) & ~jnp.all(done)
+
+    h0 = jnp.clip(jnp.where(fill, h_d, 0.5 * hmax), 1e-6 * hmax, hmax)
+    z = jnp.zeros_like(h0)
+    carry0 = (h0, z, z, z, jnp.zeros_like(h0),
+              jnp.full_like(h0, hmax), jnp.asarray(0), ~fill)
+    h, rho, invom, zeta, lo, hi, it, done = jax.lax.while_loop(
+        cond, body, carry0)
+
+    h_final = h_rho(rho)
+    invh = 1.0 / h_final
+    hfactor = invh ** (nd + 1)
+    dh_drho = -invndim * h_final / jnp.maximum(rho, 1e-300)
+    invomega = 1.0 / (1.0 - dh_drho * invom)
+    zeta_final = dh_drho * zeta * invomega
+    overflow = jnp.any(jnp.where(fill, ~done, False)) | \
+        jnp.any(jnp.where(fill, h_final, 0.0) > 0.99 * hmax)
+    # Sanitise EMPTY slots to benign values: they participate as (masked)
+    # neighbours in the force pass, and NaN/inf there would poison valid
+    # pairs through 0*NaN.
+    sane = lambda x, v: jnp.where(fill, x, v)
+    return Grid27Density(h=sane(h_final, 1.0), rho=sane(rho, 1.0),
+                         invomega=sane(invomega, 1.0),
+                         zeta=sane(zeta_final, 0.0),
+                         hfactor=sane(hfactor, 0.0),
+                         overflow=overflow)
+
+
+# dissipation codes shared with ops.forces
+from .forces import ACOND_NONE, ACOND_PRICE2008, ACOND_WADSLEY2008  # noqa: E402
+from .forces import AVISC_MON97, AVISC_MON97MM97, AVISC_NONE  # noqa: E402
+
+
+def forces_grid27(kern: SmoothingKernel, visc: ArtificialViscosity,
+                  spec: Grid27Spec, dense: Dict[str, Array], fill: Array):
+    """Hydro forces over the structured grid (27 static shifts).
+
+    dense: (*ncells, K[, ndim]) tensors for r, v, m, h, rho, u, pressure,
+    sound, invomega, hfactor, alpha.  Returns dense (a, dudt, div_v,
+    dalphadt).  Physics identical to GradhSph::ComputeSphHydroForces
+    (GradhSph.cpp:361-460).
+    """
+    nd = spec.ndim
+    r_d = dense["r"]
+    scalar_keys = ("m", "h", "rho", "u", "pressure", "sound", "invomega",
+                   "hfactor", "alpha")
+    packed = jnp.stack([dense[k] for k in scalar_keys], axis=-1)
+    rp = add_ghost_layers(spec, r_d, shift_vec=True)
+    vp = add_ghost_layers(spec, dense["v"])
+    pkp = add_ghost_layers(spec, packed)
+    fp_ = add_ghost_layers(spec, fill)
+    i_of = {k: i for i, k in enumerate(scalar_keys)}
+
+    h_i = dense["h"]
+    rho_i = dense["rho"]
+    invh_i = 1.0 / h_i
+    invrho_i = 1.0 / jnp.maximum(rho_i, 1e-300)
+    press_i = dense["pressure"]
+    sound_i = dense["sound"]
+    invom_i = dense["invomega"]
+    hfac_i = dense["hfactor"]
+    alpha_i = dense["alpha"]
+    u_i = dense["u"]
+    v_i = dense["v"]
+
+    a = jnp.zeros_like(r_d)
+    dudt = jnp.zeros_like(h_i)
+    div_v = jnp.zeros_like(h_i)
+
+    for sh in _shifts(nd):
+        r_nb = _shift_view(spec, rp, sh)
+        v_nb = _shift_view(spec, vp, sh)
+        pk_nb = _shift_view(spec, pkp, sh)
+        f_nb = _shift_view(spec, fp_, sh)
+
+        g = lambda k: pk_nb[..., None, :, i_of[k]]     # (*nc, 1, K)
+        dr = r_nb[..., None, :, :] - r_d[..., :, None, :]  # (*nc, K, K, nd)
+        drsqd = jnp.sum(dr * dr, axis=-1)
+        drmag = jnp.sqrt(drsqd)
+        valid = f_nb[..., None, :] & (drmag > 0.0)
+        inv_drmag = jnp.where(valid, 1.0 / jnp.maximum(drmag, 1e-300), 0.0)
+        unit = dr * inv_drmag[..., None]
+
+        m_j = g("m")
+        h_j = jnp.where(valid, g("h"), 1.0)
+        rho_j = jnp.where(valid, g("rho"), 1.0)
+        invrho_j = 1.0 / rho_j
+        wkerni = hfac_i[..., None] * kern.w1(drmag * invh_i[..., None])
+        wkernj = g("hfactor") * kern.w1(drmag / h_j)
+        wkerni = jnp.where(valid, wkerni, 0.0)
+        wkernj = jnp.where(valid, wkernj, 0.0)
+
+        dvdr = jnp.sum((v_nb[..., None, :, :] - v_i[..., :, None, :])
+                       * unit, axis=-1)
+        div_v = div_v - jnp.sum(m_j * dvdr * wkerni, axis=-1)
+
+        paux = ((press_i * invom_i * invrho_i * invrho_i)[..., None] * wkerni
+                + g("pressure") * g("invomega") * invrho_j * invrho_j
+                * wkernj)
+
+        approach = valid & (dvdr < 0.0)
+        if visc.avisc != AVISC_NONE:
+            winvrho = 0.25 * (wkerni + wkernj) * (invrho_i[..., None]
+                                                  + invrho_j)
+            if visc.avisc == AVISC_MON97:
+                alpha_eff = visc.alpha_visc
+            else:
+                alpha_eff = 0.5 * (alpha_i[..., None] + g("alpha"))
+            vsignal = (sound_i[..., None] + g("sound")
+                       - visc.beta_visc * alpha_eff * dvdr)
+            paux = paux - jnp.where(approach,
+                                    alpha_eff * vsignal * dvdr * winvrho, 0.0)
+            dudt = dudt - jnp.sum(
+                jnp.where(approach,
+                          0.5 * m_j * alpha_eff * vsignal * dvdr * dvdr
+                          * winvrho, 0.0), axis=-1)
+            if visc.acond == ACOND_WADSLEY2008:
+                cond_t = m_j * dvdr * (g("u") - u_i[..., None]) * (
+                    invrho_i[..., None] * wkerni + invrho_j * wkernj)
+                dudt = dudt + jnp.sum(jnp.where(approach, cond_t, 0.0), -1)
+            elif visc.acond == ACOND_PRICE2008:
+                cond_t = (0.5 * m_j * (u_i[..., None] - g("u")) * winvrho
+                          * (invrho_i[..., None] + invrho_j)
+                          * jnp.sqrt(jnp.abs(press_i[..., None]
+                                             - g("pressure"))))
+                dudt = dudt + jnp.sum(jnp.where(approach, cond_t, 0.0), -1)
+
+        a = a + jnp.sum((m_j * paux)[..., None] * unit, axis=-2)
+
+    div_v = div_v * invrho_i
+    dudt = dudt - press_i * div_v * invrho_i * invom_i
+    dalphadt = jnp.zeros_like(h_i)
+    if visc.avisc == AVISC_MON97MM97:
+        dalphadt = (0.1 * sound_i * (visc.alpha_visc_min - alpha_i) * invh_i
+                    + jnp.maximum(-div_v, 0.0) * (visc.alpha_visc - alpha_i))
+    return a, dudt, div_v, dalphadt
+
+
+def hydro_pass_grid27(kern, visc, box: DomainBox, spec: Grid27Spec, eos,
+                      h_fac, h_converge, hydro_forces: bool,
+                      s: SphState) -> SphState:
+    """Full structured-grid hydro pass: bin -> dense -> density -> EOS ->
+    forces -> back to particle order."""
+    nd = s.ndim
+    b = bin_particles(spec, s.r)
+    hmax = min(spec.extents[k] / spec.ncells[k] for k in range(nd)) \
+        / kern.kernrange
+
+    d = lambda x: to_dense(spec, b, x)
+    fill = dense_fill_mask(spec, b)
+    r_d, v_d, m_d, h_d = d(s.r), d(s.v), d(s.m), d(s.h)
+
+    dens = density_grid27(kern, spec, h_fac, h_converge,
+                          r_d, m_d, h_d, fill, hmax)
+    u_d, pressure_d, sound_d = eos.thermal_update(
+        jnp.maximum(dens.rho, 1e-30), d(s.u))
+
+    if hydro_forces:
+        dense_fields = {
+            "r": r_d, "v": v_d, "m": m_d, "h": dens.h, "rho": dens.rho,
+            "u": u_d, "pressure": pressure_d, "sound": sound_d,
+            "invomega": dens.invomega, "hfactor": dens.hfactor,
+            "alpha": d(s.alpha),
+        }
+        a_d, dudt_d, div_v_d, _ = forces_grid27(kern, visc, spec,
+                                                dense_fields, fill)
+    else:
+        a_d = jnp.zeros_like(r_d)
+        dudt_d = jnp.zeros_like(m_d)
+        div_v_d = jnp.zeros_like(m_d)
+
+    back = lambda x_d: from_dense(spec, b, x_d)
+    return s.replace(
+        h=back(dens.h), rho=back(dens.rho), invomega=back(dens.invomega),
+        zeta=back(dens.zeta), hfactor=back(dens.hfactor),
+        u=back(u_d), pressure=back(pressure_d), sound=back(sound_d),
+        a=back(a_d), dudt=back(dudt_d), div_v=back(div_v_d),
+        neib_overflow=dens.overflow | b.overflow)

@@ -1,0 +1,217 @@
+"""Meshless finite-volume (MUSCL) simulation controller.
+
+Analogue of MfvMusclSimulation (src/MeshlessFV/MfvMusclSimulation.cpp:56-):
+one global-timestep MUSCL step is
+
+  1. Godunov fluxes from the PREVIOUS step's gradients (UpdateGodunovFluxes),
+  2. advance conserved variables, drift positions with the mean velocity
+     (MfvIntegration::AdvanceParticles / EndTimestep collapsed — global dt),
+  3. boundary enforcement,
+  4. number-density / h update (UpdateAllProperties),
+  5. gradients + slope limiting for the NEXT step (UpdateGradientMatrices),
+  6. new timestep from vsig_max.
+
+Currently the all-pairs (mirror-image/min-image) neighbour path; the
+structured-grid path plugs in exactly like the SPH one.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..kernels.smoothing import kernel_factory
+from ..ops import mfv as mfv_ops
+from ..ops.eos import eos_factory
+from ..ops.neighbors import extend_with_mirror_images
+from ..params import Parameters
+from ..state import DomainBox, MfvState, make_mfv_state
+from .ic import generate_ic
+from .simulation import SimulationBase, Snapshot
+
+
+class MfvMusclSimulation(SimulationBase):
+    def __init__(self, params: Parameters):
+        super().__init__(params)
+        self._step_fn = None
+
+    def process_parameters(self):
+        p = self.params
+        self.kern = kernel_factory(p.stringparams["kernel"], self.ndim)
+        self.eos = eos_factory(p)
+        self.box = DomainBox.from_params(p)
+        self.mfv_cfg = mfv_ops.MfvConfig(
+            gamma=p.floatparams["gamma_eos"],
+            zero_mass_flux=bool(p.intparams["zero_mass_flux"]),
+            static_particles=bool(p.intparams["static_particles"]))
+        if p.stringparams["riemann_solver"] not in ("hllc", "exact"):
+            raise ValueError("riemann_solver must be hllc or exact")
+        self.h_fac = p.floatparams["h_fac"]
+        self.h_converge = p.floatparams["h_converge"]
+        self.hydro_forces = bool(p.intparams["hydro_forces"])
+        self.courant_mult = p.floatparams["courant_mult"]
+        self.accel_mult = p.floatparams["accel_mult"]
+        if bool(p.intparams["self_gravity"]):
+            raise ValueError("MFV self-gravity lands with the tree milestone")
+
+    # -- neighbour views (all-pairs with images) ----------------------------
+    def _neighbor_view(self, s: MfvState, fields: Dict[str, jnp.ndarray]):
+        """Extended (mirror-image) neighbour arrays + displacement tensor."""
+        box = self.box
+        r_ext, v_ext, sc_ext, parent = extend_with_mirror_images(
+            box, s.r, s.v, {})
+        n_img = r_ext.shape[0] // s.N
+        dr = box.min_image(r_ext[None, :, :] - s.r[:, None, :])
+
+        def ext(x, flip_v=False):
+            if x.ndim == 1:
+                return jnp.tile(x, (n_img,))
+            return jnp.concatenate([x] * n_img, axis=0)
+
+        out = {}
+        for k, x in fields.items():
+            out[k] = ext(x)[None, :].repeat(1, axis=0) if False else ext(x)
+        return dr, v_ext, out
+
+    def _density_pass(self, s: MfvState) -> MfvState:
+        box, kern = self.box, self.kern
+        r_ext, v_ext, _, _ = extend_with_mirror_images(box, s.r, s.v, {})
+        dr = box.min_image(r_ext[None, :, :] - s.r[:, None, :])
+        drsqd = jnp.sum(dr * dr, axis=-1)
+        n_img = r_ext.shape[0] // s.N
+        m_ext = jnp.tile(s.m, (n_img,))
+        res = mfv_ops.compute_h_mfv(kern, s.ndim, self.h_fac,
+                                    self.h_converge, s.m, s.h, drsqd, m_ext)
+        u, pressure, sound = self.eos.thermal_update(
+            jnp.maximum(res.rho, 1e-30), s.u)
+        return s.replace(h=res.h, ndens=res.ndens, rho=res.rho,
+                         invomega=res.invomega, zeta=res.zeta,
+                         hfactor=res.hfactor, u=u, pressure=pressure,
+                         sound=sound)
+
+    def _gradient_pass(self, s: MfvState) -> MfvState:
+        box, kern = self.box, self.kern
+        r_ext, v_ext, _, _ = extend_with_mirror_images(box, s.r, s.v, {})
+        dr = box.min_image(r_ext[None, :, :] - s.r[:, None, :])
+        n_img = r_ext.shape[0] // s.N
+        W = s.Wprim
+        # image W: velocities are the reflected v_ext; rho/p copy parents
+        W_ext = jnp.concatenate(
+            [v_ext, jnp.tile(s.rho, (n_img,))[:, None],
+             jnp.tile(s.pressure, (n_img,))[:, None]], axis=-1)
+        res = mfv_ops.compute_gradients(
+            kern, s.ndim, s.r, s.h, s.ndens, s.hfactor, W, s.sound,
+            dr, jnp.broadcast_to(W_ext[None], (s.N,) + W_ext.shape),
+            jnp.broadcast_to(jnp.tile(s.sound, (n_img,))[None], (s.N, v_ext.shape[0])),
+            jnp.broadcast_to(v_ext[None], (s.N,) + v_ext.shape), None)
+        return s.replace(B=res.B, grad=res.grad, alpha_slope=res.alpha_slope,
+                         vsig_max=res.vsig_max, bad_grad=res.bad)
+
+    def _flux_pass(self, s: MfvState, dt):
+        box, kern = self.box, self.kern
+        r_ext, v_ext, _, _ = extend_with_mirror_images(box, s.r, s.v, {})
+        dr = box.min_image(r_ext[None, :, :] - s.r[:, None, :])
+        n_img = r_ext.shape[0] // s.N
+        M = r_ext.shape[0]
+        t1 = lambda x: jnp.broadcast_to(jnp.tile(x, (n_img,))[None],
+                                        (s.N, M))
+        tv = lambda x: jnp.broadcast_to(
+            jnp.concatenate([x] * n_img, axis=0)[None],
+            (s.N, M) + x.shape[1:])
+        W_ext = jnp.concatenate(
+            [v_ext, jnp.tile(s.rho, (n_img,))[:, None],
+             jnp.tile(s.pressure, (n_img,))[:, None]], axis=-1)
+        # image accelerations: reflected components would flip; a=0 for
+        # hydro-only MFV so plain tiling is exact
+        nb = {
+            "h": t1(s.h), "ndens": t1(s.ndens), "hfactor": t1(s.hfactor),
+            "Wprim": jnp.broadcast_to(W_ext[None], (s.N, M, s.nvar)),
+            "sound": t1(s.sound), "a0": tv(s.a0),
+            "B": tv(s.B), "grad": tv(s.grad),
+            "alpha_slope": tv(s.alpha_slope), "bad": t1(s.bad_grad) > 0.5,
+        }
+        return mfv_ops.compute_godunov_fluxes(
+            kern, self.mfv_cfg, s.ndim, dt,
+            s.r, s.h, s.ndens, s.hfactor, s.Wprim, s.sound, s.a0,
+            s.B, s.grad, s.alpha_slope, s.bad_grad, dr, nb, None)
+
+    # -- jitted step ---------------------------------------------------------
+    def _build_bootstrap(self):
+        def bootstrap(s: MfvState) -> MfvState:
+            s = self._density_pass(s)
+            Q0 = mfv_ops.qcons_from_state(s.ndim, s.m, s.v, s.u)
+            s = s.replace(Qcons0=Q0, r0=s.r, v0=s.v)
+            s = self._gradient_pass(s)
+            dt = jnp.min(2.0 * self.courant_mult * s.h / s.vsig_max)
+            return s.replace(dt=dt)
+
+        return bootstrap
+
+    def _build_step(self):
+        ndim = self.ndim
+
+        def step(s: MfvState) -> MfvState:
+            dt = s.dt
+            t = s.t + dt
+            flux = self._flux_pass(s, dt)
+            Qcons = s.Qcons0 + flux.dQdt * dt
+            # energy bookkeeping for the moving-mesh term (EndTimestep:
+            # 0.5*(a0+a).rdmdt) — zero until gravity lands
+            m, rho, v, u = mfv_ops.state_from_qcons(ndim, Qcons, s.ndens)
+            r = s.r0 + 0.5 * (s.v0 + v) * dt
+            r = self.box.wrap(r)
+            s = s.replace(m=m, v=v, u=u, r=r, Qcons0=Qcons,
+                          r0=r, v0=v)
+            s = self._density_pass(s)
+            s = self._gradient_pass(s)
+            dt_next = jnp.min(2.0 * self.courant_mult * s.h / s.vsig_max)
+            return s.replace(t=t, dt=dt_next, nstep=s.nstep + 1)
+
+        return step
+
+    # -- host lifecycle -------------------------------------------------------
+    def SetupSimulation(self):
+        with self.timing.block("SETUP"):
+            self.process_parameters()
+            if self.box.mirror_walls():
+                raise ValueError("MFV mirror boundaries not yet wired; use "
+                                 "periodic or open")
+            ic = generate_ic(self.params, self.eos)
+            self.state = make_mfv_state(ic["r"], ic["v"], ic["m"],
+                                        ic["h"], ic["u"])
+            self._step_fn = jax.jit(self._build_step())
+            self._bootstrap_fn = jax.jit(self._build_bootstrap())
+            self.state = self._bootstrap_fn(self.state)
+        self.t = float(self.state.t)
+        self.tsnapnext = self.params.floatparams["tsnapfirst"]
+        self.setup_complete = True
+        if self.t >= self.tsnapnext:
+            self._take_snapshot()
+            self.tsnapnext += self.params.floatparams["dt_snap"]
+
+    def main_loop_step(self):
+        with self.timing.block("MAIN_LOOP"):
+            self.state = self._step_fn(self.state)
+        self.Nsteps += 1
+        self.t = float(self.state.t)
+
+    def _state_to_host(self) -> Dict[str, np.ndarray]:
+        s = self.state
+        return {k: np.asarray(getattr(s, k))
+                for k in ("r", "v", "a", "m", "h", "rho", "u",
+                          "pressure", "sound")}
+
+    def _take_snapshot(self):
+        self.snapshots.append(Snapshot(self.t, self._state_to_host(),
+                                       self.ndim))
+
+    def output(self, final: bool = False):
+        if self.t >= self.tsnapnext or final:
+            self._take_snapshot()
+            self.tsnapnext += self.params.floatparams["dt_snap"]
+            self.Noutsnap += 1
+            return True
+        return False

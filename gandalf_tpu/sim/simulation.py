@@ -89,6 +89,9 @@ class SimulationBase:
         if sim == "nbody":
             from .nbody_sim import NbodySimulation
             return NbodySimulation(params)
+        if sim in ("meshlessfv", "mfvmuscl"):
+            from .mfv_sim import MfvMusclSimulation
+            return MfvMusclSimulation(params)
         raise ValueError(f"Unrecognised or not-yet-implemented sim: {sim!r}")
 
     # -- lifecycle ------------------------------------------------------------
@@ -172,13 +175,13 @@ class GradhSphSimulation(SimulationBase):
         self.cell_chunk = 256    # cell chunk (dense pipeline)
 
     def _plan_grid(self, r, h, growth: float = 1.3):
-        """(Re)plan the cell-list grid from current positions/h (host-side;
+        """(Re)plan the structured grid from current positions/h (host-side;
         the TPU analogue of the tree rebuild, HydroTree::BuildTree)."""
-        from ..ops.celllist import plan_grid
+        from ..ops.sph_grid27 import plan_grid27
 
         h_max = float(np.asarray(h).max()) * growth
-        self.gridspec = plan_grid(self.box, np.asarray(r), h_max,
-                                  self.kern.kernrange)
+        self.gridspec = plan_grid27(self.box, np.asarray(r), h_max,
+                                    self.kern.kernrange)
 
     def _compile(self):
         self._step_fn = jax.jit(self._build_step())
@@ -225,12 +228,11 @@ class GradhSphSimulation(SimulationBase):
         """density -> EOS -> hydro forces at current positions."""
         kern, box, eos, visc = self.kern, self.box, self.eos, self.visc
         if self.use_celllist:
-            from ..ops.sph_dense import hydro_pass_dense
+            from ..ops.sph_grid27 import hydro_pass_grid27
 
-            return hydro_pass_dense(kern, visc, box, self.gridspec, eos,
-                                    self.h_fac, self.h_converge,
-                                    self.hydro_forces, s,
-                                    cell_chunk=self.cell_chunk)
+            return hydro_pass_grid27(kern, visc, box, self.gridspec, eos,
+                                     self.h_fac, self.h_converge,
+                                     self.hydro_forces, s)
         # ghost images for mirror walls; periodic handled by min-image
         scalars = {"m": s.m}
         r_ext, v_ext, sc_ext, _ = extend_with_mirror_images(

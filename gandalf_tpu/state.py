@@ -127,6 +127,99 @@ def make_sph_state(r: np.ndarray, v: np.ndarray, m: np.ndarray,
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
+class MfvState:
+    """SoA meshless finite-volume particle state (reference
+    MeshlessFVParticle, src/Headers/Particle.h:414-598)."""
+
+    r: Array            # (N, ndim)
+    v: Array
+    a: Array            # gravitational/external acceleration
+    r0: Array
+    v0: Array
+    a0: Array
+    m: Array            # (N,)
+    h: Array
+    ndens: Array
+    rho: Array
+    u: Array
+    pressure: Array
+    sound: Array
+    invomega: Array
+    zeta: Array
+    hfactor: Array
+    vsig_max: Array
+    gpot: Array
+    Qcons0: Array       # (N, nvar)
+    dQ: Array           # (N, nvar) accumulated flux increments
+    B: Array            # (N, ndim, ndim)
+    grad: Array         # (N, nvar, ndim)
+    alpha_slope: Array  # (N, nvar)
+    bad_grad: Array     # (N,) bool
+    rdmdt: Array        # (N, ndim)
+    ptype: Array
+    flags: Array
+    iorig: Array
+    t: Array
+    dt: Array
+    nstep: Array
+    neib_overflow: Array
+
+    @property
+    def N(self) -> int:
+        return self.r.shape[0]
+
+    @property
+    def ndim(self) -> int:
+        return self.r.shape[1]
+
+    @property
+    def nvar(self) -> int:
+        return self.ndim + 2
+
+    @property
+    def Wprim(self) -> Array:
+        """(N, nvar) primitive vector (v..., rho, pressure)."""
+        return jnp.concatenate([self.v, self.rho[:, None],
+                                self.pressure[:, None]], axis=-1)
+
+    def replace(self, **kw) -> "MfvState":
+        return dataclasses.replace(self, **kw)
+
+
+def make_mfv_state(r: np.ndarray, v: np.ndarray, m: np.ndarray,
+                   h: np.ndarray, u: np.ndarray,
+                   dtype=jnp.float64) -> MfvState:
+    N, ndim = r.shape
+    nvar = ndim + 2
+    if not jax.config.jax_enable_x64 and dtype == jnp.float64:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    fz = lambda: jnp.zeros((N,), dtype=dtype)
+    iz = lambda: jnp.zeros((N,), dtype=jnp.int32)
+    asdt = lambda x: jnp.asarray(x, dtype=dtype)
+    return MfvState(
+        r=asdt(r), v=asdt(v), a=jnp.zeros((N, ndim), dtype=dtype),
+        r0=asdt(r), v0=asdt(v), a0=jnp.zeros((N, ndim), dtype=dtype),
+        m=asdt(m), h=asdt(h), ndens=fz(), rho=fz(), u=asdt(u),
+        pressure=fz(), sound=fz(), invomega=jnp.ones((N,), dtype=dtype),
+        zeta=fz(), hfactor=fz(), vsig_max=fz(), gpot=fz(),
+        Qcons0=jnp.zeros((N, nvar), dtype=dtype),
+        dQ=jnp.zeros((N, nvar), dtype=dtype),
+        B=jnp.zeros((N, ndim, ndim), dtype=dtype),
+        grad=jnp.zeros((N, nvar, ndim), dtype=dtype),
+        alpha_slope=jnp.ones((N, nvar), dtype=dtype),
+        bad_grad=jnp.zeros((N,), dtype=bool),
+        rdmdt=jnp.zeros((N, ndim), dtype=dtype),
+        ptype=iz() + GAS_TYPE, flags=iz(),
+        iorig=jnp.arange(N, dtype=jnp.int32),
+        t=jnp.asarray(0.0, dtype=dtype), dt=jnp.asarray(0.0, dtype=dtype),
+        nstep=jnp.asarray(0, dtype=jnp.int64 if
+                          jax.config.jax_enable_x64 else jnp.int32),
+        neib_overflow=jnp.asarray(False),
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
 class NbodyState:
     """SoA star/N-body particle state (reference NbodyParticle,
     src/Headers/NbodyParticle.h:42: Hermite state a/adot/a2dot/a3dot plus
