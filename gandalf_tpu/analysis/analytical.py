@@ -50,6 +50,38 @@ class ShocktubeSolution(AnalyticalSolution):
         return sol[xquantity], sol[yquantity]
 
 
+class SoundwaveSolution(AnalyticalSolution):
+    """Travelling linear sound wave (reference analytical.py:295-340)."""
+
+    def __init__(self, sim, time: float):
+        fp = sim.params.floatparams
+        self.rho0 = fp["rhofluid1"]
+        self.press = fp["press1"]
+        self.amp = fp["amp"]
+        self.xl = fp["boxmin[0]"]
+        self.xr = fp["boxmax[0]"]
+        if sim.params.stringparams["gas_eos"] == "isothermal":
+            self.csound = np.sqrt(fp["temp0"] / fp["mu_bar"])
+        else:
+            self.csound = np.sqrt(fp["gamma_eos"] * self.press / self.rho0)
+        self.lam = self.xr - self.xl
+        self.kwave = 2.0 * np.pi / self.lam
+        self.omega = 2.0 * np.pi * self.csound / self.lam
+        self.time = time
+
+    def compute(self, xquantity, yquantity):
+        x = np.linspace(self.xl, self.xr, 2000)
+        phase = self.kwave * x - self.omega * self.time
+        fields = {
+            "x": x,
+            "rho": self.rho0 * (1.0 + self.amp * np.sin(phase)),
+            "vx": self.csound * self.amp * np.sin(phase),
+            "ax": -self.csound ** 2 * self.kwave * self.rho0 * self.amp
+            * np.cos(phase),
+        }
+        return fields[xquantity], fields[yquantity]
+
+
 class FreefallSolution(AnalyticalSolution):
     """Homologous free-fall collapse of a uniform sphere
     (reference analysis/analytical.py freefall)."""
@@ -73,6 +105,7 @@ class FreefallSolution(AnalyticalSolution):
 
 _REGISTRY = {
     "shocktube": ShocktubeSolution,
+    "soundwave": SoundwaveSolution,
     "freefall": FreefallSolution,
 }
 

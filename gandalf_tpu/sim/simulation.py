@@ -147,6 +147,10 @@ class GradhSphSimulation(SimulationBase):
     # -- parameter processing (ProcessParameters/ProcessSphParameters) -------
     def process_parameters(self):
         p = self.params
+        from ..units import SimUnits
+
+        self.units = SimUnits()
+        self.units.setup_units(p)
         self.kern = kernel_factory(p.stringparams["kernel"], self.ndim)
         self.eos = eos_factory(p)
         self.visc = ArtificialViscosity.from_params(p)
