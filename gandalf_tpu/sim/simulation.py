@@ -174,6 +174,7 @@ class GradhSphSimulation(SimulationBase):
         self.neib_search = p.stringparams["neib_search"]
         self.use_celllist = (self.neib_search != "bruteforce"
                              and not self.box.mirror_walls())
+        self.treespec = None
         self.gridspec = None
         self.chunk = 4096        # particle chunk (gather pipeline)
         self.cell_chunk = 256    # cell chunk (dense pipeline)
@@ -201,6 +202,14 @@ class GradhSphSimulation(SimulationBase):
                                         ic["h"], ic["u"])
             if self.use_celllist:
                 self._plan_grid(ic["r"], ic["h"])
+            if self.self_gravity and self.use_celllist:
+                from ..ops.tree import plan_tree
+
+                p = self.params
+                self.treespec = plan_tree(
+                    N=self.state.N,
+                    theta_sqd=p.floatparams["thetamaxsqd"],
+                    quadrupole=p.stringparams["multipole"] != "monopole")
             self._compile()
             self.state = self._bootstrap_fn(self.state)
             while self.use_celllist and bool(self.state.neib_overflow):
@@ -221,11 +230,21 @@ class GradhSphSimulation(SimulationBase):
         """density -> EOS -> hydro forces -> self-gravity."""
         s = self._hydro_only_pass(s)
         if self.self_gravity:
-            from ..ops.sph_gravity import direct_sph_gravity
+            if self.use_celllist:
+                # Barnes-Hut multipole walk (kernel-softened near field);
+                # grad-h zeta corrections in the near field are a TODO.
+                from ..ops.tree import tree_gravity_all
 
-            g = direct_sph_gravity(self.kern, s.r, s.m, s.h,
-                                   s.zeta, s.hfactor)
-            s = s.replace(a=s.a + g.a, gpot=g.gpot)
+                a_g, gpot, overflow = tree_gravity_all(
+                    self.treespec, s.r, s.m, s.h, self.kern)
+                s = s.replace(a=s.a + a_g, gpot=gpot,
+                              neib_overflow=s.neib_overflow | overflow)
+            else:
+                from ..ops.sph_gravity import direct_sph_gravity
+
+                g = direct_sph_gravity(self.kern, s.r, s.m, s.h,
+                                       s.zeta, s.hfactor)
+                s = s.replace(a=s.a + g.a, gpot=g.gpot)
         return s
 
     def _hydro_only_pass(self, s: SphState) -> SphState:

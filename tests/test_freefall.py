@@ -72,3 +72,35 @@ def test_freefall_homologous(freefall_sim):
 def test_gpot_positive(freefall_sim):
     gpot = np.asarray(freefall_sim.state.gpot)
     assert (gpot > 0).all()
+
+
+def test_freefall_tree_gravity():
+    """Same collapse with the tree-gravity path (neib_search=kdtree ->
+    Barnes-Hut multipoles): must match the analytic cycloid like the
+    direct-sum run."""
+    p = Parameters()
+    updates = {
+        "run_id": "FREEFALL_TREE", "sim": "gradhsph", "ic": "sphere",
+        "ndim": 3, "Nhydro": 1000, "particle_distribution": "cubic_lattice",
+        "mcloud": 1.0, "radius": 1.0, "dimensionless": 1,
+        "tend": 0.8, "tsnapfirst": 0.0, "dt_snap": 0.1,
+        "hydro_forces": 0, "gas_eos": "energy_eqn", "self_gravity": 1,
+        "kernel": "m4", "courant_mult": 0.1, "accel_mult": 0.2,
+        "neib_search": "kdtree", "thetamaxsqd": 0.1,
+        "multipole": "quadrupole",
+    }
+    for k, v in updates.items():
+        p.set(k, v)
+    sim = SimulationBase.factory(p)
+    sim.Run()
+    tff = 0.5 * np.pi / np.sqrt(2.0)
+    r0 = lagrangian_radii(sim.snapshots[0], 0.5)
+    errs = []
+    for snap in sim.snapshots:
+        tfrac = snap.t / tff
+        if tfrac > 0.9:
+            break
+        lr = lagrangian_radii(snap, 0.5)
+        errs.append(abs(lr - freefall_analytical_radius(tfrac) * r0))
+    assert len(errs) > 5
+    assert float(np.mean(errs)) < 9e-3

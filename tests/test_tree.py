@@ -1,0 +1,97 @@
+"""Barnes-Hut tree gravity vs direct summation (the reference validates its
+tree the same way: tests/paper_tests/treeerror.py force error vs theta, and
+gtest KD-tree invariants in src/UnitTesting/TestTree.cpp)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gandalf_tpu.ops.gravity import direct_nbody
+from gandalf_tpu.ops.tree import (build_tree, morton_codes, plan_tree,
+                                  tree_gravity_all)
+
+
+@pytest.fixture(scope="module")
+def cluster():
+    rng = np.random.default_rng(5)
+    N = 3000
+    # Plummer-ish cluster: concentrated centre + halo
+    r = rng.standard_normal((N, 3))
+    r *= (1.0 + (rng.random(N) * 2) ** 2)[:, None] / 3.0
+    m = rng.random(N) * (2.0 / N)
+    return jnp.asarray(r), jnp.asarray(m)
+
+
+def force_error(a_tree, a_ref):
+    num = np.linalg.norm(np.asarray(a_tree - a_ref), axis=-1)
+    den = np.linalg.norm(np.asarray(a_ref), axis=-1)
+    return num / den
+
+
+def test_monopole_accuracy(cluster):
+    r, m = cluster
+    a_ref = direct_nbody(r, r * 0, m, compute_jerk=False).a
+    spec = plan_tree(r.shape[0], theta_sqd=0.1, quadrupole=False)
+    a, gpot, overflow = jax.jit(
+        lambda r, m: tree_gravity_all(spec, r, m))(r, m)
+    assert not bool(overflow)
+    err = force_error(a, a_ref)
+    assert np.median(err) < 3e-3
+    assert err.mean() < 1e-2
+
+
+def test_quadrupole_beats_monopole(cluster):
+    r, m = cluster
+    a_ref = direct_nbody(r, r * 0, m, compute_jerk=False).a
+    errs = {}
+    for quad in (False, True):
+        spec = plan_tree(r.shape[0], theta_sqd=0.3, quadrupole=quad)
+        a, _, overflow = jax.jit(
+            lambda r, m: tree_gravity_all(spec, r, m))(r, m)
+        assert not bool(overflow)
+        errs[quad] = force_error(a, a_ref).mean()
+    assert errs[True] < 0.5 * errs[False]
+
+
+def test_theta_controls_error(cluster):
+    r, m = cluster
+    a_ref = direct_nbody(r, r * 0, m, compute_jerk=False).a
+    errs = []
+    for th in (0.5, 0.2, 0.05):
+        spec = plan_tree(r.shape[0], theta_sqd=th, quadrupole=False)
+        a, _, _ = jax.jit(lambda r, m: tree_gravity_all(spec, r, m))(r, m)
+        errs.append(force_error(a, a_ref).mean())
+    assert errs[0] > errs[1] > errs[2]
+
+
+def test_potential_accuracy(cluster):
+    r, m = cluster
+    g_ref = direct_nbody(r, r * 0, m, compute_jerk=False).gpot
+    spec = plan_tree(r.shape[0], theta_sqd=0.1)
+    _, gpot, _ = jax.jit(lambda r, m: tree_gravity_all(spec, r, m))(r, m)
+    rel = np.abs(np.asarray(gpot - g_ref)) / np.asarray(g_ref)
+    assert np.median(rel) < 1e-3
+
+
+def test_tree_mass_conservation(cluster):
+    """Root cell must hold the total mass and COM (KD-tree invariant test,
+    src/UnitTesting/TestTree.cpp:36-57 analogue)."""
+    r, m = cluster
+    N = r.shape[0]
+    spec = plan_tree(N)
+    lo = jnp.min(r, axis=0)
+    extent = jnp.max(r, axis=0) - lo
+    order = jnp.argsort(morton_codes(r, lo, extent))
+    pad = spec.n_pad - N
+    r_s = jnp.concatenate([r[order], jnp.full((pad, 3), 1e15)])
+    m_s = jnp.concatenate([m[order], jnp.zeros(pad)])
+    alive = jnp.concatenate([jnp.ones(N, bool), jnp.zeros(pad, bool)])
+    tree = build_tree(spec, r_s, m_s, alive)
+    assert float(tree.m[0][0]) == pytest.approx(float(m.sum()), rel=1e-12)
+    com_ref = np.asarray((m[:, None] * r).sum(0) / m.sum())
+    np.testing.assert_allclose(np.asarray(tree.com[0][0]), com_ref,
+                               rtol=1e-10)
+    # every level conserves mass
+    for ml in tree.m:
+        assert float(ml.sum()) == pytest.approx(float(m.sum()), rel=1e-12)
