@@ -2,17 +2,24 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Current flagship benchmark: 3D periodic uniform box, grad-h SPH density +
-hydro forces + leapfrog KDK, global timestep, float32 on TPU.  The baseline
-denominator is the measured reference (GANDALF C++/OpenMP) throughput on
-this host's CPU for the same configuration, stored in BASELINE_MEASURED.json
-when available (reference publishes no numbers — BASELINE.md).
+Flagship configuration: 3D periodic jittered box, grad-h SPH density +
+hydro forces + leapfrog KDK, global timestep, structured-grid (27-shift)
+neighbour path, float32.
+
+Robustness: the axon TPU tunnel on this host can kill the worker on large
+fused programs (and a crashed worker wedges subsequent attempts), so each
+size is measured in its OWN subprocess, smallest size first, and the
+largest successful measurement is reported.  The baseline denominator is
+the measured reference (GANDALF C++, single-core -O2, this host) from
+BASELINE_MEASURED.json.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -42,19 +49,23 @@ def build_sim(n_side: int):
     return sim
 
 
-def main() -> None:
+def measure(n_side: int, n_steps: int, neib: str = "kdtree") -> dict:
+    """Measure one configuration; raises on any failure."""
     import jax
+
+    # persistent compile cache: repeated bench runs skip the slow
+    # remote compile on this host
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     from gandalf_tpu.sim.ic import generate_ic
     from gandalf_tpu.state import make_sph_state
 
-    n_side = int(os.environ.get("BENCH_NSIDE", "32"))
-    n_steps = int(os.environ.get("BENCH_NSTEPS", "20"))
     sim = build_sim(n_side)
+    if neib == "bruteforce":
+        sim.use_celllist = False
     ic = generate_ic(sim.params, sim.eos)
-    # Jitter positions and velocities so the h-rho iteration and the
-    # neighbour structure do realistic work (a perfect static lattice
-    # converges in one iteration and flatters the result).
+    # jitter so the h iteration and binning do realistic work
     rng = np.random.default_rng(42)
     spacing = 1.0 / n_side
     ic["r"] = np.mod(ic["r"] + 0.2 * spacing
@@ -68,45 +79,89 @@ def main() -> None:
     bootstrap = jax.jit(sim._build_bootstrap())
     step = jax.jit(sim._build_step())
     state = bootstrap(state)
-    state = step(state)          # compile + warm
-    # On the axon TPU tunnel, block_until_ready does NOT surface device
-    # faults; only a host value read does.  Sync through a scalar read and
-    # validate the physics so a crashed/garbage run can never report a
-    # number.
+    state = step(state)                 # compile + warm
+    # On the axon tunnel, block_until_ready does NOT surface device faults;
+    # only host value reads do — sync through scalars and validate.
     assert np.isfinite(float(state.rho.min())), "non-finite density"
 
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state = step(state)
-    t_end = float(state.t)                      # forces full completion
+    t_end = float(state.t)              # forces full completion
     elapsed = time.perf_counter() - t0
-    assert t_end > 0.0 and np.isfinite(t_end)
     rho_min = float(state.rho.min())
     rho_max = float(state.rho.max())
+    assert t_end > 0.0 and np.isfinite(t_end)
     assert np.isfinite(rho_min) and np.isfinite(rho_max) and rho_min > 0.0, \
         f"invalid density after bench: [{rho_min}, {rho_max}]"
     if bool(state.neib_overflow):
-        raise RuntimeError("neighbour overflow during bench — grid too small")
-    steps_per_sec = n_steps / elapsed
-    particle_steps_per_sec = N * steps_per_sec
+        raise RuntimeError("neighbour overflow during bench")
+    return {"N": N, "particle_steps_per_sec": N * n_steps / elapsed}
 
-    vs_baseline = 0.0
-    baseline_file = os.path.join(os.path.dirname(__file__),
-                                 "BASELINE_MEASURED.json")
-    if os.path.exists(baseline_file):
-        with open(baseline_file) as f:
-            baseline = json.load(f)
-        ref = baseline.get("sph3d_particle_steps_per_sec", {}).get(str(N))
-        if ref is None:
-            ref = baseline.get("sph3d_particle_steps_per_sec_any")
-        if ref:
-            vs_baseline = particle_steps_per_sec / float(ref)
 
+def _child() -> int:
+    n_side = int(os.environ["BENCH_NSIDE"])
+    n_steps = int(os.environ.get("BENCH_NSTEPS", "10"))
+    neib = os.environ.get("BENCH_NEIB", "kdtree")
+    out = measure(n_side, n_steps, neib)
+    print("BENCH_RESULT " + json.dumps(out))
+    return 0
+
+
+def _load_baseline(N: int):
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE_MEASURED.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        baseline = json.load(f)
+    table = baseline.get("sph3d_particle_steps_per_sec", {})
+    ref = table.get(str(N)) or baseline.get("sph3d_particle_steps_per_sec_any")
+    return float(ref) if ref else None
+
+
+def main() -> None:
+    if os.environ.get("BENCH_CHILD") == "1":
+        sys.exit(_child())
+
+    sizes = [int(s) for s in os.environ.get(
+        "BENCH_SIZES", "16,32,64").split(",")]
+    n_steps = os.environ.get("BENCH_NSTEPS", "10")
+    best = None
+    for n_side in sizes:
+        env = dict(os.environ, BENCH_CHILD="1", BENCH_NSIDE=str(n_side),
+                   BENCH_NSTEPS=n_steps)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=560)
+        except subprocess.TimeoutExpired:
+            print(f"bench: n_side={n_side} timed out; keeping last good",
+                  file=sys.stderr)
+            break
+        line = [ln for ln in proc.stdout.splitlines()
+                if ln.startswith("BENCH_RESULT ")]
+        if proc.returncode == 0 and line:
+            best = json.loads(line[-1][len("BENCH_RESULT "):])
+        else:
+            print(f"bench: n_side={n_side} failed "
+                  f"(rc={proc.returncode}); keeping last good",
+                  file=sys.stderr)
+            break
+
+    if best is None:
+        print(json.dumps({"metric": "sph3d_particle_steps_per_sec",
+                          "value": 0.0, "unit": "particle-steps/s/chip",
+                          "vs_baseline": 0.0}))
+        return
+    N = best["N"]
+    val = best["particle_steps_per_sec"]
+    ref = _load_baseline(N)
     print(json.dumps({
         "metric": f"sph3d_particle_steps_per_sec_N{N}",
-        "value": round(particle_steps_per_sec, 1),
+        "value": round(val, 1),
         "unit": "particle-steps/s/chip",
-        "vs_baseline": round(vs_baseline, 3),
+        "vs_baseline": round(val / ref, 3) if ref else 0.0,
     }))
 
 

@@ -52,11 +52,33 @@ class Grid27Spec:
 
 
 def plan_grid27(box: DomainBox, r: np.ndarray, h_max: float,
-                kernrange: float, k_slack: float = 1.35) -> Grid27Spec:
-    """Host-side planning (per rebuild cadence)."""
+                kernrange: float, k_slack: float = 1.35,
+                k_target: int = None) -> Grid27Spec:
+    """Host-side planning (per rebuild cadence).
+
+    With k_target (e.g. 128 for the Pallas kernels), the cell size is grown
+    above the kernel support until the padded slot count k_cell can be
+    pinned to exactly k_target — full 128-lane tiles on the TPU.
+    """
     r = np.asarray(r)
     ndim = r.shape[1]
     support = float(kernrange * h_max)
+    if k_target is not None:
+        # grow the cell size (raising occupancy) as far as k_target allows,
+        # then pin k_cell to exactly k_target (full-lane tiles)
+        best = None
+        sup = support
+        for _ in range(30):
+            spec = plan_grid27(box, r, sup / kernrange, kernrange, k_slack)
+            if spec.k_cell > k_target:
+                break
+            best = spec
+            if min(spec.ncells) <= 2:
+                break
+            sup *= 1.12
+        if best is None:
+            raise ValueError("k_target too small for this distribution")
+        return dataclasses.replace(best, k_cell=k_target)
     pdims = box.periodic_dims()
     lo, hi, periodic = [], [], []
     for k in range(ndim):
@@ -198,70 +220,122 @@ ITER_MAX = 150
 def density_grid27(kern: SmoothingKernel, spec: Grid27Spec,
                    h_fac: float, h_converge: float,
                    r_d: Array, m_d: Array, h_d: Array, fill: Array,
-                   hmax: float) -> Grid27Density:
+                   hmax: float, slab_chunk: int = None) -> Grid27Density:
     """Grad-h h-rho iteration over the structured grid (27 static shifts).
 
     All tensors are dense (*ncells, K, ...); returns dense results.
-    Mirrors GradhSph::ComputeH (GradhSph.cpp:142-326) exactly, with the
-    whole grid iterating under one while_loop and a converged mask.
+    Mirrors GradhSph::ComputeH (GradhSph.cpp:142-326) exactly.  The grid is
+    processed in slabs along the first dimension (lax.map) so that (a) each
+    slab's while_loop converges independently — stragglers don't force
+    extra sweeps over the whole grid — and (b) the (cells, K, K) pair
+    temporaries stay small.
     """
     nd = spec.ndim
     invndim = 1.0 / nd
-    rp = add_ghost_layers(spec, r_d, shift_vec=True)
-    mp = add_ghost_layers(spec, m_d)
-    fp_ = add_ghost_layers(spec, fill)
-    mp = jnp.where(fp_, mp, 0.0)
+    rp_full = add_ghost_layers(spec, r_d, shift_vec=True)
+    mp_full = add_ghost_layers(spec, m_d)
+    fp_full = add_ghost_layers(spec, fill)
+    mp_full = jnp.where(fp_full, mp_full, 0.0)
+
+    n0 = spec.ncells[0]
+    if slab_chunk is None:
+        slab_chunk = _auto_slab(spec)
+    slab_chunk = min(slab_chunk, n0)
+    n_slabs = -(-n0 // slab_chunk)
+    pad0_amount = n_slabs * slab_chunk - n0
+
+    def pad_first(x, fill_val=0):
+        widths = [(0, pad0_amount)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, widths, constant_values=fill_val)
+
+    # pad the GHOSTED tensors too so the last slab's view stays aligned
+    rp_full = pad_first(rp_full)
+    mp_full = pad_first(mp_full)
+
+    # overlapping ghosted slabs: slab s covers rows [s*c, s*c + c + 2) of
+    # the ghosted tensors
+    def slab_view(x_p, s, c):
+        return jax.lax.dynamic_slice_in_dim(x_p, s * c, c + 2, axis=0)
 
     shifts = _shifts(nd)
-    # cells axes (..., K); target K axis -> (..., K, 1); source -> (..., 1, K)
-    def sums_at(h):
-        invh = 1.0 / h
-        invhsqd = invh * invh
-        rho = jnp.zeros_like(h)
-        invom = jnp.zeros_like(h)
-        zeta = jnp.zeros_like(h)
-        for sh in shifts:
-            r_nb = _shift_view(spec, rp, sh)       # (*nc, K, ndim)
-            m_nb = _shift_view(spec, mp, sh)       # (*nc, K)
-            dr = r_nb[..., None, :, :] - r_d[..., :, None, :]
-            drsqd = jnp.sum(dr * dr, axis=-1)       # (*nc, K, K)
-            ssqd = drsqd * invhsqd[..., None]
-            rho = rho + jnp.sum(m_nb[..., None, :] * kern.w0_s2(ssqd), -1)
-            invom = invom + jnp.sum(m_nb[..., None, :]
-                                    * kern.womega_s2(ssqd), -1)
-            zeta = zeta + jnp.sum(m_nb[..., None, :]
-                                  * kern.wzeta_s2(ssqd), -1)
-        hfac = invh ** nd
-        return rho * hfac, invom * hfac * invh, zeta * invhsqd
+
+    def slab_fn(s):
+        """Converge one slab of slab_chunk rows along dim 0."""
+        c = slab_chunk
+        # slab-local ghosted inputs (c+2 rows; inner shifts stay static)
+        rp = slab_view(rp_full, s, c)
+        mp = slab_view(mp_full, s, c)
+        r_dc = jax.lax.dynamic_slice_in_dim(pad_first(r_d), s * c, c, axis=0)
+        m_dc = jax.lax.dynamic_slice_in_dim(pad_first(m_d), s * c, c, axis=0)
+        h_dc = jax.lax.dynamic_slice_in_dim(pad_first(h_d, 1), s * c, c,
+                                            axis=0)
+        fill_c = jax.lax.dynamic_slice_in_dim(pad_first(fill), s * c, c,
+                                              axis=0)
+        sub = dataclasses.replace(spec, ncells=(c,) + spec.ncells[1:])
+
+        def sums_at(h):
+            invh = 1.0 / h
+            invhsqd = invh * invh
+            rho = jnp.zeros_like(h)
+            invom = jnp.zeros_like(h)
+            zeta = jnp.zeros_like(h)
+            for sh in shifts:
+                r_nb = _shift_view(sub, rp, sh)
+                m_nb = _shift_view(sub, mp, sh)
+                dr = r_nb[..., None, :, :] - r_dc[..., :, None, :]
+                drsqd = jnp.sum(dr * dr, axis=-1)
+                ssqd = drsqd * invhsqd[..., None]
+                rho = rho + jnp.sum(m_nb[..., None, :] * kern.w0_s2(ssqd),
+                                    -1)
+                invom = invom + jnp.sum(m_nb[..., None, :]
+                                        * kern.womega_s2(ssqd), -1)
+                zeta = zeta + jnp.sum(m_nb[..., None, :]
+                                      * kern.wzeta_s2(ssqd), -1)
+            hfac = invh ** nd
+            return rho * hfac, invom * hfac * invh, zeta * invhsqd
+
+        m_t = jnp.maximum(m_dc, 1e-30)
+
+        def h_rho(rho):
+            return h_fac * (m_t / jnp.maximum(rho, 1e-300)) ** invndim
+
+        def body(carry):
+            h, _, _, _, lo, hi, it, done = carry
+            rho, invom, zeta = sums_at(h)
+            h_target = h_rho(rho)
+            conv = (rho > 0.0) & (jnp.abs(h - h_target) / h < h_converge)
+            too_big = (rho < 1e-30) | (h > h_target)
+            start_bis = it >= ITER_FP
+            hi_n = jnp.where(start_bis & too_big & ~conv, h, hi)
+            lo_n = jnp.where(start_bis & ~too_big & ~conv, h, lo)
+            h_new = jnp.where(it < ITER_FP, h_target, 0.5 * (lo_n + hi_n))
+            h_out = jnp.where(conv | done, h,
+                              jnp.clip(h_new, 1e-6 * hmax, hmax))
+            return (h_out, rho, invom, zeta, lo_n, hi_n, it + 1,
+                    done | conv)
+
+        def cond(carry):
+            *_, it, done = carry
+            return (it < ITER_MAX) & ~jnp.all(done)
+
+        h0 = jnp.clip(jnp.where(fill_c, h_dc, 0.5 * hmax),
+                      1e-6 * hmax, hmax)
+        z = jnp.zeros_like(h0)
+        carry0 = (h0, z, z, z, jnp.zeros_like(h0),
+                  jnp.full_like(h0, hmax), jnp.asarray(0), ~fill_c)
+        h, rho, invom, zeta, lo, hi, it, done = jax.lax.while_loop(
+            cond, body, carry0)
+        return h, rho, invom, zeta, done
+
+    h, rho, invom, zeta, done = jax.lax.map(
+        slab_fn, jnp.arange(n_slabs, dtype=jnp.int32))
+    unpad = lambda x: x.reshape((n_slabs * slab_chunk,) + x.shape[2:])[:n0]
+    h, rho, invom, zeta, done = map(unpad, (h, rho, invom, zeta, done))
 
     m_t = jnp.maximum(m_d, 1e-30)
 
     def h_rho(rho):
         return h_fac * (m_t / jnp.maximum(rho, 1e-300)) ** invndim
-
-    def body(carry):
-        h, _, _, _, lo, hi, it, done = carry
-        rho, invom, zeta = sums_at(h)
-        h_target = h_rho(rho)
-        conv = (rho > 0.0) & (jnp.abs(h - h_target) / h < h_converge)
-        too_big = (rho < 1e-30) | (h > h_target)
-        start_bis = it >= ITER_FP
-        hi_n = jnp.where(start_bis & too_big & ~conv, h, hi)
-        lo_n = jnp.where(start_bis & ~too_big & ~conv, h, lo)
-        h_new = jnp.where(it < ITER_FP, h_target, 0.5 * (lo_n + hi_n))
-        h_out = jnp.where(conv | done, h, jnp.clip(h_new, 1e-6 * hmax, hmax))
-        return (h_out, rho, invom, zeta, lo_n, hi_n, it + 1, done | conv)
-
-    def cond(carry):
-        *_, it, done = carry
-        return (it < ITER_MAX) & ~jnp.all(done)
-
-    h0 = jnp.clip(jnp.where(fill, h_d, 0.5 * hmax), 1e-6 * hmax, hmax)
-    z = jnp.zeros_like(h0)
-    carry0 = (h0, z, z, z, jnp.zeros_like(h0),
-              jnp.full_like(h0, hmax), jnp.asarray(0), ~fill)
-    h, rho, invom, zeta, lo, hi, it, done = jax.lax.while_loop(
-        cond, body, carry0)
 
     h_final = h_rho(rho)
     invh = 1.0 / h_final
@@ -287,9 +361,21 @@ from .forces import ACOND_NONE, ACOND_PRICE2008, ACOND_WADSLEY2008  # noqa: E402
 from .forces import AVISC_MON97, AVISC_MON97MM97, AVISC_NONE  # noqa: E402
 
 
+def _auto_slab(spec: Grid27Spec) -> int:
+    """Largest dim-0 slab whose (cells, K, K) pair temporaries stay under
+    ~270 MB in f32 (bigger slabs amortise lax.map overhead; the cap keeps
+    1M-particle grids inside HBM headroom)."""
+    import numpy as np
+
+    rest = int(np.prod(spec.ncells[1:])) * spec.k_cell * spec.k_cell
+    return max(1, int(6.7e7 // max(rest, 1)))
+
+
 def forces_grid27(kern: SmoothingKernel, visc: ArtificialViscosity,
-                  spec: Grid27Spec, dense: Dict[str, Array], fill: Array):
-    """Hydro forces over the structured grid (27 static shifts).
+                  spec: Grid27Spec, dense: Dict[str, Array], fill: Array,
+                  slab_chunk: int = None):
+    """Hydro forces over the structured grid (27 static shifts), processed
+    in dim-0 slabs (lax.map) to bound the (cells, K, K) pair temporaries.
 
     dense: (*ncells, K[, ndim]) tensors for r, v, m, h, rho, u, pressure,
     sound, invomega, hfactor, alpha.  Returns dense (a, dudt, div_v,
@@ -297,32 +383,86 @@ def forces_grid27(kern: SmoothingKernel, visc: ArtificialViscosity,
     (GradhSph.cpp:361-460).
     """
     nd = spec.ndim
-    r_d = dense["r"]
+    r_d_full = dense["r"]
     scalar_keys = ("m", "h", "rho", "u", "pressure", "sound", "invomega",
                    "hfactor", "alpha")
-    packed = jnp.stack([dense[k] for k in scalar_keys], axis=-1)
-    rp = add_ghost_layers(spec, r_d, shift_vec=True)
-    vp = add_ghost_layers(spec, dense["v"])
-    pkp = add_ghost_layers(spec, packed)
-    fp_ = add_ghost_layers(spec, fill)
+    packed_full = jnp.stack([dense[k] for k in scalar_keys], axis=-1)
     i_of = {k: i for i, k in enumerate(scalar_keys)}
 
-    h_i = dense["h"]
-    rho_i = dense["rho"]
+    n0 = spec.ncells[0]
+    if slab_chunk is None:
+        slab_chunk = _auto_slab(spec)
+    slab_chunk = min(slab_chunk, n0)
+    n_slabs = -(-n0 // slab_chunk)
+    pad0_amount = n_slabs * slab_chunk - n0
+
+    def pad_first(x, fill_val=0):
+        widths = [(0, pad0_amount)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, widths, constant_values=fill_val)
+
+    rp_full = pad_first(add_ghost_layers(spec, r_d_full, shift_vec=True))
+    vp_full = pad_first(add_ghost_layers(spec, dense["v"]))
+    pkp_full = pad_first(add_ghost_layers(spec, packed_full))
+    fp_full = pad_first(add_ghost_layers(spec, fill))
+
+    def slab_fn(s):
+        c = slab_chunk
+        sl = lambda x_p: jax.lax.dynamic_slice_in_dim(x_p, s * c, c + 2,
+                                                      axis=0)
+        ce = lambda x: jax.lax.dynamic_slice_in_dim(pad_first(x), s * c, c,
+                                                    axis=0)
+        rp, vp, pkp, fp_ = sl(rp_full), sl(vp_full), sl(pkp_full), \
+            sl(fp_full)
+        sub = dataclasses.replace(spec, ncells=(c,) + spec.ncells[1:])
+        r_d = ce(r_d_full)
+        v_i = ce(dense["v"])
+        h_i = jnp.maximum(ce(dense["h"]), 1e-30)
+        rho_i = ce(dense["rho"])
+        invh_i = 1.0 / h_i
+        invrho_i = 1.0 / jnp.maximum(rho_i, 1e-300)
+        press_i = ce(dense["pressure"])
+        sound_i = ce(dense["sound"])
+        invom_i = ce(dense["invomega"])
+        hfac_i = ce(dense["hfactor"])
+        alpha_i = ce(dense["alpha"])
+        u_i = ce(dense["u"])
+
+        a = jnp.zeros_like(r_d)
+        dudt = jnp.zeros_like(h_i)
+        div_v = jnp.zeros_like(h_i)
+
+        return _force_shifts(kern, visc, sub, nd, i_of,
+                             rp, vp, pkp, fp_, r_d, v_i, h_i, invh_i,
+                             invrho_i, press_i, sound_i, invom_i, hfac_i,
+                             alpha_i, u_i, a, dudt, div_v)
+
+    a, dudt, div_v = jax.lax.map(slab_fn,
+                                 jnp.arange(n_slabs, dtype=jnp.int32))
+    unpad = lambda x: x.reshape((n_slabs * slab_chunk,) + x.shape[2:])[:n0]
+    a, dudt, div_v = map(unpad, (a, dudt, div_v))
+
+    h_i = jnp.maximum(dense["h"], 1e-30)
     invh_i = 1.0 / h_i
+    rho_i = dense["rho"]
     invrho_i = 1.0 / jnp.maximum(rho_i, 1e-300)
     press_i = dense["pressure"]
     sound_i = dense["sound"]
     invom_i = dense["invomega"]
-    hfac_i = dense["hfactor"]
     alpha_i = dense["alpha"]
-    u_i = dense["u"]
-    v_i = dense["v"]
 
-    a = jnp.zeros_like(r_d)
-    dudt = jnp.zeros_like(h_i)
-    div_v = jnp.zeros_like(h_i)
+    div_v = div_v * invrho_i
+    dudt = dudt - press_i * div_v * invrho_i * invom_i
+    dalphadt = jnp.zeros_like(h_i)
+    if visc.avisc == AVISC_MON97MM97:
+        dalphadt = (0.1 * sound_i * (visc.alpha_visc_min - alpha_i) * invh_i
+                    + jnp.maximum(-div_v, 0.0) * (visc.alpha_visc - alpha_i))
+    return a, dudt, div_v, dalphadt
 
+
+def _force_shifts(kern, visc, spec, nd, i_of, rp, vp, pkp, fp_, r_d, v_i,
+                  h_i, invh_i, invrho_i, press_i, sound_i, invom_i, hfac_i,
+                  alpha_i, u_i, a, dudt, div_v):
+    """Accumulate pair forces over the 3^ndim shifts for one slab."""
     for sh in _shifts(nd):
         r_nb = _shift_view(spec, rp, sh)
         v_nb = _shift_view(spec, vp, sh)
@@ -383,13 +523,8 @@ def forces_grid27(kern: SmoothingKernel, visc: ArtificialViscosity,
 
         a = a + jnp.sum((m_j * paux)[..., None] * unit, axis=-2)
 
-    div_v = div_v * invrho_i
-    dudt = dudt - press_i * div_v * invrho_i * invom_i
-    dalphadt = jnp.zeros_like(h_i)
-    if visc.avisc == AVISC_MON97MM97:
-        dalphadt = (0.1 * sound_i * (visc.alpha_visc_min - alpha_i) * invh_i
-                    + jnp.maximum(-div_v, 0.0) * (visc.alpha_visc - alpha_i))
-    return a, dudt, div_v, dalphadt
+    # div_v normalisation and dalphadt happen in the caller (whole grid)
+    return a, dudt, div_v
 
 
 def hydro_pass_grid27(kern, visc, box: DomainBox, spec: Grid27Spec, eos,
