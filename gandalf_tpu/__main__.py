@@ -49,16 +49,16 @@ def main(argv=None) -> int:
     params.read_file(paramfile)
     run_id = params.stringparams["run_id"]
 
+    os.environ.setdefault("GANDALF_WRITE_SNAPSHOTS", "1")
+    sim = SimulationBase.factory(params)
+
     if restart:
         restart_file = f"{run_id}.restart"
         if not os.path.exists(restart_file):
             print(f"No restart file {restart_file}", file=sys.stderr)
             return 1
-        raise NotImplementedError(
-            "snapshot restart arrives with the checkpoint milestone")
-
-    os.environ.setdefault("GANDALF_WRITE_SNAPSHOTS", "1")
-    sim = SimulationBase.factory(params)
+        t0 = sim.load_restart_snapshot()
+        print(f"Restarting from t = {t0:.6g}")
     params.record_to_file(f"{run_id}.param")
 
     # 'cont' file for cluster auto-resubmission

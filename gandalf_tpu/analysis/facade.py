@@ -112,21 +112,38 @@ def run_async(time: Optional[float] = None) -> _SyncProcess:
     return _SyncProcess(s)
 
 
-def loadsim(run_id: str, fileformat: str = "column") -> SimulationBase:
-    """Load snapshots from disk into a read-only sim (facade.py:185)."""
+def loadsim(run_id: str, fileformat: str = None) -> SimulationBase:
+    """Load snapshots from disk into a read-only sim (facade.py:185);
+    column and SEREN-unformatted (su) formats auto-detected."""
     import glob
 
     from ..sim import io as sim_io
 
     params = Parameters()
     params.stringparams["run_id"] = run_id
+    # reload the recorded parameter file when available
+    import os
+
+    if os.path.exists(f"{run_id}.param"):
+        with open(f"{run_id}.param") as f:
+            for line in f:
+                params.parse_line(line)
     sim = SimulationBase.__new__(SimulationBase)
     SimulationBase.__init__(sim, params)
-    files = sorted(glob.glob(f"{run_id}.{fileformat}.*"))
-    for fn in files:
-        t, data = sim_io.read_column_snapshot(fn)
-        ndim = data["r"].shape[1]
-        sim.snapshots.append(Snapshot(t, data, ndim))
+    forms = [fileformat] if fileformat else ["column", "su"]
+    for form in forms:
+        files = sorted(glob.glob(f"{run_id}.{form}.*"))
+        for fn in files:
+            if fn.endswith(".tmp"):
+                continue
+            if form == "su":
+                t, data = sim_io.read_seren_unform(fn)
+            else:
+                t, data = sim_io.read_column_snapshot(fn)
+            ndim = data["r"].shape[1]
+            sim.snapshots.append(Snapshot(t, data, ndim))
+        if files:
+            break
     sim.ndim = sim.snapshots[0].ndim if sim.snapshots else 1
     SimBuffer.add_sim(sim)
     SimBuffer.current_snap_index = len(sim.snapshots) - 1
@@ -162,11 +179,122 @@ def get_time(snap_no="current", sim="current") -> float:
     return snapshot.t
 
 
-# Plotting stubs (real rendering arrives with the Render milestone).
-def plot(*args, **kw):
-    raise NotImplementedError("plotting arrives with the rendering milestone")
+def get_render_data(xquantity: str, yquantity: str, quantity: str = "rho",
+                    snap_no="current", sim="current",
+                    xmin=None, xmax=None, ymin=None, ymax=None,
+                    res: int = 128) -> np.ndarray:
+    """Kernel-interpolated rendering grid (facade.get_render_data)."""
+    from .render import render_grid
+
+    snapshot, _ = SimBuffer.get_snapshot_and_sim(snap_no, sim)
+    axes = {"x": 0, "y": 1, "z": 2}
+    r = snapshot.data["r"]
+    ix, iy = axes[xquantity], axes[yquantity]
+    xmin = r[:, ix].min() if xmin is None else xmin
+    xmax = r[:, ix].max() if xmax is None else xmax
+    ymin = r[:, iy].min() if ymin is None else ymin
+    ymax = r[:, iy].max() if ymax is None else ymax
+    return render_grid(snapshot, xquantity, yquantity, quantity,
+                       xmin, xmax, ymin, ymax, nx=res, ny=res)
 
 
-addplot = plot
-render = plot
-make_movie = plot
+def render(x: str = "x", y: str = "y", render_quantity: str = "rho",
+           res: int = 128, snap="current", sim="current", **kw):
+    """Render a quantity to a matplotlib image (facade.render)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    grid = get_render_data(x, y, render_quantity, snap, sim, res=res)
+    fig, axis = plt.subplots()
+    im = axis.imshow(grid, origin="lower", aspect="auto")
+    fig.colorbar(im, ax=axis, label=render_quantity)
+    axis.set_xlabel(x)
+    axis.set_ylabel(y)
+    return fig
+
+
+renderslice = render
+
+
+def plot(x: str, y: str, snap="current", sim="current", **kw):
+    """Scatter plot of two particle quantities (facade.plot).
+
+    Uses the Agg backend (figures saved via savefig); the reference's
+    interactive subprocess plotting window is not replicated."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    xs = get_data(x, snap, sim)
+    ys = get_data(y, snap, sim)
+    fig, axis = plt.subplots()
+    axis.plot(xs, ys, ".", ms=2)
+    axis.set_xlabel(x)
+    axis.set_ylabel(y)
+    return fig
+
+
+def savefig(filename: str, fig=None):
+    import matplotlib.pyplot as plt
+
+    (fig or plt.gcf()).savefig(filename, dpi=120)
+
+
+def addplot(x, y, **kw):
+    return plot(x, y, **kw)
+
+
+def plotanalytical(x: str, y: str, ic: str = None, snap="current",
+                   sim="current", **kw):
+    """Overlay the analytic solution (facade.plotanalytical)."""
+    from .analytical import compute_analytical
+
+    snapshot, simulation = SimBuffer.get_snapshot_and_sim(snap, sim)
+    ic = ic or simulation.params.stringparams["ic"]
+    ax_, ay_ = compute_analytical(ic, simulation, snapshot.t, x, y)
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    plt.plot(ax_, ay_, "-")
+    return ax_, ay_
+
+
+def make_movie(filename: str = "movie.mp4", x: str = "x", y: str = "y",
+               render_quantity: str = "rho", res: int = 128,
+               sim="current", fps: int = 10):
+    """Write a movie of rendered snapshots (facade.make_movie); falls back
+    to a directory of PNG frames when no movie writer is available."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib import animation
+
+    s = SimBuffer.get_sim(sim)
+    frames = [get_render_data(x, y, render_quantity, i, sim, res=res)
+              for i in range(len(s.snapshots))]
+    fig, axis = plt.subplots()
+    im = axis.imshow(frames[0], origin="lower", aspect="auto")
+
+    def update(i):
+        im.set_data(frames[i])
+        return [im]
+
+    ani = animation.FuncAnimation(fig, update, frames=len(frames))
+    try:
+        ani.save(filename, fps=fps)
+    except Exception:
+        import os
+
+        base = filename.rsplit(".", 1)[0]
+        os.makedirs(base, exist_ok=True)
+        for i, fr in enumerate(frames):
+            im.set_data(fr)
+            fig.savefig(f"{base}/frame{i:04d}.png")
+        return base
+    return filename

@@ -86,12 +86,7 @@ class NbodySimulation(SimulationBase):
             self._step_fn = jax.jit(self._build_step())
             self._bootstrap_fn = jax.jit(self._build_bootstrap())
             self.state = self._bootstrap_fn(self.state)
-        self.t = float(self.state.t)
-        self.tsnapnext = self.params.floatparams["tsnapfirst"]
-        self.setup_complete = True
-        if self.t >= self.tsnapnext:
-            self._take_snapshot()
-            self.tsnapnext += self.params.floatparams["dt_snap"]
+        self._init_output_cadence()
 
     def main_loop_step(self):
         with self.timing.block("MAIN_LOOP"):
@@ -112,10 +107,3 @@ class NbodySimulation(SimulationBase):
         self.snapshots.append(Snapshot(self.t, self._state_to_host(),
                                        self.ndim))
 
-    def output(self, final: bool = False):
-        if self.t >= self.tsnapnext or final:
-            self._take_snapshot()
-            self.tsnapnext += self.params.floatparams["dt_snap"]
-            self.Noutsnap += 1
-            return True
-        return False

@@ -69,8 +69,54 @@ class SimulationBase:
         self.tsnapnext = 0.0
         self.Noutsnap = 0
         self.timing = CodeTiming()
+        self.diag0 = None
+        self.last_diag = None
+        self.restart_data = None
 
     # -- reference-parity accessors (SWIG surface, Simulation.h:87-231) ------
+    def ImportArray(self, array, quantity: str, ptype: str = "sph"):
+        """Stage a particle array for `ic = python` setup
+        (SimulationBase::ImportArray, Simulation.cpp:1325-1612)."""
+        if self.setup_complete:
+            raise RuntimeError("Cannot import arrays after setup")
+        if self.restart_data is None:
+            self.restart_data = {}
+        arr = np.asarray(array, dtype=np.float64)
+        key_map = {"x": ("r", 0), "y": ("r", 1), "z": ("r", 2),
+                   "vx": ("v", 0), "vy": ("v", 1), "vz": ("v", 2)}
+        if quantity in key_map:
+            field, axis = key_map[quantity]
+            cur = self.restart_data.get(field)
+            if cur is None:
+                cur = np.zeros((len(arr), self.ndim))
+            cur[:, axis] = arr
+            self.restart_data[field] = cur
+        else:
+            self.restart_data[quantity] = arr
+
+    def load_restart_snapshot(self):
+        """Read run_id.restart -> snapshot file -> staged restart data
+        (SimulationBase::RestartSnapshot, Simulation.cpp:609-631)."""
+        run_id = self.params.stringparams["run_id"]
+        with open(f"{run_id}.restart") as f:
+            form = f.readline().strip()
+            fname = f.readline().strip()
+        if form == "su":
+            t, data = sim_io.read_seren_unform(fname)
+        else:
+            t, data = sim_io.read_column_snapshot(fname)
+        data["t"] = t
+        self.restart_data = data
+        # continue the snapshot numbering (reference restores Noutsnap from
+        # the header ilpdata[0])
+        import glob
+
+        existing = glob.glob(f"{run_id}.{form}.[0-9]*")
+        if existing:
+            self.Noutsnap = max(int(fn.rsplit(".", 1)[1])
+                                for fn in existing) + 1
+        return t
+
     def SetParam(self, key, value):
         if self.setup_complete:
             raise RuntimeError("Cannot change parameters after setup")
@@ -128,11 +174,84 @@ class SimulationBase:
         new_snaps = self.snapshots[n0:]
         return new_snaps
 
+    def _init_output_cadence(self):
+        """First snapshot + next-output time (handles restarts at t > 0)."""
+        self.t = float(self.state.t)
+        self.tsnapnext = self.params.floatparams["tsnapfirst"]
+        dt_snap = self.params.floatparams["dt_snap"]
+        self.setup_complete = True
+        if self.t >= self.tsnapnext:
+            self._take_snapshot()
+            while self.tsnapnext <= self.t:
+                self.tsnapnext += dt_snap
+
     def main_loop_step(self):
         raise NotImplementedError
 
     def output(self, final: bool = False):
-        raise NotImplementedError
+        """Snapshot cadence + file output + diagnostics
+        (SimulationBase::Output, Simulation.cpp:502-600)."""
+        self._diagnostics_tick()
+        took = False
+        if self.t >= self.tsnapnext or final:
+            self._take_snapshot()
+            self.tsnapnext += self.params.floatparams["dt_snap"]
+            took = True
+            run_id = self.params.stringparams["run_id"]
+            if run_id and os.environ.get("GANDALF_WRITE_SNAPSHOTS",
+                                         "0") == "1":
+                self._write_snapshot_file()
+            self.Noutsnap += 1
+        return took
+
+    def _write_snapshot_file(self):
+        form = self.params.stringparams["out_file_form"]
+        run_id = self.params.stringparams["run_id"]
+        if form in ("sf", "su", "seren_form", "seren_unform"):
+            form_tag = "su"
+        else:
+            form_tag = "column"
+        fname = f"{run_id}.{form_tag}.{self.Noutsnap:05d}"
+        data = self._state_to_host()
+        if form_tag == "su":
+            sim_io.write_seren_unform(
+                fname, self.t, data,
+                h_fac=self.params.floatparams["h_fac"],
+                nsteps=self.Nsteps, noutsnap=self.Noutsnap)
+        else:
+            sim_io.write_column_snapshot(fname, self.t, data)
+        # restart pointer file (SimulationBase::RestartSnapshot,
+        # Simulation.cpp:609-631)
+        with open(f"{run_id}.restart", "w") as f:
+            f.write(f"{form_tag}\n{fname}\n")
+
+    def _diagnostics_tick(self):
+        """Energy/momentum accounting every ndiagstep steps
+        (Simulation.cpp:1652-1659 + SimAnalysis.hpp)."""
+        ndiag = max(self.params.intparams["ndiagstep"], 1)
+        if self.Nsteps % ndiag != 0 or self.state is None:
+            return
+        from ..utils.diagnostics import Diagnostics
+
+        s = self.state
+        u = np.asarray(s.u) if hasattr(s, "u") else None
+        gpot = np.asarray(s.gpot) if getattr(self, "self_gravity", False) \
+            else None
+        d = Diagnostics.compute(np.asarray(s.r), np.asarray(s.v),
+                                np.asarray(s.m), u, gpot)
+        if self.diag0 is None:
+            self.diag0 = d
+        run_id = self.params.stringparams["run_id"]
+        if run_id and os.environ.get("GANDALF_WRITE_SNAPSHOTS", "0") == "1":
+            with open(f"{run_id}.diag", "a") as f:
+                f.write(d.line(self.t, self.diag0) + "\n")
+        self.last_diag = d
+
+    def energy_error(self) -> float:
+        """Current Eerror vs the initial diagnostics."""
+        if self.diag0 is None or self.last_diag is None:
+            return 0.0
+        return self.last_diag.energy_error(self.diag0)
 
 
 class GradhSphSimulation(SimulationBase):
@@ -197,9 +316,26 @@ class GradhSphSimulation(SimulationBase):
         (Simulation.cpp:639-694, SphSimulation.cpp:204-565)."""
         with self.timing.block("SETUP"):
             self.process_parameters()
-            ic = generate_ic(self.params, self.eos)
+            if self.restart_data is not None or \
+                    self.params.stringparams["ic"] == "python":
+                ic = dict(self.restart_data or {})
+                N = len(ic["m"])
+                ic.setdefault("v", np.zeros((N, self.ndim)))
+                ic.setdefault("u", np.zeros(N))
+                if "h" not in ic or np.all(np.asarray(ic["h"]) == 0):
+                    h_fac = self.params.floatparams["h_fac"]
+                    rho0 = np.asarray(ic.get("rho", np.ones(N)))
+                    rho0 = np.where(rho0 > 0, rho0, 1.0)
+                    ic["h"] = h_fac * (np.asarray(ic["m"]) / rho0) \
+                        ** (1.0 / self.ndim)
+            else:
+                ic = generate_ic(self.params, self.eos)
             self.state = make_sph_state(ic["r"], ic["v"], ic["m"],
                                         ic["h"], ic["u"])
+            if "t" in ic:
+                t0 = float(ic["t"])
+                self.state = self.state.replace(
+                    t=jnp.asarray(t0, dtype=self.state.t.dtype))
             if self.use_celllist:
                 self._plan_grid(ic["r"], ic["h"])
             if self.self_gravity and self.use_celllist:
@@ -216,14 +352,7 @@ class GradhSphSimulation(SimulationBase):
                 self._plan_grid(self.state.r, self.state.h)
                 self._compile()
                 self.state = self._bootstrap_fn(self.state)
-        self.t = float(self.state.t)
-        self.tsnapnext = self.params.floatparams["tsnapfirst"]
-        self.setup_complete = True
-        # initial snapshot cadence matches reference: first output at
-        # tsnapfirst (clipped to start time)
-        if self.t >= self.tsnapnext:
-            self._take_snapshot()
-            self.tsnapnext += self.params.floatparams["dt_snap"]
+        self._init_output_cadence()
 
     # -- the jitted physics ----------------------------------------------------
     def _hydro_pass(self, s: SphState) -> SphState:
@@ -341,19 +470,3 @@ class GradhSphSimulation(SimulationBase):
         self.snapshots.append(Snapshot(self.t, self._state_to_host(),
                                        self.ndim))
 
-    def output(self, final: bool = False):
-        """Snapshot cadence + optional file output (SimulationBase::Output)."""
-        took = False
-        if self.t >= self.tsnapnext or final:
-            self._take_snapshot()
-            self.tsnapnext += self.params.floatparams["dt_snap"]
-            took = True
-            form = self.params.stringparams["out_file_form"]
-            run_id = self.params.stringparams["run_id"]
-            if run_id and form == "column" and os.environ.get(
-                    "GANDALF_WRITE_SNAPSHOTS", "0") == "1":
-                fname = f"{run_id}.{form}.{self.Noutsnap:05d}"
-                sim_io.write_column_snapshot(fname, self.t,
-                                             self._state_to_host())
-            self.Noutsnap += 1
-        return took
