@@ -138,9 +138,11 @@ def compute_h_bruteforce(kern: SmoothingKernel, box: DomainBox,
                          h_fac: float, h_converge: float,
                          r: Array, m: Array, h_init: Array,
                          r_ext: Array, m_ext: Array,
-                         hmax: float = 1.0e30) -> DensityResult:
+                         hmax: float = 1.0e30,
+                         active: Optional[Array] = None) -> DensityResult:
     """All-pairs oracle: density sums against the full extended particle set."""
     dr = box.min_image(r_ext[None, :, :] - r[:, None, :])
     drsqd = jnp.sum(dr * dr, axis=-1)
     return compute_h(kern, box.ndim, h_fac, h_converge,
-                     m, h_init, drsqd, m_ext, mask=None, hmax=hmax)
+                     m, h_init, drsqd, m_ext, mask=None, hmax=hmax,
+                     active=active)

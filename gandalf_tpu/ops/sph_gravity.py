@@ -27,6 +27,39 @@ class SphGravityResult(NamedTuple):
     gpot: Array     # (N,) potential magnitude (positive, reference sign)
 
 
+def star_gas_forces(kern: SmoothingKernel,
+                    r_gas: Array, m_gas: Array, h_gas: Array,
+                    r_star: Array, m_star: Array, h_star: Array,
+                    star_active: Array):
+    """Symmetric star<->gas kernel-softened gravity (mean-h softening;
+    reference GradhSph::ComputeStarGravForces GradhSph.cpp:699 and
+    HydroTree::UpdateAllStarGasForces Tree/HydroTree.cpp:552).
+
+    Returns (a_gas (N,nd), gpot_gas (N,), a_star (Ns,nd), gpot_star (Ns,)).
+    Inactive star slots contribute nothing and receive garbage (masked by
+    the caller).  Zeta correction terms are omitted (TODO.md).
+    """
+    dr = r_star[None, :, :] - r_gas[:, None, :]      # (N, Ns, nd)
+    drsqd = jnp.sum(dr * dr, axis=-1)
+    # coincident pairs contribute zero force/potential slope (f32-safe:
+    # no 0 * inf)
+    zero = drsqd == 0.0
+    drmag = jnp.sqrt(jnp.where(zero, 1.0, drsqd))
+    inv_drmag = jnp.where(zero, 0.0, 1.0 / drmag)
+    unit = dr * inv_drmag[..., None]
+    hbar = 0.5 * (h_gas[:, None] + h_star[None, :])
+    invh = 1.0 / hbar
+    s = drmag * invh
+    wg = kern.wgrav(s) * invh * invh
+    wp = kern.wpot(s) * invh
+    act = jnp.where(star_active[None, :], 1.0, 0.0)
+    a_gas = jnp.sum((m_star[None, :] * wg * act)[..., None] * unit, axis=1)
+    gpot_gas = jnp.sum(m_star[None, :] * wp * act, axis=1)
+    a_star = -jnp.sum((m_gas[:, None] * wg)[..., None] * unit, axis=0)
+    gpot_star = jnp.sum(m_gas[:, None] * wp, axis=0)
+    return a_gas, gpot_gas, a_star, gpot_star
+
+
 def direct_sph_gravity(kern: SmoothingKernel,
                        r: Array, m: Array, h: Array,
                        zeta: Array, hfactor: Array) -> SphGravityResult:

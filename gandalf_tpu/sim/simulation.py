@@ -213,11 +213,17 @@ class SimulationBase:
             form_tag = "column"
         fname = f"{run_id}.{form_tag}.{self.Noutsnap:05d}"
         data = self._state_to_host()
+        star = data.pop("star", None)
+        alive = data.pop("alive", None)
+        if alive is not None and not alive.all():
+            # drop accreted corpses: files carry live particles only
+            # (the reference removes accreted particles outright)
+            data = {k: v[alive] for k, v in data.items()}
         if form_tag == "su":
             sim_io.write_seren_unform(
                 fname, self.t, data,
                 h_fac=self.params.floatparams["h_fac"],
-                nsteps=self.Nsteps, noutsnap=self.Noutsnap)
+                nsteps=self.Nsteps, noutsnap=self.Noutsnap, star=star)
         else:
             sim_io.write_column_snapshot(fname, self.t, data)
         # restart pointer file (SimulationBase::RestartSnapshot,
@@ -262,6 +268,8 @@ class GradhSphSimulation(SimulationBase):
     def __init__(self, params: Parameters):
         super().__init__(params)
         self._step_fn = None
+        self.sinks = None
+        self.has_sinks = False
 
     # -- parameter processing (ProcessParameters/ProcessSphParameters) -------
     def process_parameters(self):
@@ -293,6 +301,19 @@ class GradhSphSimulation(SimulationBase):
         self.neib_search = p.stringparams["neib_search"]
         self.use_celllist = (self.neib_search != "bruteforce"
                              and not self.box.mirror_walls())
+        # sinks / stars (reference Sinks + star-gas hybrid coupling)
+        self.sink_particles = bool(p.intparams["sink_particles"])
+        self.create_sinks = bool(p.intparams["create_sinks"])
+        if (self.sink_particles or self.create_sinks) and self.use_celllist:
+            # dead-particle masking is wired into the all-pairs path only
+            self.use_celllist = False
+        from ..ops.sinks import SinkConfig
+
+        self.sink_cfg = SinkConfig(
+            rho_sink=p.floatparams["rho_sink"],
+            sink_radius=p.floatparams["sink_radius"],
+            create=self.create_sinks,
+            accrete=self.sink_particles)
         self.treespec = None
         self.gridspec = None
         self.chunk = 4096        # particle chunk (gather pipeline)
@@ -332,6 +353,30 @@ class GradhSphSimulation(SimulationBase):
                 ic = generate_ic(self.params, self.eos)
             self.state = make_sph_state(ic["r"], ic["v"], ic["m"],
                                         ic["h"], ic["u"])
+            # massless particles (accreted corpses in old files) are dead:
+            # a live m=0 particle would drive the h iteration to h -> 0
+            if np.any(np.asarray(ic["m"]) <= 0.0):
+                from ..state import FLAG_DEAD
+
+                dead = jnp.asarray(np.asarray(ic["m"]) <= 0.0)
+                self.state = self.state.replace(
+                    flags=jnp.where(dead, self.state.flags | FLAG_DEAD,
+                                    self.state.flags))
+                self.use_celllist = False   # alive masking is brute-only
+            # stars / sinks: pre-allocated static slots (ops.sinks)
+            from ..ops.sinks import empty_sinks, make_sinks
+
+            self.sinks = None
+            nfix = self.params.intparams["Nsinkfixed"]
+            n_extra = (nfix if nfix > 0 else 16) if self.create_sinks else 0
+            if "star" in ic:
+                st = ic["star"]
+                self.sinks = make_sinks(st["r"], st["v"], st["m"], st["h"],
+                                        n_extra=n_extra)
+            elif self.create_sinks:
+                self.sinks = empty_sinks(n_extra, self.ndim,
+                                         self.state.r.dtype)
+            self.has_sinks = self.sinks is not None
             if "t" in ic:
                 t0 = float(ic["t"])
                 self.state = self.state.replace(
@@ -347,7 +392,11 @@ class GradhSphSimulation(SimulationBase):
                     theta_sqd=p.floatparams["thetamaxsqd"],
                     quadrupole=p.stringparams["multipole"] != "monopole")
             self._compile()
-            self.state = self._bootstrap_fn(self.state)
+            if self.has_sinks:
+                self.state, self.sinks = self._bootstrap_fn(self.state,
+                                                            self.sinks)
+            else:
+                self.state = self._bootstrap_fn(self.state)
             while self.use_celllist and bool(self.state.neib_overflow):
                 self._plan_grid(self.state.r, self.state.h)
                 self._compile()
@@ -385,22 +434,32 @@ class GradhSphSimulation(SimulationBase):
             return hydro_pass_grid27(kern, visc, box, self.gridspec, eos,
                                      self.h_fac, self.h_converge,
                                      self.hydro_forces, s)
-        # ghost images for mirror walls; periodic handled by min-image
-        scalars = {"m": s.m}
+        # ghost images for mirror walls; periodic handled by min-image;
+        # dead (accreted) particles carry zero mass and skip the h loop
+        alive = s.alive
+        m_live = jnp.where(alive, s.m, 0.0)
+        scalars = {"m": m_live}
         r_ext, v_ext, sc_ext, _ = extend_with_mirror_images(
             box, s.r, s.v, scalars)
         dens = compute_h_bruteforce(kern, box, self.h_fac, self.h_converge,
-                                    s.r, s.m, s.h, r_ext, sc_ext["m"])
-        u, pressure, sound = eos.thermal_update(dens.rho, s.u)
-        s = s.replace(h=dens.h, rho=dens.rho, invomega=dens.invomega,
-                      zeta=dens.zeta, hfactor=dens.hfactor,
-                      u=u, pressure=pressure, sound=sound)
+                                    s.r, s.m, s.h, r_ext, sc_ext["m"],
+                                    active=alive)
+        sane = lambda x, v: jnp.where(alive, x, v)
+        u, pressure, sound = eos.thermal_update(
+            jnp.maximum(dens.rho, 1e-30), s.u)
+        s = s.replace(h=sane(dens.h, 1.0), rho=sane(dens.rho, 1.0),
+                      invomega=sane(dens.invomega, 1.0),
+                      zeta=sane(dens.zeta, 0.0),
+                      hfactor=sane(dens.hfactor, 0.0),
+                      u=jnp.where(alive, u, 1e-30),
+                      pressure=sane(pressure, 0.0),
+                      sound=sane(sound, 0.0))
         if not self.hydro_forces:
             return s.replace(a=jnp.zeros_like(s.a),
                              dudt=jnp.zeros_like(s.dudt),
                              div_v=jnp.zeros_like(s.div_v))
         # rebuild extended views with post-density fields
-        fields = {"m": s.m, "h": s.h, "rho": s.rho, "u": s.u,
+        fields = {"m": m_live, "h": s.h, "rho": s.rho, "u": s.u,
                   "pressure": s.pressure, "sound": s.sound,
                   "invomega": s.invomega, "hfactor": s.hfactor,
                   "alpha": s.alpha}
@@ -412,9 +471,71 @@ class GradhSphSimulation(SimulationBase):
                                  s.hfactor, s.alpha, nb)
         return s.replace(a=f.a, dudt=f.dudt, div_v=f.div_v)
 
+    def _sink_coupled_pass(self, s: SphState, sinks):
+        """Gas hydro+self-gravity plus star<->gas and star<->star gravity
+        (HydroTree::UpdateAllStarGasForces + Nbody direct sums)."""
+        from ..ops.gravity import direct_softened
+        from ..ops.sph_gravity import star_gas_forces
+
+        s = self._hydro_pass(s)
+        alive = s.alive
+        m_live = jnp.where(alive, s.m, 0.0)
+        m_star = jnp.where(sinks.active, sinks.m, 0.0)
+        a_gs, gp_gs, a_st, gp_st = star_gas_forces(
+            self.kern, s.r, m_live, s.h, sinks.r, m_star, sinks.h,
+            sinks.active)
+        ss = direct_softened(sinks.r, sinks.v, m_star, sinks.h, self.kern)
+        act = sinks.active[:, None]
+        sinks = sinks._replace(
+            a=jnp.where(act, a_st + ss.a, 0.0))
+        # dead (accreted) gas stays frozen: no forces, no heating
+        s = s.replace(
+            a=jnp.where(alive[:, None], s.a + a_gs, 0.0),
+            dudt=jnp.where(alive, s.dudt, 0.0),
+            gpot=s.gpot + jnp.where(alive, gp_gs, 0.0))
+        return s, sinks
+
+    def _hybrid_timestep(self, s: SphState, sinks) -> Array:
+        """Global dt: alive-masked SPH criteria + sink acceleration
+        criterion (Sinks::Timestep analogue)."""
+        integ = self.integ
+        big = jnp.asarray(1e30, s.h.dtype)
+        dt_gas = jnp.where(s.alive,
+                           sph_timestep(integ, s, self.hydro_forces), big)
+        amag = jnp.sqrt(jnp.sum(sinks.a * sinks.a, axis=-1))
+        dt_sink = integ.accel_mult * jnp.sqrt(sinks.h / (amag + 1e-30))
+        dt_sink = jnp.where(sinks.active, dt_sink, big)
+        return jnp.minimum(jnp.min(dt_gas), jnp.min(dt_sink))
+
+    @staticmethod
+    def _kill_eaten(s: SphState, alive_new: Array) -> SphState:
+        """Mark newly-dead gas: FLAG_DEAD, zero mass/motion, benign fields
+        (the static-shape analogue of the reference's particle removal)."""
+        from ..state import FLAG_DEAD
+
+        died = s.alive & ~alive_new
+        z = jnp.zeros_like(s.v)
+        return s.replace(
+            flags=jnp.where(died, s.flags | FLAG_DEAD, s.flags),
+            m=jnp.where(died, 0.0, s.m),
+            v=jnp.where(died[:, None], z, s.v),
+            v0=jnp.where(died[:, None], z, s.v0),
+            a=jnp.where(died[:, None], z, s.a),
+            a0=jnp.where(died[:, None], z, s.a0),
+            dudt=jnp.where(died, 0.0, s.dudt),
+            dudt0=jnp.where(died, 0.0, s.dudt0))
+
     def _build_bootstrap(self):
         """Initial force/timestep pass (PostInitialConditionsSetup)."""
         integ = self.integ
+
+        if self.has_sinks:
+            def bootstrap(s: SphState, sinks):
+                s, sinks = self._sink_coupled_pass(s, sinks)
+                s = s.replace(a0=s.a, dudt0=s.dudt, u0=s.u, r0=s.r, v0=s.v)
+                sinks = sinks._replace(a0=sinks.a, r0=sinks.r, v0=sinks.v)
+                return s.replace(dt=self._hybrid_timestep(s, sinks)), sinks
+            return bootstrap
 
         def bootstrap(s: SphState) -> SphState:
             s = self._hydro_pass(s)
@@ -427,6 +548,40 @@ class GradhSphSimulation(SimulationBase):
     def _build_step(self):
         """One global-timestep KDK step (SphSimulation::MainLoop)."""
         integ, box = self.integ, self.box
+
+        if self.has_sinks:
+            from ..ops.sinks import accrete_to_sinks, create_sinks
+            cfg = self.sink_cfg
+
+            def step(s: SphState, sinks):
+                dt = s.dt
+                t = s.t + dt
+                s = predict(integ, s, dt)
+                sinks = sinks._replace(
+                    r=sinks.r0 + sinks.v0 * dt + 0.5 * sinks.a0 * dt * dt,
+                    v=sinks.v0 + sinks.a0 * dt)
+                r = box.wrap(s.r)
+                r, v = box.reflect(r, s.v)
+                s = s.replace(r=r, v=v, r0=box.wrap(s.r0))
+                s, sinks = self._sink_coupled_pass(s, sinks)
+                s = correct(integ, s, dt, jnp.zeros_like(s.alpha))
+                v_c = sinks.v + 0.5 * dt * (sinks.a - sinks.a0)
+                sinks = sinks._replace(v=v_c, r0=sinks.r, v0=v_c,
+                                       a0=sinks.a)
+                # sink creation + accretion (Sinks.cpp:118-520)
+                alive = s.alive
+                if cfg.create:
+                    sinks, alive = create_sinks(
+                        cfg, sinks, s.r, s.v, s.m, s.h, s.rho, s.gpot,
+                        alive)
+                if cfg.accrete:
+                    sinks, alive = accrete_to_sinks(
+                        cfg, sinks, s.r, s.v, s.m, alive)
+                s = self._kill_eaten(s, alive)
+                dt_next = self._hybrid_timestep(s, sinks)
+                return (s.replace(t=t, dt=dt_next, nstep=s.nstep + 1),
+                        sinks)
+            return step
 
         def step(s: SphState) -> SphState:
             dt = s.dt
@@ -449,7 +604,10 @@ class GradhSphSimulation(SimulationBase):
     def main_loop_step(self):
         with self.timing.block("MAIN_LOOP"):
             prev = self.state
-            self.state = self._step_fn(prev)
+            if self.has_sinks:
+                self.state, self.sinks = self._step_fn(prev, self.sinks)
+            else:
+                self.state = self._step_fn(prev)
             # neighbour-capacity overflow: replan the grid and redo the step
             # (reference analogue: Nneibmax doubling, GradhSphTree.cpp:172).
             if self.use_celllist and bool(self.state.neib_overflow):
@@ -462,9 +620,15 @@ class GradhSphSimulation(SimulationBase):
 
     def _state_to_host(self) -> Dict[str, np.ndarray]:
         s = self.state
-        return {k: np.asarray(getattr(s, k))
-                for k in ("r", "v", "a", "m", "h", "rho", "u", "dudt",
-                          "pressure", "sound", "div_v")}
+        out = {k: np.asarray(getattr(s, k))
+               for k in ("r", "v", "a", "m", "h", "rho", "u", "dudt",
+                         "pressure", "sound", "div_v")}
+        if getattr(self, "has_sinks", False):
+            out["alive"] = np.asarray(s.alive)
+            act = np.asarray(self.sinks.active)
+            out["star"] = {k: np.asarray(getattr(self.sinks, k))[act]
+                           for k in ("r", "v", "a", "m", "h")}
+        return out
 
     def _take_snapshot(self):
         self.snapshots.append(Snapshot(self.t, self._state_to_host(),
