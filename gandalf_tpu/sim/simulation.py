@@ -301,6 +301,13 @@ class GradhSphSimulation(SimulationBase):
         self.neib_search = p.stringparams["neib_search"]
         self.use_celllist = (self.neib_search != "bruteforce"
                              and not self.box.mirror_walls())
+        # hierarchical block timesteps (Nlevels > 1); the dense levelneib
+        # pass is wired into the all-pairs path only
+        self.nlevels = max(p.intparams["Nlevels"], 1)
+        self.level_diff_max = p.intparams["level_diff_max"]
+        self.use_block = self.nlevels > 1
+        if self.use_block:
+            self.use_celllist = False
         # sinks / stars (reference Sinks + star-gas hybrid coupling)
         self.sink_particles = bool(p.intparams["sink_particles"])
         self.create_sinks = bool(p.intparams["create_sinks"])
@@ -377,6 +384,12 @@ class GradhSphSimulation(SimulationBase):
                 self.sinks = empty_sinks(n_extra, self.ndim,
                                          self.state.r.dtype)
             self.has_sinks = self.sinks is not None
+            if self.has_sinks and self.use_block:
+                # hybrid + block timesteps: fall back to the global scheme
+                # for now (reference couples them via level_max_nbody)
+                print("WARNING: block timesteps with stars/sinks not yet "
+                      "supported; using the global timestep scheme")
+                self.use_block = False
             if "t" in ic:
                 t0 = float(ic["t"])
                 self.state = self.state.replace(
@@ -392,7 +405,9 @@ class GradhSphSimulation(SimulationBase):
                     theta_sqd=p.floatparams["thetamaxsqd"],
                     quadrupole=p.stringparams["multipole"] != "monopole")
             self._compile()
-            if self.has_sinks:
+            if self.use_block:
+                self.state, self._blocksched = self._bootstrap_fn(self.state)
+            elif self.has_sinks:
                 self.state, self.sinks = self._bootstrap_fn(self.state,
                                                             self.sinks)
             else:
@@ -529,6 +544,20 @@ class GradhSphSimulation(SimulationBase):
         """Initial force/timestep pass (PostInitialConditionsSetup)."""
         integ = self.integ
 
+        if self.use_block:
+            from ..integrate.block import BlockConfig, init_schedule
+
+            cfg = BlockConfig(nlevels=self.nlevels,
+                              level_diff_max=self.level_diff_max)
+
+            def bootstrap(s: SphState):
+                s = self._hydro_pass(s)
+                s = s.replace(a0=s.a, dudt0=s.dudt, u0=s.u, r0=s.r, v0=s.v)
+                dt_part = sph_timestep(integ, s, self.hydro_forces)
+                s, sched = init_schedule(cfg, s, dt_part)
+                return s.replace(dt=sched.dt_base), sched
+            return bootstrap
+
         if self.has_sinks:
             def bootstrap(s: SphState, sinks):
                 s, sinks = self._sink_coupled_pass(s, sinks)
@@ -548,6 +577,31 @@ class GradhSphSimulation(SimulationBase):
     def _build_step(self):
         """One global-timestep KDK step (SphSimulation::MainLoop)."""
         integ, box = self.integ, self.box
+
+        if self.use_block:
+            from ..integrate.block import (BlockConfig, advance,
+                                           check_timesteps,
+                                           compute_levelneib, end_timestep)
+
+            cfg = BlockConfig(nlevels=self.nlevels,
+                              level_diff_max=self.level_diff_max)
+            energy = integ.energy_integration
+            kernrange = self.kern.kernrange
+
+            def tick(s: SphState, B):
+                s, active, t = advance(s, B, energy)
+                r = box.wrap(s.r)
+                r, v = box.reflect(r, s.v)
+                s = s.replace(r=r, v=v, r0=box.wrap(s.r0))
+                s = self._hydro_pass(s)
+                s = s.replace(levelneib=compute_levelneib(
+                    box, s.r, s.h, s.level, kernrange, s.alive))
+                active, nstep_p, level = check_timesteps(cfg, s, B, active)
+                dt_crit = sph_timestep(integ, s, self.hydro_forces)
+                s, B = end_timestep(cfg, s, B, active, level, nstep_p,
+                                    dt_crit, t, energy)
+                return s.replace(nstep=s.nstep + 1), B
+            return tick
 
         if self.has_sinks:
             from ..ops.sinks import accrete_to_sinks, create_sinks
@@ -604,7 +658,10 @@ class GradhSphSimulation(SimulationBase):
     def main_loop_step(self):
         with self.timing.block("MAIN_LOOP"):
             prev = self.state
-            if self.has_sinks:
+            if self.use_block:
+                self.state, self._blocksched = self._step_fn(
+                    prev, self._blocksched)
+            elif self.has_sinks:
                 self.state, self.sinks = self._step_fn(prev, self.sinks)
             else:
                 self.state = self._step_fn(prev)

@@ -1,0 +1,125 @@
+"""Hierarchical block-timestep scheme (Nlevels > 1).
+
+Reference behavior: Simulation::ComputeBlockTimesteps
+(src/Common/Simulation.cpp:1763-2197) + SphLeapfrogKDK block stepping.
+The adiabatic Sod shock populates several timestep levels; accuracy must
+match the global-timestep result.
+"""
+
+import collections
+
+import numpy as np
+
+from gandalf_tpu.analysis.riemann import shocktube_solution
+from gandalf_tpu.sim.simulation import GradhSphSimulation
+
+
+def _adsod_params(nlevels):
+    from gandalf_tpu.params import Parameters
+
+    p = Parameters()
+    updates = {
+        "run_id": "", "sim": "gradhsph", "ic": "shocktube", "ndim": 1,
+        "vfluid1[0]": 0.0, "vfluid2[0]": 0.0,
+        "press1": 1.0, "press2": 0.1975,
+        "rhofluid1": 1.0, "rhofluid2": 0.25,
+        "Nlattice1[0]": 256, "Nlattice2[0]": 64,
+        "dimensionless": 1,
+        "boxmin[0]": -2.0, "boxmax[0]": 2.0,
+        "boundary_lhs[0]": "periodic", "boundary_rhs[0]": "periodic",
+        "tend": 0.25, "hydro_forces": 1,
+        "gas_eos": "energy_eqn", "gamma_eos": 1.4,
+        "kernel": "m4", "h_converge": 0.01,
+        "avisc": "mon97", "alpha_visc": 1.0, "beta_visc": 2.0,
+        "sph_integration": "lfkdk",
+        "courant_mult": 0.2, "accel_mult": 0.4, "energy_mult": 0.5,
+        "Nlevels": nlevels, "level_diff_max": 1,
+        "neib_search": "bruteforce",
+    }
+    for k, v in updates.items():
+        p.set(k, v)
+    return p
+
+
+def _run_to(sim, tend, nmax=20000):
+    n = 0
+    while sim.t < tend and n < nmax:
+        sim.main_loop_step()
+        n += 1
+    return n
+
+
+def _l1_vx(sim):
+    s = sim.state
+    x = np.asarray(s.r)[:, 0]
+    vx = np.asarray(s.v)[:, 0]
+    sol = shocktube_solution(1.0, 0.0, 1.0, 0.25, 0.0, 0.1975, 1.4,
+                             -1.0, 0.0, 1.0, sim.t)
+    sel = (x > -1.0) & (x < 1.0)
+    vref = np.interp(x[sel], sol["x"], sol["vx"])
+    return float(np.mean(np.abs(vx[sel] - vref)))
+
+
+def test_block_timesteps_match_global_accuracy():
+    """Nlevels=4 Sod shock: multiple levels occupied, exact-Riemann L1
+    within the same gate as the global scheme, conservation intact."""
+    sim = GradhSphSimulation(_adsod_params(4))
+    sim.SetupSimulation()
+    assert sim.use_block
+    ticks = _run_to(sim, 0.25)
+    s = sim.state
+
+    levels = collections.Counter(np.asarray(s.level).tolist())
+    assert len(levels) >= 2, f"ladder unused: {dict(levels)}"
+    assert ticks > 0 and abs(sim.t - 0.25) < 0.05
+    assert np.isfinite(np.asarray(s.v)).all()
+
+    l1 = _l1_vx(sim)
+    assert l1 < 0.02, f"block-timestep L1(vx) = {l1}"
+
+    # exact mass / bounded momentum (periodic, symmetric setup)
+    m = np.asarray(s.m)
+    vx = np.asarray(s.v)[:, 0]
+    assert abs(float((m * vx).sum())) < 1e-10
+
+
+def test_block_matches_global_solution():
+    """Block (Nlevels=3) and global runs agree on the density field to
+    well below the scheme's discretisation error."""
+    sims = {}
+    for nl in (1, 3):
+        sim = GradhSphSimulation(_adsod_params(nl))
+        sim.SetupSimulation()
+        _run_to(sim, 0.2)
+        sims[nl] = sim
+    rho_g = np.asarray(sims[1].state.rho)
+    rho_b = np.asarray(sims[3].state.rho)
+    # same ICs, same particle ordering; trajectories differ only through
+    # timestep quantisation
+    rel = np.abs(rho_b - rho_g) / rho_g
+    assert float(np.median(rel)) < 5e-3
+    assert float(rel.max()) < 0.08
+
+
+def test_block_schedule_invariants():
+    """Ladder bookkeeping invariants (the reference's debug asserts,
+    Simulation.cpp:2163-2186): level <= level_max, nlast <= n,
+    nstep == 2^(level_step-level) for particles at their step start."""
+    sim = GradhSphSimulation(_adsod_params(4))
+    sim.SetupSimulation()
+    for _ in range(25):
+        sim.main_loop_step()
+        B = sim._blocksched
+        s = sim.state
+        n = int(B.n)
+        lmax = int(B.level_max)
+        lv = np.asarray(s.level)
+        nlast = np.asarray(s.nlast)
+        nstep = np.asarray(B.nstep_part)
+        assert lv.max() <= lmax
+        assert (nlast <= n).all()
+        assert int(B.nresync) == 2 ** lmax
+        at_start = nlast == n
+        expect = 2 ** (lmax - lv[at_start])
+        assert (nstep[at_start] == expect).all()
+        assert n <= int(B.nresync)
