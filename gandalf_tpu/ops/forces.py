@@ -49,8 +49,14 @@ class ArtificialViscosity:
 
     @staticmethod
     def from_params(params) -> "ArtificialViscosity":
+        avisc = params.stringparams["avisc"]
+        # reference splits the scheme across two params: avisc = mon97 +
+        # time_dependent_avisc = mm97/cd2010 (Simulation.cpp:252-257)
+        if (avisc == "mon97"
+                and params.stringparams["time_dependent_avisc"] != "none"):
+            avisc = "mon97mm97"
         return ArtificialViscosity(
-            avisc=_AVISC_CODES[params.stringparams["avisc"]],
+            avisc=_AVISC_CODES[avisc],
             acond=_ACOND_CODES[params.stringparams["acond"]],
             alpha_visc=params.floatparams["alpha_visc"],
             alpha_visc_min=params.floatparams["alpha_visc_min"],

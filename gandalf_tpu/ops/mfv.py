@@ -286,6 +286,152 @@ def gizmo_limited_dW(Wprim_i: Array, Wprim_j: Array, grad_i: Array,
 
 
 # ---------------------------------------------------------------------------
+# Exact Riemann solver (vectorised over faces; Toro 1999 ch. 4)
+# ---------------------------------------------------------------------------
+
+def _pressure_fn(p: Array, pk: Array, dk: Array, ck: Array, gamma: float):
+    """f_K(p), f_K'(p) — branchless shock/rarefaction pressure function
+    (ExactRiemannSolver::Prefun, RiemannSolver.cpp:135-180)."""
+    ak = 2.0 / ((gamma + 1.0) * dk)
+    bk = (gamma - 1.0) / (gamma + 1.0) * pk
+    sq = jnp.sqrt(ak / (p + bk))
+    f_s = (p - pk) * sq
+    fp_s = sq * (1.0 - 0.5 * (p - pk) / (p + bk))
+    g1 = (gamma - 1.0) / (2.0 * gamma)
+    pr = jnp.maximum(p / pk, 1e-30)
+    q = pr ** g1                       # pr^(g1-1) == q/pr: one pow per side
+    f_r = 2.0 * ck / (gamma - 1.0) * (q - 1.0)
+    fp_r = q / (pr * dk * ck)
+    shock = p > pk
+    return jnp.where(shock, f_s, f_r), jnp.where(shock, fp_s, fp_r)
+
+
+def exact_star_region(dl, ul, pl, cl, dr, ur, pr, cr, gamma: float,
+                      n_iter: int = 10):
+    """(p*, u*) by vectorised Newton iteration with Toro's adaptive guess
+    (ExactRiemannSolver::ComputeStarRegion, RiemannSolver.cpp:190-280).
+    Returns p* <= 0 for vacuum."""
+    g1 = (gamma - 1.0) / (2.0 * gamma)
+    # PVRS guess
+    cup = 0.25 * (dl + dr) * (cl + cr)
+    ppv = jnp.maximum(0.5 * (pl + pr) + 0.5 * (ul - ur) * cup, 0.0)
+    pmin = jnp.minimum(pl, pr)
+    pmax = jnp.maximum(pl, pr)
+    # two-rarefaction guess
+    pq = jnp.maximum(pl / pr, 1e-30) ** g1
+    um = (pq * ul / cl + ur / cr + 2.0 / (gamma - 1.0) * (pq - 1.0)) \
+        / (pq / cl + 1.0 / cr)
+    ptl = jnp.maximum(1.0 + 0.5 * (gamma - 1.0) * (ul - um) / cl, 1e-30)
+    ptr = jnp.maximum(1.0 + 0.5 * (gamma - 1.0) * (um - ur) / cr, 1e-30)
+    p_tr = 0.5 * (pl * ptl ** (1.0 / g1) + pr * ptr ** (1.0 / g1))
+    # two-shock guess
+    gel = jnp.sqrt((2.0 / ((gamma + 1.0) * dl))
+                   / ((gamma - 1.0) / (gamma + 1.0) * pl + ppv))
+    ger = jnp.sqrt((2.0 / ((gamma + 1.0) * dr))
+                   / ((gamma - 1.0) / (gamma + 1.0) * pr + ppv))
+    p_ts = (gel * pl + ger * pr - (ur - ul)) / (gel + ger)
+    p0 = jnp.where((pmax / pmin <= 2.0) & (pmin <= ppv) & (ppv <= pmax),
+                   ppv, jnp.where(ppv < pmin, p_tr, p_ts))
+    p = jnp.maximum(p0, 1e-30)
+
+    def newton(p, _):
+        fl, flp = _pressure_fn(p, pl, dl, cl, gamma)
+        fr, frp = _pressure_fn(p, pr, dr, cr, gamma)
+        p_new = p - (fl + fr + ur - ul) / (flp + frp)
+        return jnp.maximum(p_new, 1e-30), None
+
+    p, _ = jax.lax.scan(newton, p, None, length=n_iter)
+    fl, _ = _pressure_fn(p, pl, dl, cl, gamma)
+    fr, _ = _pressure_fn(p, pr, dr, cr, gamma)
+    u = 0.5 * (ul + ur) + 0.5 * (fr - fl)
+    vacuum = (2.0 / (gamma - 1.0)) * (cl + cr) <= (ur - ul)
+    return jnp.where(vacuum, 0.0, p), jnp.where(vacuum, 0.0, u)
+
+
+def _sample_zero(pstar, ustar, dl, ul, pl, cl, dr, ur, pr, cr, gamma: float):
+    """Sample the self-similar solution at s = x/t = 0 (branchless version
+    of ExactRiemannSolver::SampleExactSolution, RiemannSolver.cpp:290-420)."""
+    g7 = 0.5 * (gamma - 1.0)
+    gp = (gamma + 1.0) / (2.0 * gamma)
+    gm = (gamma - 1.0) / (2.0 * gamma)
+    g6 = (gamma - 1.0) / (gamma + 1.0)
+
+    def side(dk, uk, pk, ck, sign):
+        """Solution at s=0 assuming the contact lies on the other side.
+        sign=+1 for the left family, -1 for the right."""
+        un = sign * uk
+        ratio = jnp.maximum(pstar / pk, 1e-30)
+        # shock branch
+        sK = un - ck * jnp.sqrt(gp * ratio + gm)
+        d_shock = dk * (ratio + g6) / (g6 * ratio + 1.0)
+        # rarefaction branch
+        shK = un - ck
+        cmK = ck * ratio ** gm
+        stK = sign * ustar - cmK
+        cfan = (2.0 / (gamma + 1.0)) * (ck + g7 * un)
+        u_fan = (2.0 / (gamma + 1.0)) * (ck + g7 * un)
+        d_fan = dk * jnp.maximum(cfan / ck, 0.0) ** (2.0 / (gamma - 1.0))
+        p_fan = pk * jnp.maximum(cfan / ck, 0.0) ** (2.0 * gamma
+                                                     / (gamma - 1.0))
+        is_shock = pstar > pk
+        # undisturbed / star / fan selection at s = 0
+        outer = jnp.where(is_shock, sK >= 0.0, shK >= 0.0)
+        in_star = jnp.where(is_shock, sK < 0.0, stK <= 0.0)
+        d_star = jnp.where(is_shock, d_shock, dk * ratio ** (1.0 / gamma))
+        d = jnp.where(outer, dk, jnp.where(in_star, d_star, d_fan))
+        u = jnp.where(outer, un,
+                      jnp.where(in_star, sign * ustar, u_fan))
+        p = jnp.where(outer, pk, jnp.where(in_star, pstar, p_fan))
+        return d, sign * u, p
+
+    dl0, ul0, pl0 = side(dl, ul, pl, cl, +1.0)
+    dr0, ur0, pr0 = side(dr, ur, pr, cr, -1.0)
+    on_left = ustar >= 0.0
+    return (jnp.where(on_left, dl0, dr0), jnp.where(on_left, ul0, ur0),
+            jnp.where(on_left, pl0, pr0))
+
+
+def exact_flux(Wl: Array, Wr: Array, n: Array, vface: Array,
+               gamma: float, zero_mass_flux: bool) -> Array:
+    """Exact Godunov flux along face normal n
+    (ExactRiemannSolver::ComputeFluxes, RiemannSolver.cpp:426-552).
+
+    Same interface as hllc_flux: Wl/Wr are face-frame primitives; the
+    returned flux is lab-frame, projected on n."""
+    ndim = n.shape[-1]
+    irho, iE = ndim, ndim + 1
+    rl, pl = Wl[..., irho], Wl[..., iE]
+    rr, pr = Wr[..., irho], Wr[..., iE]
+    vl, vr = Wl[..., :ndim], Wr[..., :ndim]
+    vll = jnp.sum(vl * n, axis=-1)
+    vlr = jnp.sum(vr * n, axis=-1)
+    cl = jnp.sqrt(gamma * pl / rl)
+    cr = jnp.sqrt(gamma * pr / rr)
+
+    pstar, ustar = exact_star_region(rl, vll, pl, cl, rr, vlr, pr, cr, gamma)
+    d0, u0, p0 = _sample_zero(pstar, ustar, rl, vll, pl, cl,
+                              rr, vlr, pr, cr, gamma)
+
+    # transverse velocity advected from the upwind side (:489-496)
+    vt = jnp.where((u0 > 0.0)[..., None],
+                   vl - vll[..., None] * n, vr - vlr[..., None] * n)
+    if zero_mass_flux:
+        vface = vface + u0[..., None] * n
+        un = jnp.zeros_like(u0)
+    else:
+        un = u0
+    W_v = vt + un[..., None] * n + vface          # lab-frame face velocity
+    etot = 0.5 * jnp.sum(W_v * W_v, -1) \
+        + p0 / ((gamma - 1.0) * jnp.maximum(d0, 1e-30))
+    f_rho = d0 * un
+    f_v = (f_rho)[..., None] * W_v + p0[..., None] * n
+    f_E = d0 * etot * un + p0 * jnp.sum(W_v * n, -1)
+
+    flux = jnp.concatenate([f_v, f_rho[..., None], f_E[..., None]], -1)
+    return jnp.where((pstar > 0.0)[..., None], flux, 0.0)   # vacuum -> 0
+
+
+# ---------------------------------------------------------------------------
 # HLLC Riemann solver (vectorised over faces)
 # ---------------------------------------------------------------------------
 
@@ -398,6 +544,7 @@ class MfvConfig:
     gamma: float
     zero_mass_flux: bool = True
     static_particles: bool = False
+    riemann: str = "hllc"            # hllc | exact
 
 
 def compute_godunov_fluxes(kern: SmoothingKernel, cfg: MfvConfig, ndim: int,
@@ -483,8 +630,9 @@ def compute_godunov_fluxes(kern: SmoothingKernel, cfg: MfvConfig, ndim: int,
     Wl = Wl.at[..., iE].set(jnp.maximum(Wl[..., iE], tiny))
     Wr = Wr.at[..., iE].set(jnp.maximum(Wr[..., iE], tiny))
 
-    flux_line = hllc_flux(Wl, Wr, Aunit, vface, cfg.gamma,
-                          cfg.zero_mass_flux)
+    flux_fn = exact_flux if cfg.riemann == "exact" else hllc_flux
+    flux_line = flux_fn(Wl, Wr, Aunit, vface, cfg.gamma,
+                        cfg.zero_mass_flux)
     # f_var = (flux_var * n) . Aij = flux_line_var * |Aij|
     f = flux_line * Amag[..., None]
     f = jnp.where(face_ok[..., None], f, 0.0)

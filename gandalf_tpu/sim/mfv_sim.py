@@ -43,12 +43,13 @@ class MfvMusclSimulation(SimulationBase):
         self.kern = kernel_factory(p.stringparams["kernel"], self.ndim)
         self.eos = eos_factory(p)
         self.box = DomainBox.from_params(p)
+        if p.stringparams["riemann_solver"] not in ("hllc", "exact"):
+            raise ValueError("riemann_solver must be hllc or exact")
         self.mfv_cfg = mfv_ops.MfvConfig(
             gamma=p.floatparams["gamma_eos"],
             zero_mass_flux=bool(p.intparams["zero_mass_flux"]),
-            static_particles=bool(p.intparams["static_particles"]))
-        if p.stringparams["riemann_solver"] not in ("hllc", "exact"):
-            raise ValueError("riemann_solver must be hllc or exact")
+            static_particles=bool(p.intparams["static_particles"]),
+            riemann=p.stringparams["riemann_solver"])
         self.h_fac = p.floatparams["h_fac"]
         self.h_converge = p.floatparams["h_converge"]
         self.hydro_forces = bool(p.intparams["hydro_forces"])

@@ -360,6 +360,11 @@ class GradhSphSimulation(SimulationBase):
                 ic = generate_ic(self.params, self.eos)
             self.state = make_sph_state(ic["r"], ic["v"], ic["m"],
                                         ic["h"], ic["u"])
+            # initial artificial-viscosity alpha (SphSimulation.cpp:252-257)
+            alpha0 = (self.visc.alpha_visc_min if self.integ.td_avisc
+                      else self.visc.alpha_visc)
+            self.state = self.state.replace(
+                alpha=jnp.full_like(self.state.alpha, alpha0))
             # massless particles (accreted corpses in old files) are dead:
             # a live m=0 particle would drive the h iteration to h -> 0
             if np.any(np.asarray(ic["m"]) <= 0.0):
@@ -596,6 +601,11 @@ class GradhSphSimulation(SimulationBase):
                 s = self._hydro_pass(s)
                 s = s.replace(levelneib=compute_levelneib(
                     box, s.r, s.h, s.level, kernrange, s.alive))
+                if integ.td_avisc:
+                    # alpha advanced once per tick (AdvanceParticles,
+                    # SphLeapfrogKDK.cpp:111)
+                    s = s.replace(alpha=s.alpha
+                                  + self._dalphadt(s) * B.dt_base)
                 active, nstep_p, level = check_timesteps(cfg, s, B, active)
                 dt_crit = sph_timestep(integ, s, self.hydro_forces)
                 s, B = end_timestep(cfg, s, B, active, level, nstep_p,
@@ -618,7 +628,7 @@ class GradhSphSimulation(SimulationBase):
                 r, v = box.reflect(r, s.v)
                 s = s.replace(r=r, v=v, r0=box.wrap(s.r0))
                 s, sinks = self._sink_coupled_pass(s, sinks)
-                s = correct(integ, s, dt, jnp.zeros_like(s.alpha))
+                s = correct(integ, s, dt, self._dalphadt(s))
                 v_c = sinks.v + 0.5 * dt * (sinks.a - sinks.a0)
                 sinks = sinks._replace(v=v_c, r0=sinks.r, v0=v_c,
                                        a0=sinks.a)
@@ -647,12 +657,20 @@ class GradhSphSimulation(SimulationBase):
             r0 = box.wrap(s.r0)
             s = s.replace(r=r, v=v, r0=r0)
             s = self._hydro_pass(s)
-            dalphadt = jnp.zeros_like(s.alpha)
-            s = correct(integ, s, dt, dalphadt)
+            s = correct(integ, s, dt, self._dalphadt(s))
             dt_next = jnp.min(sph_timestep(integ, s, self.hydro_forces))
             return s.replace(t=t, dt=dt_next, nstep=s.nstep + 1)
 
         return step
+
+    def _dalphadt(self, s: SphState) -> Array:
+        """Morris & Monaghan (1997) time-dependent viscosity evolution
+        (GradhSph.cpp:453-456); zero when alpha is fixed."""
+        if not self.integ.td_avisc:
+            return jnp.zeros_like(s.alpha)
+        visc = self.visc
+        return (0.1 * s.sound * (visc.alpha_visc_min - s.alpha) / s.h
+                + jnp.maximum(-s.div_v, 0.0) * (visc.alpha_visc - s.alpha))
 
     # -- host driver ------------------------------------------------------------
     def main_loop_step(self):

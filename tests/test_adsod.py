@@ -104,3 +104,40 @@ def test_adsod_conservation(adsod_sim):
     mom1, e1 = totals(last)
     assert np.abs(mom1 - mom0).max() < 1e-6
     assert abs(e1 - e0) / abs(e0) < 2e-3
+
+
+def test_time_dependent_viscosity_mm97():
+    """avisc=mon97 + time_dependent_avisc=mm97 (GradhSph.cpp:453-456):
+    alpha starts at alpha_visc_min, rises only near the shock, and the
+    solution stays within the L1 gate."""
+    import numpy as np
+
+    from gandalf_tpu.analysis.riemann import shocktube_solution
+    from gandalf_tpu.sim.simulation import GradhSphSimulation
+
+    p = make_adsod_params()
+    p.set("run_id", "")
+    p.set("time_dependent_avisc", "mm97")
+    p.set("Nlattice1[0]", 256)
+    p.set("Nlattice2[0]", 64)
+    p.set("tend", 0.25)
+    sim = GradhSphSimulation(p)
+    sim.SetupSimulation()
+    a0 = np.asarray(sim.state.alpha)
+    assert np.allclose(a0, 0.1)           # alpha_visc_min
+    n = 0
+    while sim.t < 0.25 and n < 5000:
+        sim.main_loop_step()
+        n += 1
+    s = sim.state
+    alpha = np.asarray(s.alpha)
+    assert alpha.max() > 0.2              # switched on at the shock
+    assert np.median(alpha) < 0.15        # quiet flow stays near the floor
+    x = np.asarray(s.r)[:, 0]
+    vx = np.asarray(s.v)[:, 0]
+    sol = shocktube_solution(1.0, 0.0, 1.0, 0.25, 0.0, 0.1975, 1.4,
+                             -1.0, 0.0, 1.0, sim.t)
+    sel = (x > -1.0) & (x < 1.0)
+    l1 = float(np.mean(np.abs(vx[sel] - np.interp(x[sel], sol["x"],
+                                                  sol["vx"]))))
+    assert l1 < 0.02
