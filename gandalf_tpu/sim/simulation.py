@@ -289,10 +289,21 @@ class GradhSphSimulation(SimulationBase):
         self.integ = IntegratorConfig.from_params(p, energy_integration)
         self.hydro_forces = bool(p.intparams["hydro_forces"])
         self.self_gravity = bool(p.intparams["self_gravity"])
+        self.ewald_table = None
+        self.use_ewald = False
         if self.self_gravity and self.box.periodic_dims():
-            raise ValueError("periodic self-gravity (Ewald) not yet "
-                             "implemented in the TPU build")
+            if len(self.box.periodic_dims()) != self.ndim or self.ndim != 3:
+                raise NotImplementedError(
+                    "periodic self-gravity requires a fully-periodic 3D box "
+                    "(mixed-periodicity Ewald not implemented)")
+            self.use_ewald = True
         self.h_fac = p.floatparams["h_fac"]
+        if self.use_ewald:
+            from ..ops.ewald import build_ewald_table
+
+            self.ewald_table = build_ewald_table(
+                self.box.size, ngrid=max(p.intparams["nEwaldGrid"], 9),
+                ewald_mult=p.floatparams["ewald_mult"])
         self.h_converge = p.floatparams["h_converge"]
         # neighbour-search strategy: "bruteforce" = all-pairs oracle;
         # anything else (kdtree/octtree/celllist) maps to the TPU cell-list
@@ -301,6 +312,10 @@ class GradhSphSimulation(SimulationBase):
         self.neib_search = p.stringparams["neib_search"]
         self.use_celllist = (self.neib_search != "bruteforce"
                              and not self.box.mirror_walls())
+        if self.use_ewald:
+            # per-pair periodic corrections are wired into the all-pairs
+            # gravity sum (the tree walk does not apply them yet)
+            self.use_celllist = False
         # hierarchical block timesteps (Nlevels > 1); the dense levelneib
         # pass is wired into the all-pairs path only
         self.nlevels = max(p.intparams["Nlevels"], 1)
@@ -442,7 +457,15 @@ class GradhSphSimulation(SimulationBase):
 
                 g = direct_sph_gravity(self.kern, s.r, s.m, s.h,
                                        s.zeta, s.hfactor)
-                s = s.replace(a=s.a + g.a, gpot=g.gpot)
+                a_g, gpot = g.a, g.gpot
+                if self.use_ewald:
+                    from ..ops.ewald import ewald_pair_gravity
+
+                    a_e, gp_e = ewald_pair_gravity(self.ewald_table,
+                                                   self.box, s.r, s.m)
+                    a_g = a_g + a_e
+                    gpot = gpot + gp_e
+                s = s.replace(a=s.a + a_g, gpot=gpot)
         return s
 
     def _hydro_only_pass(self, s: SphState) -> SphState:

@@ -1,0 +1,128 @@
+"""Ewald periodic self-gravity (reference src/Common/Ewald.cpp).
+
+Validation strategy: the Ewald split must be independent of the splitting
+parameter alpha (both tables represent the same conditionally-convergent
+image sum), exact symmetry zeros at half-cell separations, antisymmetry,
+and momentum conservation through the full force pass.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from gandalf_tpu.ops.ewald import (build_ewald_table, ewald_correction,
+                                   ewald_pair_gravity)
+from gandalf_tpu.state import DomainBox
+
+
+def _box(L=1.0):
+    from gandalf_tpu.state import PERIODIC
+
+    return DomainBox(ndim=3, boxmin=(0.0,) * 3, boxmax=(L,) * 3,
+                     lhs=(PERIODIC,) * 3, rhs=(PERIODIC,) * 3)
+
+
+@pytest.fixture(scope="module")
+def table():
+    return build_ewald_table([1.0, 1.0, 1.0], ngrid=17)
+
+
+class TestEwaldTable:
+    def test_alpha_independence(self, table):
+        tab2 = build_ewald_table([1.0, 1.0, 1.0], ngrid=17, nseries=6,
+                                 ewald_mult=1.3)
+        assert np.abs(np.asarray(table.acc)
+                      - np.asarray(tab2.acc)).max() < 1e-10
+        assert np.abs(np.asarray(table.pot)
+                      - np.asarray(tab2.pot)).max() < 1e-10
+
+    def test_symmetry_zeros(self, table):
+        """At dr = (L/2,0,0) and (L/2,L/2,L/2) the TOTAL periodic force
+        vanishes by symmetry, so the correction equals minus the direct
+        Newtonian term."""
+        for dr0 in ([0.5, 0.0, 0.0], [0.5, 0.5, 0.5], [0.0, 0.0, 0.5]):
+            dr = jnp.asarray([dr0])
+            ac, _ = ewald_correction(table, dr)
+            newt = np.asarray(dr0) / np.linalg.norm(dr0) ** 3
+            assert np.abs(np.asarray(ac[0]) + newt).max() < 1e-12
+
+    def test_antisymmetry(self, table):
+        rng = np.random.default_rng(5)
+        d = rng.uniform(-0.5, 0.5, (32, 3))
+        ap, _ = ewald_correction(table, jnp.asarray(d))
+        am, _ = ewald_correction(table, jnp.asarray(-d))
+        assert np.abs(np.asarray(ap) + np.asarray(am)).max() < 1e-12
+
+    def test_correction_small_at_small_r(self, table):
+        """Close pairs are dominated by the direct term: |corr| << 1/r^2."""
+        dr = jnp.asarray([[0.05, 0.02, 0.01]])
+        ac, _ = ewald_correction(table, dr)
+        newt = 1.0 / np.sum(np.asarray(dr[0]) ** 2)
+        assert np.linalg.norm(np.asarray(ac[0])) < 0.2 * newt
+
+
+class TestEwaldPairGravity:
+    def test_momentum_conserving(self, table):
+        rng = np.random.default_rng(11)
+        r = jnp.asarray(rng.uniform(0, 1, (24, 3)))
+        m = jnp.asarray(rng.uniform(0.5, 1.5, 24))
+        a, gpot = ewald_pair_gravity(table, _box(), r, m)
+        ptot = np.asarray(m)[:, None] * np.asarray(a)
+        assert np.abs(ptot.sum(0)).max() < 1e-12
+        assert np.isfinite(np.asarray(gpot)).all()
+
+    def test_uniform_lattice_total_force_zero(self, table):
+        """A perfect periodic lattice feels no net gravity: the direct
+        minimum-image sum plus the Ewald correction cancels exactly (the
+        correction alone is nonzero at half-cell separations, where the
+        minimum image is ambiguous — only the total is well defined)."""
+        box = _box()
+        n = 4
+        g = (np.arange(n) + 0.5) / n
+        X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+        r = jnp.asarray(np.stack([X, Y, Z], -1).reshape(-1, 3))
+        m = jnp.ones(r.shape[0])
+        a_e, _ = ewald_pair_gravity(table, box, r, m)
+        dr = box.min_image(r[None, :, :] - r[:, None, :])
+        d2 = jnp.sum(dr * dr, -1)
+        eye = jnp.eye(r.shape[0], dtype=bool)
+        inv3 = jnp.where(eye, 0.0, jnp.where(d2 > 0, d2, 1.0) ** -1.5)
+        a_d = jnp.sum((m[None, :] * inv3)[..., None] * dr, axis=1)
+        total = np.asarray(a_e + a_d)
+        # scale: single-pair force at lattice spacing is 1/0.25^2 = 16
+        assert np.abs(total).max() < 0.05
+
+
+class TestPeriodicSelfGravitySim:
+    def test_periodic_jeans_box_runs(self):
+        """Full controller: periodic 3D box with self-gravity no longer
+        raises and conserves momentum over steps."""
+        from gandalf_tpu.params import Parameters
+        from gandalf_tpu.sim.simulation import GradhSphSimulation
+
+        p = Parameters()
+        for k, v in {
+                "ndim": 3, "sim": "sph", "ic": "box",
+                "Nlattice1[0]": 4, "Nlattice1[1]": 4, "Nlattice1[2]": 4,
+                "dimensionless": 1, "run_id": "",
+                "boxmin[0]": 0.0, "boxmax[0]": 1.0,
+                "boxmin[1]": 0.0, "boxmax[1]": 1.0,
+                "boxmin[2]": 0.0, "boxmax[2]": 1.0,
+                "boundary_lhs[0]": "periodic", "boundary_rhs[0]": "periodic",
+                "boundary_lhs[1]": "periodic", "boundary_rhs[1]": "periodic",
+                "boundary_lhs[2]": "periodic", "boundary_rhs[2]": "periodic",
+                "gas_eos": "energy_eqn", "self_gravity": 1,
+                "hydro_forces": 1, "neib_search": "bruteforce",
+                "rhofluid1": 1.0, "press1": 1.0,
+        }.items():
+            p.set(k, v)
+        sim = GradhSphSimulation(p)
+        sim.SetupSimulation()
+        assert sim.use_ewald and sim.ewald_table is not None
+        for _ in range(5):
+            sim.main_loop_step()
+        s = sim.state
+        assert np.isfinite(np.asarray(s.v)).all()
+        mom = (np.asarray(s.m)[:, None] * np.asarray(s.v)).sum(0)
+        assert np.abs(mom).max() < 1e-10
