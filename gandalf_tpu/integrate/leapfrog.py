@@ -88,5 +88,6 @@ def sph_timestep(cfg: IntegratorConfig, s: SphState,
     dt = jnp.minimum(dt_cfl, dt_acc)
     if cfg.energy_integration:
         dt_en = cfg.energy_mult * s.u / (jnp.abs(s.dudt) + tiny)
-        dt = jnp.minimum(dt, dt_en)
+        # u = 0 lanes (dust, freshly-created) carry no thermal state
+        dt = jnp.minimum(dt, jnp.where(s.u > 0.0, dt_en, 1e30))
     return dt

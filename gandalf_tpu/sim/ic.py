@@ -503,7 +503,33 @@ def binary_ic(params) -> Dict[str, np.ndarray]:
     return {"r": r, "v": v, "m": m, "h": h}
 
 
+def dustybox_ic(params, eos) -> Dict[str, np.ndarray]:
+    """Uniform gas box + slightly-offset dust lattice with a velocity
+    offset (DUSTYBOX drag test; src/Ic/DustyBoxIc.cpp:40-150)."""
+    from ..state import DUST_TYPE, GAS_TYPE
+
+    gas = uniform_box_ic(params, eos)
+    fp = params.floatparams
+    N = len(gas["m"])
+    gas["v"][:, 0] = fp["vfluid1[0]"]
+    d2g = fp["dust_mass_factor"]
+    dust_r = gas["r"].copy()
+    dust_r[:, 0] += 0.01 * gas["h"]
+    dust_v = np.zeros_like(gas["v"])
+    dust_v[:, 0] = fp["vfluid2[0]"]
+    return {
+        "r": np.concatenate([gas["r"], dust_r]),
+        "v": np.concatenate([gas["v"], dust_v]),
+        "m": np.concatenate([gas["m"], gas["m"] * d2g]),
+        "h": np.concatenate([gas["h"], gas["h"]]),
+        "u": np.concatenate([gas["u"], np.zeros(N)]),
+        "ptype": np.concatenate([np.full(N, GAS_TYPE, np.int32),
+                                 np.full(N, DUST_TYPE, np.int32)]),
+    }
+
+
 _IC_REGISTRY = {
+    "dustybox": dustybox_ic,
     "shocktube": shocktube_ic,
     "soundwave": soundwave_ic,
     "box": uniform_box_ic,

@@ -336,6 +336,16 @@ class GradhSphSimulation(SimulationBase):
             sink_radius=p.floatparams["sink_radius"],
             create=self.create_sinks,
             accrete=self.sink_particles)
+        # dust drag (reference DustFactory, src/Common/Dust.cpp:1147-1330)
+        self.dust_forces = p.stringparams["dust_forces"]
+        self.has_dust = self.dust_forces not in ("none", "null", "")
+        if self.has_dust:
+            from ..ops.dust import DragLaw
+
+            if self.dust_forces not in ("full_twofluid", "test_particle"):
+                raise ValueError(f"unknown dust_forces {self.dust_forces!r}")
+            self.drag_law = DragLaw.from_params(p)
+            self.use_celllist = False      # cross-type masks are brute-only
         self.treespec = None
         self.gridspec = None
         self.chunk = 4096        # particle chunk (gather pipeline)
@@ -375,6 +385,9 @@ class GradhSphSimulation(SimulationBase):
                 ic = generate_ic(self.params, self.eos)
             self.state = make_sph_state(ic["r"], ic["v"], ic["m"],
                                         ic["h"], ic["u"])
+            if "ptype" in ic:
+                self.state = self.state.replace(
+                    ptype=jnp.asarray(np.asarray(ic["ptype"], np.int32)))
             # initial artificial-viscosity alpha (SphSimulation.cpp:252-257)
             alpha0 = (self.visc.alpha_visc_min if self.integ.td_avisc
                       else self.visc.alpha_visc)
@@ -479,17 +492,44 @@ class GradhSphSimulation(SimulationBase):
                                      self.hydro_forces, s)
         # ghost images for mirror walls; periodic handled by min-image;
         # dead (accreted) particles carry zero mass and skip the h loop
+        from ..state import DUST_TYPE
+
         alive = s.alive
+        is_dust = s.ptype == DUST_TYPE
         m_live = jnp.where(alive, s.m, 0.0)
-        scalars = {"m": m_live}
+        m_gas = jnp.where(is_dust, 0.0, m_live)
+        scalars = {"m": m_gas}
+        if self.has_dust:
+            scalars["md"] = jnp.where(is_dust, m_live, 0.0)
         r_ext, v_ext, sc_ext, _ = extend_with_mirror_images(
             box, s.r, s.v, scalars)
         dens = compute_h_bruteforce(kern, box, self.h_fac, self.h_converge,
                                     s.r, s.m, s.h, r_ext, sc_ext["m"],
-                                    active=alive)
+                                    active=alive & ~is_dust)
+        if self.has_dust:
+            # dust is a pressureless fluid with its own h from dust
+            # neighbours (DustFull; Dust.cpp:232-280)
+            dens_d = compute_h_bruteforce(
+                kern, box, self.h_fac, self.h_converge,
+                s.r, s.m, s.h, r_ext, sc_ext["md"],
+                active=alive & is_dust)
+            from ..ops.density import DensityResult
+
+            pick = lambda g, d: jnp.where(is_dust, d, g)
+            dens = DensityResult(
+                h=pick(dens.h, dens_d.h), rho=pick(dens.rho, dens_d.rho),
+                invomega=pick(dens.invomega, dens_d.invomega),
+                zeta=pick(dens.zeta, dens_d.zeta),
+                hfactor=pick(dens.hfactor, dens_d.hfactor),
+                converged=dens.converged & dens_d.converged)
         sane = lambda x, v: jnp.where(alive, x, v)
         u, pressure, sound = eos.thermal_update(
             jnp.maximum(dens.rho, 1e-30), s.u)
+        if self.has_dust:
+            # dust carries no thermal state (u/P/c set by the drag pass)
+            u = jnp.where(is_dust, 0.0, u)
+            pressure = jnp.where(is_dust, 0.0, pressure)
+            sound = jnp.where(is_dust, 0.0, sound)
         s = s.replace(h=sane(dens.h, 1.0), rho=sane(dens.rho, 1.0),
                       invomega=sane(dens.invomega, 1.0),
                       zeta=sane(dens.zeta, 0.0),
@@ -501,8 +541,9 @@ class GradhSphSimulation(SimulationBase):
             return s.replace(a=jnp.zeros_like(s.a),
                              dudt=jnp.zeros_like(s.dudt),
                              div_v=jnp.zeros_like(s.div_v))
-        # rebuild extended views with post-density fields
-        fields = {"m": m_live, "h": s.h, "rho": s.rho, "u": s.u,
+        # rebuild extended views with post-density fields (gas-only masses:
+        # dust exerts no hydro force)
+        fields = {"m": m_gas, "h": s.h, "rho": s.rho, "u": s.u,
                   "pressure": s.pressure, "sound": s.sound,
                   "invomega": s.invomega, "hfactor": s.hfactor,
                   "alpha": s.alpha}
@@ -512,7 +553,13 @@ class GradhSphSimulation(SimulationBase):
         f = compute_hydro_forces(kern, visc, s.v, s.h, s.rho, s.u,
                                  s.pressure, s.sound, s.invomega,
                                  s.hfactor, s.alpha, nb)
-        return s.replace(a=f.a, dudt=f.dudt, div_v=f.div_v)
+        a, dudt, div_v = f.a, f.dudt, f.div_v
+        if self.has_dust:
+            gasless = is_dust[:, None]
+            a = jnp.where(gasless, 0.0, a)
+            dudt = jnp.where(is_dust, 0.0, dudt)
+            div_v = jnp.where(is_dust, 0.0, div_v)
+        return s.replace(a=a, dudt=dudt, div_v=div_v)
 
     def _sink_coupled_pass(self, s: SphState, sinks):
         """Gas hydro+self-gravity plus star<->gas and star<->star gravity
@@ -596,6 +643,8 @@ class GradhSphSimulation(SimulationBase):
 
         def bootstrap(s: SphState) -> SphState:
             s = self._hydro_pass(s)
+            if self.has_dust:
+                s = self._apply_drag(s, jnp.asarray(0.0, s.t.dtype))
             s = s.replace(a0=s.a, dudt0=s.dudt, u0=s.u, r0=s.r, v0=s.v)
             dt = jnp.min(sph_timestep(integ, s, self.hydro_forces))
             return s.replace(dt=dt)
@@ -680,11 +729,30 @@ class GradhSphSimulation(SimulationBase):
             r0 = box.wrap(s.r0)
             s = s.replace(r=r, v=v, r0=r0)
             s = self._hydro_pass(s)
+            if self.has_dust:
+                s = self._apply_drag(s, dt)
             s = correct(integ, s, dt, self._dalphadt(s))
             dt_next = jnp.min(sph_timestep(integ, s, self.hydro_forces))
             return s.replace(t=t, dt=dt_next, nstep=s.nstep + 1)
 
         return step
+
+    def _apply_drag(self, s: SphState, dt) -> SphState:
+        """Semi-implicit gas-dust drag added after the hydro/gravity pass
+        (MainLoop: UpdateAllDragForces, SphSimulation.cpp)."""
+        from ..ops.dust import drag_twofluid
+        from ..state import DUST_TYPE
+
+        d = drag_twofluid(self.kern, self.drag_law, self.box, dt,
+                          s.r, s.v, s.a, s.a0, s.m, s.h, s.rho, s.sound,
+                          s.ptype, alive=s.alive,
+                          test_particle=self.dust_forces == "test_particle")
+        is_dust = s.ptype == DUST_TYPE
+        return s.replace(
+            a=s.a + d.a_drag,
+            dudt=s.dudt + d.dudt,
+            sound=jnp.where(is_dust, d.sound, s.sound),
+            div_v=jnp.where(is_dust, d.div_v, s.div_v))
 
     def _dalphadt(self, s: SphState) -> Array:
         """Morris & Monaghan (1997) time-dependent viscosity evolution

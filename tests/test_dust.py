@@ -1,0 +1,118 @@
+"""Gas-dust drag (DUSTYBOX; reference src/Common/Dust.cpp +
+tests/paper_tests/dustyboxtest.py).
+
+The analytic DUSTYBOX solution: two uniform interpenetrating fluids relax
+exponentially onto their common centre-of-mass velocity,
+dv(t) = dv0 exp(-t/t_rel), with t_rel = t_s for the fixed drag law and the
+epsilon-weighted split vg = vcom - eps dv, vd = vcom + (1-eps) dv,
+eps = rho_d / (rho_g + rho_d)."""
+
+import numpy as np
+import pytest
+
+from gandalf_tpu.params import Parameters
+from gandalf_tpu.sim.simulation import GradhSphSimulation
+from gandalf_tpu.state import DUST_TYPE, GAS_TYPE
+
+
+def _dustybox_params(**over):
+    p = Parameters()
+    base = {
+        "ndim": 1, "sim": "sph", "ic": "dustybox", "dimensionless": 1,
+        "run_id": "", "Nlattice1[0]": 32,
+        "boxmin[0]": 0.0, "boxmax[0]": 1.0,
+        "boundary_lhs[0]": "periodic", "boundary_rhs[0]": "periodic",
+        "rhofluid1": 1.0, "press1": 1.0,
+        "gamma_eos": 1.6666666666666667,
+        "vfluid1[0]": 0.0, "vfluid2[0]": 1.0,
+        "dust_mass_factor": 1.0,
+        "gas_eos": "energy_eqn", "hydro_forces": 1,
+        "neib_search": "bruteforce",
+        "dust_forces": "full_twofluid",
+        "drag_law": "fixed", "drag_coeff": 1.0,
+    }
+    base.update(over)
+    for k, v in base.items():
+        p.set(k, v)
+    return p
+
+
+def _run(p, tend):
+    sim = GradhSphSimulation(p)
+    sim.SetupSimulation()
+    while sim.t < tend and sim.Nsteps < 5000:
+        sim.main_loop_step()
+    return sim
+
+
+def _split(sim):
+    ptype = np.asarray(sim.state.ptype)
+    return ptype == GAS_TYPE, ptype == DUST_TYPE
+
+
+class TestDustyBox:
+    def test_fixed_drag_exponential_relaxation(self):
+        """drag_law=fixed, K=1: dv(t) = dv0 e^{-Kt}; energy and momentum
+        conserved through the semi-implicit update."""
+        sim = _run(_dustybox_params(), 1.0)
+        gas, dust = _split(sim)
+        s = sim.state
+        m = np.asarray(s.m)
+        vx = np.asarray(s.v)[:, 0]
+        dv = np.exp(-sim.t)
+        eps = 0.5                      # dust_mass_factor = 1
+        assert abs(vx[gas].mean() - (0.5 - eps * dv)) < 2e-3
+        assert abs(vx[dust].mean() - (0.5 + (1 - eps) * dv)) < 2e-3
+        # gas and dust velocity dispersion stays tiny (uniform problem)
+        assert vx[gas].std() < 1e-3 and vx[dust].std() < 1e-3
+        # exact momentum; total energy (KE + heat) conserved
+        assert (m * vx).sum() == pytest.approx(1.0, abs=1e-12)
+        u = np.asarray(s.u)
+        E = 0.5 * (m * vx ** 2).sum() + (m * u).sum()
+        assert E == pytest.approx(2.0, rel=1e-5)
+        # drag heating went into the gas
+        assert u[gas].mean() > 1.5
+
+    def test_unequal_dust_fraction(self):
+        """dust_mass_factor = 0.25 -> eps = 0.2; the COM split changes."""
+        sim = _run(_dustybox_params(**{"dust_mass_factor": 0.25}), 0.8)
+        gas, dust = _split(sim)
+        vx = np.asarray(sim.state.v)[:, 0]
+        eps = 0.25 / 1.25
+        vcom = eps * 1.0
+        dv = np.exp(-sim.t)
+        assert abs(vx[gas].mean() - (vcom - eps * dv)) < 2e-3
+        assert abs(vx[dust].mean() - (vcom + (1 - eps) * dv)) < 2e-3
+
+    def test_lp12_drag_law(self):
+        """drag_law=lp12: t_s = rho_g rho_d / (K (rho_g+rho_d)) so the
+        relaxation rate is K (rho_g + rho_d) / (rho_g rho_d)... for the
+        two-fluid dv the decay rate is 1/t_s = K (rho_g+rho_d)/(rho_g rho_d)
+        = 2 for unit densities and K = 1."""
+        sim = _run(_dustybox_params(drag_law="lp12"), 0.5)
+        gas, dust = _split(sim)
+        vx = np.asarray(sim.state.v)[:, 0]
+        dv = np.exp(-2.0 * sim.t)
+        assert abs((vx[dust].mean() - vx[gas].mean()) - dv) < 5e-3
+
+    def test_dust_is_pressureless(self):
+        sim = GradhSphSimulation(_dustybox_params())
+        sim.SetupSimulation()
+        gas, dust = _split(sim)
+        s = sim.state
+        assert np.all(np.asarray(s.pressure)[dust] == 0.0)
+        assert np.all(np.asarray(s.u)[dust] == 0.0)
+        assert np.asarray(s.pressure)[gas].min() > 0.0
+        # dust got a finite timestep from the drag criteria
+        assert float(s.dt) > 0.0
+        assert np.isfinite(float(s.dt))
+
+    def test_test_particle_mode(self):
+        """dust_forces=test_particle: dust decays onto the GAS velocity
+        (no back-reaction), dv = dv0 e^{-Kt} with t_s(drho=0)."""
+        sim = _run(_dustybox_params(dust_forces="test_particle"), 0.8)
+        gas, dust = _split(sim)
+        vx = np.asarray(sim.state.v)[:, 0]
+        dv = np.exp(-sim.t)
+        assert abs(vx[gas].mean() - 0.0) < 1e-3          # gas unaffected
+        assert abs(vx[dust].mean() - dv) < 3e-3
