@@ -503,6 +503,192 @@ def binary_ic(params) -> Dict[str, np.ndarray]:
     return {"r": r, "v": v, "m": m, "h": h}
 
 
+def evrard_ic(params, eos) -> Dict[str, np.ndarray]:
+    """Evrard collapse: 1/r density sphere, cold gas
+    (src/Ic/EvrardCollapseIc.cpp:50-135).  A unit lattice sphere is
+    stretched with rnew = R r^{3/2} so rho ~ 1/r."""
+    ip, fp = params.intparams, params.floatparams
+    ndim = ip["ndim"]
+    if ndim != 3:
+        raise ValueError("evrard IC is 3D only")
+    mcloud = fp["mcloud"]
+    radius = fp["radius"]
+    u_fac = fp["thermal_energy"]
+    r = add_lattice_sphere(ip["Nhydro"], 1.0, ndim)
+    N = r.shape[0]
+    rad = np.sqrt((r ** 2).sum(-1)) + 1e-30
+    rnew = radius * rad * np.sqrt(rad)
+    r = r * (rnew / rad)[:, None]
+    m = np.full(N, mcloud / N)
+    rho = (mcloud / (2.0 * np.pi * radius ** ndim)) * (radius / rnew)
+    h = fp["h_fac"] * (m / rho) ** (1.0 / ndim)
+    u = np.full(N, u_fac * mcloud / radius)
+    out = {"r": r, "v": np.zeros((N, ndim)), "m": m, "h": h, "u": u}
+    if params.stringparams["dust_forces"] not in ("none", "null", ""):
+        from ..state import DUST_TYPE, GAS_TYPE
+
+        d2g = fp["dust_mass_factor"]
+        rd = r.copy()
+        rd += 0.01 * h[:, None]
+        out = {
+            "r": np.concatenate([r, rd]),
+            "v": np.zeros((2 * N, ndim)),
+            "m": np.concatenate([m, m * d2g]),
+            "h": np.concatenate([h, h]),
+            "u": np.concatenate([u, np.zeros(N)]),
+            "ptype": np.concatenate([np.full(N, GAS_TYPE, np.int32),
+                                     np.full(N, DUST_TYPE, np.int32)]),
+        }
+    return out
+
+
+def isothermsphere_ic(params, eos) -> Dict[str, np.ndarray]:
+    """Static r^-2 density sphere (Ic::IsothermSphere + Addr2Sphere,
+    src/Ic/IsothermalSphereIc.cpp:55-140, src/Ic/Ic.cpp:582-620)."""
+    ip, fp = params.intparams, params.floatparams
+    ndim = ip["ndim"]
+    N = ip["Nhydro"]
+    mcloud, radius = fp["mcloud"], fp["radius"]
+    gammam1 = fp["gamma_eos"] - 1.0
+    rng = np.random.default_rng(ip["randseed"])
+    # uniform-in-radius sampling gives n(r) ~ r^-2
+    phi = 2.0 * np.pi * rng.random(N)
+    costheta = 2.0 * rng.random(N) - 1.0
+    sintheta = np.sqrt(1.0 - costheta ** 2)
+    rp = radius * rng.random(N)
+    r = np.stack([rp * sintheta * np.cos(phi),
+                  rp * sintheta * np.sin(phi),
+                  rp * costheta], axis=-1)[:, :ndim]
+    volume = 4.0 / 3.0 * np.pi * radius ** 3 if ndim == 3 else (
+        np.pi * radius ** 2 if ndim == 2 else 2.0 * radius)
+    rhofluid = mcloud / volume
+    if params.stringparams["gas_eos"] == "isothermal":
+        u0 = fp["temp0"] / gammam1 / fp["mu_bar"]
+    else:
+        u0 = fp["press1"] / rhofluid / gammam1
+    m = np.full(N, mcloud / N)
+    h = fp["h_fac"] * (m / rhofluid) ** (1.0 / ndim)
+    return {"r": r, "v": np.zeros((N, ndim)), "m": m, "h": h,
+            "u": np.full(N, u0)}
+
+
+def turbulent_velocity_field(gridsize: int, power_turb: float,
+                             seed: int, field_type: int = 2) -> np.ndarray:
+    """Gaussian random velocity field with P(k) ~ k^power_turb
+    (Ic::GenerateTurbulentVelocityField, src/Ic/Ic.cpp:1028-1260 —
+    numpy-FFT reformulation of the FFTW original).  field_type 2 =
+    divergence-free (solenoidal projection), 1 = curl-free."""
+    rng = np.random.default_rng(seed)
+    n = gridsize
+    k1 = np.fft.fftfreq(n, d=1.0 / n)           # integer wavenumbers
+    KX, KY, KZ = np.meshgrid(k1, k1, k1, indexing="ij")
+    ksqd = KX ** 2 + KY ** 2 + KZ ** 2
+    kmag = np.sqrt(np.maximum(ksqd, 1e-30))
+    kmax = n // 2
+    live = (ksqd > 0) & (ksqd < kmax * kmax)
+    amp = np.where(live, kmag ** (power_turb / 2.0), 0.0)
+
+    F = np.stack([amp * rng.standard_normal((n, n, n))
+                  * np.exp(2j * np.pi * rng.random((n, n, n)))
+                  for _ in range(3)])
+    khat = np.stack([KX, KY, KZ]) / kmag
+    fdotk = (F * khat).sum(0)
+    if field_type == 2:       # solenoidal: remove the longitudinal part
+        F = F - khat * fdotk
+    elif field_type == 1:     # compressive: keep only the longitudinal part
+        F = khat * fdotk
+    v = np.real(np.fft.ifftn(F, axes=(1, 2, 3)))
+    return np.moveaxis(v, 0, -1)                 # (n, n, n, 3)
+
+
+def turbcore_ic(params, eos) -> Dict[str, np.ndarray]:
+    """Uniform-density sphere with a turbulent velocity field scaled to
+    alpha_turb = Ekin/|Egrav| (src/Ic/TurbulentCoreIc.cpp:60-220)."""
+    ip, fp = params.intparams, params.floatparams
+    ndim = ip["ndim"]
+    if ndim != 3:
+        raise ValueError("turbcore IC is 3D only")
+    mcloud, radius = fp["mcloud"], fp["radius"]
+    alpha_turb = fp["alpha_turb"]
+    gridsize = max(ip["gridsize"], 8)
+    r = add_lattice_sphere(ip["Nhydro"], radius, ndim)
+    N = r.shape[0]
+    rho0 = 3.0 * mcloud / (4.0 * np.pi * radius ** 3)
+    m = np.full(N, mcloud / N)
+    h = fp["h_fac"] * (m / rho0) ** (1.0 / 3.0)
+    gammam1 = fp["gamma_eos"] - 1.0
+    u0 = fp["temp0"] / gammam1 / fp["mu_bar"]
+
+    vgrid = turbulent_velocity_field(gridsize, fp["power_turb"],
+                                     ip["randseed"])
+    # trilinear interpolation of the grid onto particle positions
+    gpos = (r + radius) / (2.0 * radius) * (gridsize - 1)
+    i0 = np.clip(gpos.astype(int), 0, gridsize - 2)
+    w = gpos - i0
+    v = np.zeros((N, 3))
+    for cx in (0, 1):
+        for cy in (0, 1):
+            for cz in (0, 1):
+                wt = ((w[:, 0] if cx else 1 - w[:, 0])
+                      * (w[:, 1] if cy else 1 - w[:, 1])
+                      * (w[:, 2] if cz else 1 - w[:, 2]))
+                v += wt[:, None] * vgrid[i0[:, 0] + cx, i0[:, 1] + cy,
+                                         i0[:, 2] + cz]
+    # scale to the requested virial ratio (TurbulentCoreIc.cpp:185-200)
+    gpecloud = 0.6 * mcloud ** 2 / radius
+    keturb = 0.5 * (m[:, None] * v * v).sum()
+    vfactor = np.sqrt(alpha_turb * gpecloud / max(keturb, 1e-30))
+    v *= vfactor
+    return {"r": r, "v": v, "m": m, "h": h, "u": np.full(N, u0)}
+
+
+def blob_ic(params, eos) -> Dict[str, np.ndarray]:
+    """Dense cloud in a supersonic wind, pressure equilibrium
+    (src/Ic/BlobIc.cpp:50-180)."""
+    ip, fp = params.intparams, params.floatparams
+    ndim = ip["ndim"]
+    rho_bg = fp["rhofluid1"]
+    rho_sph = fp["rhofluid2"]
+    press = fp["press1"]
+    mach = fp["mach"]
+    radius = fp["radius"]
+    gamma = fp["gamma_eos"]
+    gammam1 = gamma - 1.0
+    n_lattice = [ip[f"Nlattice1[{k}]"] for k in range(ndim)]
+    boxmin = [fp[f"boxmin[{k}]"] for k in range(ndim)]
+    boxmax = [fp[f"boxmax[{k}]"] for k in range(ndim)]
+    rbg = add_cubic_lattice(n_lattice, boxmin, boxmax)
+    rad_bg = np.sqrt((rbg ** 2).sum(-1))
+    rbg = rbg[rad_bg > radius]
+    volume_box = np.prod([boxmax[k] - boxmin[k] for k in range(ndim)])
+    volume_sphere = (4.0 / 3.0 * np.pi * radius ** 3 if ndim == 3
+                     else np.pi * radius ** 2)
+    mpart = rho_bg * (volume_box - volume_sphere) / len(rbg)
+    n_sphere = int(rho_sph * volume_sphere / mpart)
+    rsph = add_lattice_sphere(n_sphere, radius, ndim)
+    N = len(rsph) + len(rbg)
+    r = np.concatenate([rsph, rbg])
+    rho = np.concatenate([np.full(len(rsph), rho_sph),
+                          np.full(len(rbg), rho_bg)])
+    m = np.full(N, mpart)
+    h = fp["h_fac"] * (m / rho) ** (1.0 / ndim)
+    u = press / rho / gammam1
+    v = np.zeros((N, ndim))
+    sound_bg = np.sqrt(gamma * gammam1 * press / rho_bg / gammam1)
+    v[len(rsph):, 0] = mach * sound_bg
+    return {"r": r, "v": v, "m": m, "h": h, "u": u}
+
+
+def cdiscontinuity_ic(params, eos) -> Dict[str, np.ndarray]:
+    """1D contact discontinuity: two densities, equal pressure
+    (src/Ic/ContactDiscontinuityIc.cpp)."""
+    p2 = params.copy()
+    p2.set("press2", params.floatparams["press1"])
+    p2.set("vfluid1[0]", 0.0)
+    p2.set("vfluid2[0]", 0.0)
+    return shocktube_ic(p2, eos)
+
+
 def dustybox_ic(params, eos) -> Dict[str, np.ndarray]:
     """Uniform gas box + slightly-offset dust lattice with a velocity
     offset (DUSTYBOX drag test; src/Ic/DustyBoxIc.cpp:40-150)."""
@@ -530,6 +716,11 @@ def dustybox_ic(params, eos) -> Dict[str, np.ndarray]:
 
 _IC_REGISTRY = {
     "dustybox": dustybox_ic,
+    "evrard": evrard_ic,
+    "isothermsphere": isothermsphere_ic,
+    "turbcore": turbcore_ic,
+    "blob": blob_ic,
+    "cdiscontinuity": cdiscontinuity_ic,
     "shocktube": shocktube_ic,
     "soundwave": soundwave_ic,
     "box": uniform_box_ic,

@@ -167,3 +167,95 @@ class TestNoh:
         # central density builds towards the (gamma+1)/(gamma-1))^2 = 16 wall
         assert rho[rad < 0.1].mean() > 2.0
         assert np.isfinite(rho).all()
+
+
+class TestNewIcs:
+    """evrard / isothermsphere / turbcore / blob / cdiscontinuity
+    (src/Ic/EvrardCollapseIc.cpp, IsothermalSphereIc.cpp,
+    TurbulentCoreIc.cpp, BlobIc.cpp, ContactDiscontinuityIc.cpp)."""
+
+    def test_evrard_profile(self):
+        import numpy as np
+        from gandalf_tpu.ops.eos import eos_factory
+        from gandalf_tpu.params import Parameters
+        from gandalf_tpu.sim.ic import generate_ic
+
+        p = Parameters()
+        for k, v in dict(ndim=3, Nhydro=600, ic="evrard", mcloud=1.0,
+                         radius=1.0, thermal_energy=0.05,
+                         gas_eos="energy_eqn", dimensionless=1).items():
+            p.set(k, v)
+        ic = generate_ic(p, eos_factory(p))
+        rad = np.sqrt((ic["r"] ** 2).sum(-1))
+        assert rad.max() <= 1.0 + 1e-9
+        assert np.allclose(ic["u"], 0.05)
+        assert ic["m"].sum() == pytest.approx(1.0)
+        # rho ~ 1/r: cumulative mass M(<r) ~ r^2
+        for rr in (0.3, 0.6, 0.9):
+            frac = (rad < rr).mean()
+            assert abs(frac - rr ** 2) < 0.08
+
+    def test_isothermsphere_profile(self):
+        import numpy as np
+        from gandalf_tpu.ops.eos import eos_factory
+        from gandalf_tpu.params import Parameters
+        from gandalf_tpu.sim.ic import generate_ic
+
+        p = Parameters()
+        for k, v in dict(ndim=3, Nhydro=2000, ic="isothermsphere",
+                         mcloud=1.0, radius=1.0, gas_eos="isothermal",
+                         temp0=0.1, mu_bar=1.0, dimensionless=1).items():
+            p.set(k, v)
+        ic = generate_ic(p, eos_factory(p))
+        rad = np.sqrt((ic["r"] ** 2).sum(-1))
+        # n(r) ~ r^-2 => M(<r) ~ r
+        for rr in (0.25, 0.5, 0.75):
+            assert abs((rad < rr).mean() - rr) < 0.05
+
+    def test_turbcore_virial_scaling(self):
+        import numpy as np
+        from gandalf_tpu.ops.eos import eos_factory
+        from gandalf_tpu.params import Parameters
+        from gandalf_tpu.sim.ic import generate_ic
+
+        p = Parameters()
+        for k, v in dict(ndim=3, Nhydro=400, ic="turbcore", mcloud=2.0,
+                         radius=0.5, alpha_turb=0.4, power_turb=-4.0,
+                         gridsize=16, gas_eos="isothermal", temp0=0.01,
+                         mu_bar=1.0, dimensionless=1).items():
+            p.set(k, v)
+        ic = generate_ic(p, eos_factory(p))
+        ke = 0.5 * (ic["m"][:, None] * ic["v"] ** 2).sum()
+        gpe = 0.6 * 2.0 ** 2 / 0.5
+        assert ke == pytest.approx(0.4 * gpe, rel=1e-10)
+        # solenoidal field: bulk momentum ~ 0 relative to rms
+        mom = (ic["m"][:, None] * ic["v"]).sum(0)
+        vrms = np.sqrt((ic["v"] ** 2).mean())
+        assert np.abs(mom).max() < 0.5 * vrms * ic["m"].sum()
+
+    def test_blob_pressure_equilibrium(self):
+        import numpy as np
+        from gandalf_tpu.ops.eos import eos_factory
+        from gandalf_tpu.params import Parameters
+        from gandalf_tpu.sim.ic import generate_ic
+
+        p = Parameters()
+        for k, v in dict(ndim=2, ic="blob", rhofluid1=1.0, rhofluid2=10.0,
+                         press1=1.0, mach=2.7, radius=0.1,
+                         gamma_eos=1.6666666666666667,
+                         gas_eos="energy_eqn", dimensionless=1).items():
+            p.set(k, v)
+        for k in range(2):
+            p.set(f"Nlattice1[{k}]", 32)
+            p.set(f"boxmin[{k}]", -0.5)
+            p.set(f"boxmax[{k}]", 0.5)
+        ic = generate_ic(p, eos_factory(p))
+        rad = np.sqrt((ic["r"] ** 2).sum(-1))
+        inside = rad < 0.1
+        gm1 = 1.6666666666666667 - 1.0
+        # pressure equilibrium: rho*u*(gamma-1) == press1 everywhere
+        rho = np.where(inside, 10.0, 1.0)
+        assert np.allclose(rho * ic["u"] * gm1, 1.0)
+        # wind only outside the cloud
+        assert np.all(ic["v"][inside, 0] == 0.0)
+        assert ic["v"][~inside, 0].min() > 3.0
