@@ -363,12 +363,15 @@ from .forces import AVISC_MON97, AVISC_MON97MM97, AVISC_NONE  # noqa: E402
 
 def _auto_slab(spec: Grid27Spec) -> int:
     """Largest dim-0 slab whose (cells, K, K) pair temporaries stay under
-    ~270 MB in f32 (bigger slabs amortise lax.map overhead; the cap keeps
-    1M-particle grids inside HBM headroom)."""
+    ~256 MB in f32 INCLUDING TPU tile padding (the minor dim pads to 128
+    lanes and the second-minor to 8 sublanes, so K = 43 really costs
+    48 x 128 — a 3.3x expansion that OOMed the 1M benchmark)."""
     import numpy as np
 
-    rest = int(np.prod(spec.ncells[1:])) * spec.k_cell * spec.k_cell
-    return max(1, int(6.7e7 // max(rest, 1)))
+    k = spec.k_cell
+    k_pad = (-(-k // 8) * 8) * (-(-k // 128) * 128)     # padded K*K footprint
+    rest = int(np.prod(spec.ncells[1:])) * k_pad
+    return max(1, int(6.4e7 // max(rest, 1)))
 
 
 def forces_grid27(kern: SmoothingKernel, visc: ArtificialViscosity,

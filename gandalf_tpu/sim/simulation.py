@@ -132,6 +132,8 @@ class SimulationBase:
         sim = params.stringparams["sim"]
         if sim in ("sph", "gradhsph", "gradsph"):
             return GradhSphSimulation(params)
+        if sim == "sm2012sph":
+            return SM2012SphSimulation(params)
         if sim == "nbody":
             from .nbody_sim import NbodySimulation
             return NbodySimulation(params)
@@ -800,3 +802,62 @@ class GradhSphSimulation(SimulationBase):
         self.snapshots.append(Snapshot(self.t, self._state_to_host(),
                                        self.ndim))
 
+
+
+class SM2012SphSimulation(GradhSphSimulation):
+    """Saitoh & Makino (2012) density-independent SPH
+    (reference SM2012SphSimulation, src/SM2013/SM2012SphSimulation.cpp +
+    SM2012Sph.cpp).  Shares the grad-h controller's step structure; the
+    density iteration carries the smoothed energy density q and the force
+    uses u_i u_j (1/q_i + 1/q_j) instead of P Omega / rho^2."""
+
+    def process_parameters(self):
+        super().process_parameters()
+        # SM2012 is wired to the all-pairs path (no grid27 q-pass yet)
+        self.use_celllist = False
+        self.gamma = self.params.floatparams["gamma_eos"]
+        if self.params.stringparams["gas_eos"] not in ("energy_eqn",
+                                                       "isothermal"):
+            raise ValueError("sm2012sph supports energy_eqn/isothermal only")
+
+    def _hydro_only_pass(self, s: SphState) -> SphState:
+        from ..ops.sm2012 import sm2012_density, sm2012_forces
+
+        kern, box, visc = self.kern, self.box, self.visc
+        alive = s.alive
+        m_live = jnp.where(alive, s.m, 0.0)
+        fields = {"m": m_live, "u": s.u}
+        r_ext, v_ext, sc_ext, _ = extend_with_mirror_images(
+            box, s.r, s.v, fields)
+        dens = sm2012_density(kern, box, self.h_fac, self.h_converge,
+                              s.r, s.m, s.u, s.h,
+                              r_ext, sc_ext["m"], sc_ext["u"],
+                              active=alive)
+        gamma = self.gamma
+        pressure = (gamma - 1.0) * jnp.maximum(dens.rho, 1e-30) * s.u
+        sound = jnp.sqrt(gamma * (gamma - 1.0) * jnp.maximum(s.u, 1e-30))
+        sane = lambda x, d: jnp.where(alive, x, d)
+        s = s.replace(h=sane(dens.h, 1.0), rho=sane(dens.rho, 1.0),
+                      pressure=sane(pressure, 0.0), sound=sane(sound, 0.0),
+                      hfactor=sane(dens.hfactor, 0.0),
+                      invomega=jnp.ones_like(s.invomega),
+                      zeta=jnp.zeros_like(s.zeta))
+        if not self.hydro_forces:
+            return s.replace(a=jnp.zeros_like(s.a),
+                             dudt=jnp.zeros_like(s.dudt),
+                             div_v=jnp.zeros_like(s.div_v))
+        fields = {"m": m_live, "u": s.u, "h": s.h, "rho": s.rho,
+                  "q": dens.q, "hfactor": s.hfactor, "sound": s.sound,
+                  "alpha": s.alpha}
+        r_ext, v_ext, sc_ext, _ = extend_with_mirror_images(
+            box, s.r, s.v, fields)
+        f = sm2012_forces(kern, visc, gamma, box,
+                          s.r, s.v, s.m, s.u, s.h, s.rho, dens.q,
+                          s.hfactor, s.sound, s.alpha,
+                          r_ext, v_ext, sc_ext["m"], sc_ext["u"],
+                          sc_ext["h"], sc_ext["rho"], sc_ext["q"],
+                          sc_ext["hfactor"], sc_ext["sound"],
+                          sc_ext["alpha"])
+        return s.replace(a=jnp.where(alive[:, None], f.a, 0.0),
+                         dudt=jnp.where(alive, f.dudt, 0.0),
+                         div_v=jnp.where(alive, f.div_v, 0.0))
