@@ -75,6 +75,8 @@ def measure(n_side: int, n_steps: int, neib: str = "kdtree") -> dict:
     N = state.N
     if sim.use_celllist:
         sim._plan_grid(ic["r"], ic["h"], growth=1.15)
+        print(f"bench: N={N} ncells={sim.gridspec.ncells} "
+              f"K={sim.gridspec.k_cell}", file=sys.stderr)
 
     bootstrap = jax.jit(sim._build_bootstrap())
     step = jax.jit(sim._build_step())
@@ -125,7 +127,7 @@ def main() -> None:
         sys.exit(_child())
 
     sizes = [int(s) for s in os.environ.get(
-        "BENCH_SIZES", "16,32,64").split(",")]
+        "BENCH_SIZES", "16,32,64,100").split(",")]
     n_steps = os.environ.get("BENCH_NSTEPS", "10")
     best = None
     for n_side in sizes:

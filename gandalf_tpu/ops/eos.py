@@ -122,6 +122,36 @@ class Polytropic(EOS):
         return jnp.sqrt(self.gammam1 * u)
 
 
+@dataclasses.dataclass(frozen=True, eq=False)
+class Radws(EOS):
+    """Opacity-table EOS with variable gamma (src/Thermal/RadwsEOS.cpp):
+    P = (gamma(rho,T) - 1) rho u, c = sqrt(gamma (gamma-1) u)."""
+
+    table: object = None
+
+    def _gamma_of(self, rho, u):
+        from .radws import idens_of, itemp_of, temp_from_u
+
+        t = self.table
+        idens = idens_of(t, rho)
+        temp = temp_from_u(t, rho, u)
+        return t.gamma[idens, itemp_of(t, temp)]
+
+    def specific_internal_energy(self, rho, u, r=None):
+        return u
+
+    def pressure(self, rho, u):
+        return (self._gamma_of(rho, u) - 1.0) * rho * u
+
+    def sound_speed(self, rho, u):
+        g = self._gamma_of(rho, u)
+        return jnp.sqrt(g * (g - 1.0) * u)
+
+    def thermal_update(self, rho, u, r=None):
+        g = self._gamma_of(rho, u)
+        return u, (g - 1.0) * rho * u, jnp.sqrt(g * (g - 1.0) * u)
+
+
 def eos_factory(params) -> EOS:
     """Build an EOS from a Parameters object, keyed by `gas_eos`
     (reference factory in src/Thermal/EOS.cpp / Simulation::ProcessParameters)."""
@@ -131,6 +161,21 @@ def eos_factory(params) -> EOS:
     temp0 = params.floatparams["temp0"]
     if name in ("energy_eqn", "constant_temp"):
         return Adiabatic(gamma=gamma, mu_bar=mu_bar)
+    if name == "radws":
+        import os
+
+        from .radws import make_ideal_table, read_opacity_table
+
+        path = params.stringparams["radws_table"]
+        temp_amb = params.floatparams["temp_ambient"]
+        if os.path.exists(path):
+            table = read_opacity_table(path, temp_ambient=temp_amb)
+        else:
+            print(f"WARNING: radws_table {path!r} not found; using a "
+                  "synthetic ideal-gas/constant-opacity table")
+            table = make_ideal_table(gamma=gamma, mu_bar=mu_bar,
+                                     temp_ambient=temp_amb)
+        return Radws(gamma=gamma, mu_bar=mu_bar, table=table)
     if name == "isothermal":
         return Isothermal(gamma=gamma, mu_bar=mu_bar, temp0=temp0)
     if name == "barotropic":

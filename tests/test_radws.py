@@ -1,0 +1,120 @@
+"""RadWS radiative cooling (reference EnergyRadws + OpacityTable,
+src/Hydrodynamics/EnergyRadws.cpp, src/Common/OpacityTable.cpp)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from gandalf_tpu.ops.radws import (energy_find_equi, make_ideal_table,
+                                   radws_energy_integration,
+                                   read_opacity_table, temp_from_u)
+from gandalf_tpu.params import Parameters
+from gandalf_tpu.sim.simulation import GradhSphSimulation
+
+
+def _radws_box(press, **over):
+    p = Parameters()
+    base = {"ndim": 3, "sim": "sph", "ic": "box", "dimensionless": 1,
+            "run_id": "",
+            "Nlattice1[0]": 4, "Nlattice1[1]": 4, "Nlattice1[2]": 4,
+            "boxmin[0]": 0.0, "boxmax[0]": 1.0,
+            "boxmin[1]": 0.0, "boxmax[1]": 1.0,
+            "boxmin[2]": 0.0, "boxmax[2]": 1.0,
+            "boundary_lhs[0]": "periodic", "boundary_rhs[0]": "periodic",
+            "boundary_lhs[1]": "periodic", "boundary_rhs[1]": "periodic",
+            "boundary_lhs[2]": "periodic", "boundary_rhs[2]": "periodic",
+            "rhofluid1": 1.0, "press1": press,
+            "gas_eos": "radws", "energy_integration": "radws",
+            "gamma_eos": 1.6666666666666667, "mu_bar": 1.0,
+            "temp_ambient": 10.0, "radws_table": "/nonexistent",
+            "hydro_forces": 1, "self_gravity": 0,
+            "neib_search": "bruteforce"}
+    base.update(over)
+    for k, v in base.items():
+        p.set(k, v)
+    return p
+
+
+class TestOpacityTable:
+    def test_temp_energy_inversion(self):
+        tab = make_ideal_table()
+        rho = jnp.asarray([1e-3, 1.0])
+        T = jnp.asarray([25.0, 3000.0])
+        u = T / ((5.0 / 3.0 - 1.0) * 1.0)
+        T_back = temp_from_u(tab, rho, u)
+        assert np.allclose(np.asarray(T_back), np.asarray(T), rtol=0.06)
+
+    def test_read_reference_format(self, tmp_path):
+        """Round-trip the reference 9-column text format
+        (OpacityTable.cpp:48-130)."""
+        nd, nt = 3, 5
+        dens = np.logspace(-5, -3, nd)
+        temp = np.logspace(1, 3, nt)
+        path = tmp_path / "eos.test.dat"
+        with open(path, "w") as f:
+            f.write("# test table\n")
+            f.write(f"{nd} {nt} 0.5\n")
+            for d in dens:
+                for T in temp:
+                    u = 1.5 * T
+                    f.write(f"{d} {T} {u} 2.35 {0.1*T} {0.1*T} {0.2*T} "
+                            f"1.6667 1.4\n")
+        tab = read_opacity_table(str(path))
+        assert tab.energy.shape == (nd, nt)
+        assert np.allclose(np.asarray(10.0 ** tab.log_dens), dens)
+        assert np.allclose(np.asarray(tab.energy[0]), 1.5 * temp)
+        assert np.allclose(np.asarray(tab.kappap[1]), 0.2 * temp)
+        assert float(tab.fcol2) == pytest.approx(0.25 * 4 * np.pi)
+
+    def test_equilibrium_finder(self):
+        """With no compressive heating the equilibrium is T_ambient
+        (optically thin, col2 = 0)."""
+        tab = make_ideal_table(temp_ambient=10.0)
+        rho = jnp.full(4, 1e-2)
+        u = jnp.asarray([150.0, 15.0, 3.0, 15.0])      # hot/equil/cold
+        ueq, dt_th = energy_find_equi(tab, rho, u, jnp.zeros(4),
+                                      jnp.zeros(4))
+        # u_eq = T_amb / (gamma-1) = 15 within table resolution
+        assert np.allclose(np.asarray(ueq), 15.0, rtol=0.1)
+        assert np.all(np.asarray(dt_th) >= 0.0)
+
+    def test_relaxation_update(self):
+        u0 = jnp.asarray([100.0, 100.0, 100.0])
+        ueq = jnp.asarray([15.0, 15.0, 15.0])
+        dt_th = jnp.asarray([1.0, 1e-35, 1e30])
+        u = radws_energy_integration(u0, ueq, dt_th, jnp.asarray(1.0))
+        expect = 100.0 * np.exp(-1.0) + 15.0 * (1 - np.exp(-1.0))
+        assert float(u[0]) == pytest.approx(expect)
+        assert float(u[1]) == pytest.approx(100.0)   # dt_therm ~ 0 guard
+        assert float(u[2]) == pytest.approx(100.0, rel=1e-6)  # frozen
+
+
+class TestRadwsSimulation:
+    def test_hot_box_cools_to_ambient(self):
+        sim = GradhSphSimulation(_radws_box(press=66.67))   # T0 ~ 66.7
+        sim.SetupSimulation()
+        T0 = float(np.asarray(sim.state.u)[0]) * (2.0 / 3.0)
+        assert T0 > 60.0
+        for _ in range(20):
+            sim.main_loop_step()
+        T = np.asarray(sim.state.u) * (2.0 / 3.0)
+        assert np.allclose(T, 10.0, rtol=0.1)   # table-resolution limited
+
+    def test_cold_box_heats_to_ambient(self):
+        sim = GradhSphSimulation(_radws_box(press=1.0))     # T0 = 1.5
+        sim.SetupSimulation()
+        for _ in range(20):
+            sim.main_loop_step()
+        T = np.asarray(sim.state.u) * (2.0 / 3.0)
+        assert np.allclose(T, 10.0, rtol=0.1)
+
+    def test_variable_gamma_eos(self):
+        """The radws EOS reads gamma from the table (RadwsEOS.cpp:54-90)."""
+        sim = GradhSphSimulation(_radws_box(press=10.0))
+        sim.SetupSimulation()
+        s = sim.state
+        P = np.asarray(s.pressure)
+        rho = np.asarray(s.rho)
+        u = np.asarray(s.u)
+        assert np.allclose(P, (5.0 / 3.0 - 1.0) * rho * u, rtol=1e-6)
