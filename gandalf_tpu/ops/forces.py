@@ -191,3 +191,64 @@ def bruteforce_neighbor_view(box: DomainBox, r: Array,
         alpha=bcast(scalars_ext["alpha"]),
         mask=None,
     )
+
+
+def cullen_dehnen_alpha(kern: SmoothingKernel, visc: ArtificialViscosity,
+                        box, r, v, a, m, h, rho, sound, hfactor, alpha,
+                        r_ext, v_ext, a_ext, m_ext):
+    """Cullen & Dehnen (2010) viscosity switch
+    (Sph::ComputeCullenAndDehnenViscosity, src/Headers/Sph.h:360-456):
+    integral least-squares gradients of v and a, shock detector
+    ddivdt = tr(da/dx) - dvdx:dvdx^T, Balsara limiter, local alpha target.
+
+    Returns (alpha_new, dalphadt): alpha is raised instantly to alpha_loc
+    and decays at 0.1 c (max(alpha_min, alpha_loc) - alpha)/h."""
+    ndim = r.shape[1]
+    dr = box.min_image(r_ext[None, :, :] - r[:, None, :])      # (N,K,nd)
+    drsqd = jnp.sum(dr * dr, axis=-1)
+    valid = drsqd > 0.0
+    drmag = jnp.sqrt(jnp.where(valid, drsqd, 1.0))
+    invh = 1.0 / h
+    w = m_ext[None, :] * (invh * hfactor / jnp.maximum(rho, 1e-30))[:, None] \
+        * kern.w1(drmag * invh[:, None])
+    w = jnp.where(valid, w, 0.0)
+
+    dv = v_ext[None, :, :] - v[:, None, :]
+    da = a_ext[None, :, :] - a[:, None, :]
+    rr = jnp.einsum("nk,nki,nkj->nij", w, dr, dr)
+    dvw = jnp.einsum("nk,nki,nkj->nij", w, dr, dv)
+    daw = jnp.einsum("nk,nki,nkj->nij", w, dr, da)
+
+    # guarded inversion + condition check (Sph.h:403-420)
+    eye = jnp.eye(ndim)
+    det_ok = jnp.abs(jnp.linalg.det(rr)) > 1e-30
+    rr_safe = jnp.where(det_ok[:, None, None], rr, eye[None])
+    T = jnp.linalg.inv(rr_safe)
+    modR = jnp.sum(rr * rr, axis=(1, 2))
+    modT = jnp.sum(T * T, axis=(1, 2))
+    bad = (~det_ok) | (modR * modT / (ndim * ndim) > 1e4)
+
+    # dvdx[i][j] = T[j][k] dv[k][i]  (Sph.h:424)
+    dvdx = jnp.einsum("njk,nki->nij", T, dvw)
+    dadx = jnp.einsum("njk,nki->nij", T, daw)
+    ddivdt = jnp.einsum("nii->n", dadx) \
+        - jnp.einsum("nij,nji->n", dvdx, dvdx)
+    divv = jnp.einsum("nii->n", dvdx)
+    divv2 = divv * divv
+    # curl^2 = |antisymmetric part|^2 contraction (CurlVelSqd)
+    curl = dvdx - jnp.swapaxes(dvdx, 1, 2)
+    curlv2 = 0.5 * jnp.sum(curl * curl, axis=(1, 2))
+    f_balsara = jnp.where(curlv2 > 0.0,
+                          divv2 / jnp.maximum(divv2 + curlv2, 1e-30), 1.0)
+
+    c2 = jnp.maximum(sound * sound, 1e-30)
+    alpha_loc = jnp.where(ddivdt < 0.0,
+                          jnp.minimum(10.0 * h * h / c2 * f_balsara
+                                      * (-ddivdt), visc.alpha_visc), 0.0)
+    alpha_loc = jnp.where(bad, visc.alpha_visc, alpha_loc)
+
+    alpha_new = jnp.maximum(alpha, alpha_loc)
+    dalphadt = (0.1 * sound
+                * (jnp.maximum(visc.alpha_visc_min, alpha_loc) - alpha_new)
+                * invh)
+    return alpha_new, dalphadt

@@ -125,6 +125,7 @@ _FLOAT_DEFAULTS: Dict[str, float] = {
     "eta_eos": 1.4,
     "Kpoly": 1.0,
     "temp_ambient": 5.0,
+    "tsupernova": 1.0,
     "alpha_visc": 1.0,
     "alpha_visc_min": 0.1,
     "beta_visc": 2.0,

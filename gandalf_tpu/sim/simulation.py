@@ -292,6 +292,7 @@ class GradhSphSimulation(SimulationBase):
         energy_integration = gas_eos == "energy_eqn" or (
             gas_eos == "radws" and not self.use_radws_energy)
         self.integ = IntegratorConfig.from_params(p, energy_integration)
+        self.td_avisc_type = p.stringparams["time_dependent_avisc"]
         self.hydro_forces = bool(p.intparams["hydro_forces"])
         self.self_gravity = bool(p.intparams["self_gravity"])
         self.ewald_table = None
@@ -419,6 +420,38 @@ class GradhSphSimulation(SimulationBase):
                     flags=jnp.where(dead, self.state.flags | FLAG_DEAD,
                                     self.state.flags))
                 self.use_celllist = False   # alive masking is brute-only
+            # supernova feedback: queued events + dead spare slots for the
+            # injected hot gas (reference SupernovaDriver; ops/feedback.py)
+            from ..ops.feedback import driver_from_params
+
+            mmean = float(np.asarray(ic["m"]).mean())
+            self.sn_driver = driver_from_params(self.params, mmean)
+            if self.sn_driver is not None:
+                from ..state import FLAG_DEAD
+
+                n_spare = self.sn_driver.n_spare_needed
+                if n_spare > 0:
+                    s0 = self.state
+                    pad = lambda x, fill: jnp.concatenate(
+                        [x, jnp.full((n_spare,) + x.shape[1:], fill,
+                                     x.dtype)])
+                    kw = {}
+                    for f in ("r", "v", "a", "r0", "v0", "a0"):
+                        kw[f] = pad(getattr(s0, f), 0)
+                    for f in ("m", "rho", "u", "u0", "dudt", "dudt0",
+                              "pressure", "sound", "invomega", "zeta",
+                              "hfactor", "div_v", "gpot", "dt_part",
+                              "tlast", "ueq", "dt_therm"):
+                        kw[f] = pad(getattr(s0, f), 0)
+                    kw["h"] = pad(s0.h, 1.0)
+                    kw["alpha"] = pad(s0.alpha, 1.0)
+                    for f in ("ptype", "level", "levelneib", "nlast"):
+                        kw[f] = pad(getattr(s0, f), 0)
+                    kw["flags"] = pad(s0.flags, FLAG_DEAD)
+                    kw["iorig"] = jnp.arange(s0.N + n_spare,
+                                             dtype=jnp.int32)
+                    self.state = s0.replace(**kw)
+                    self.use_celllist = False  # alive masking is brute-only
             # stars / sinks: pre-allocated static slots (ops.sinks)
             from ..ops.sinks import empty_sinks, make_sinks
 
@@ -805,8 +838,38 @@ class GradhSphSimulation(SimulationBase):
         return (0.1 * s.sound * (visc.alpha_visc_min - s.alpha) / s.h
                 + jnp.maximum(-s.div_v, 0.0) * (visc.alpha_visc - s.alpha))
 
+    def _td_avisc(self, s: SphState):
+        """Time-dependent viscosity: returns (state, dalphadt).  cd2010
+        raises alpha instantly to the local shock-detector value
+        (Sph::ComputeCullenAndDehnenViscosity); mm97 evolves it via
+        dalphadt only.  Mirror-image ghosts are not included in the
+        cd2010 gradient estimate (periodic domains use min-image)."""
+        if not self.integ.td_avisc:
+            return s, jnp.zeros_like(s.alpha)
+        if self.td_avisc_type == "cd2010":
+            from ..ops.forces import cullen_dehnen_alpha
+
+            m_live = jnp.where(s.alive, s.m, 0.0)
+            alpha_new, dal = cullen_dehnen_alpha(
+                self.kern, self.visc, self.box, s.r, s.v, s.a, s.m,
+                s.h, s.rho, s.sound, s.hfactor, s.alpha,
+                s.r, s.v, s.a, m_live)
+            return s.replace(alpha=alpha_new), dal
+        return s, self._dalphadt(s)
+
     # -- host driver ------------------------------------------------------------
     def main_loop_step(self):
+        # queued supernova events fire between steps (SphSimulation
+        # MainLoop: snDriver->Update)
+        if getattr(self, "sn_driver", None) is not None \
+                and self.sn_driver.pending(self.t) is not None:
+            with self.timing.block("SUPERNOVA"):
+                self.state = self.sn_driver.apply(self.state, self.ndim)
+                if self.use_block:
+                    raise NotImplementedError(
+                        "supernova feedback + block timesteps")
+                self.state = self._bootstrap_fn(self.state) \
+                    if not self.has_sinks else self.state
         with self.timing.block("MAIN_LOOP"):
             prev = self.state
             if self.use_block:

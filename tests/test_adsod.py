@@ -141,3 +141,37 @@ def test_time_dependent_viscosity_mm97():
     l1 = float(np.mean(np.abs(vx[sel] - np.interp(x[sel], sol["x"],
                                                   sol["vx"]))))
     assert l1 < 0.02
+
+
+def test_time_dependent_viscosity_cd2010():
+    """avisc=mon97 + time_dependent_avisc=cd2010 (Cullen & Dehnen switch,
+    src/Headers/Sph.h:360-456): alpha triggered only at the shock."""
+    import numpy as np
+
+    from gandalf_tpu.analysis.riemann import shocktube_solution
+    from gandalf_tpu.sim.simulation import GradhSphSimulation
+
+    p = make_adsod_params()
+    p.set("run_id", "")
+    p.set("time_dependent_avisc", "cd2010")
+    p.set("Nlattice1[0]", 256)
+    p.set("Nlattice2[0]", 64)
+    p.set("tend", 0.25)
+    sim = GradhSphSimulation(p)
+    sim.SetupSimulation()
+    n = 0
+    while sim.t < 0.25 and n < 3000:
+        sim.main_loop_step()
+        n += 1
+    s = sim.state
+    alpha = np.asarray(s.alpha)
+    assert alpha.max() > 0.25                 # switch fired at the shock
+    assert np.median(alpha) < 0.15            # quiet flow at the floor
+    x = np.asarray(s.r)[:, 0]
+    vx = np.asarray(s.v)[:, 0]
+    sol = shocktube_solution(1.0, 0.0, 1.0, 0.25, 0.0, 0.1975, 1.4,
+                             -1.0, 0.0, 1.0, sim.t)
+    sel = (x > -1.0) & (x < 1.0)
+    l1 = float(np.mean(np.abs(vx[sel] - np.interp(x[sel], sol["x"],
+                                                  sol["vx"]))))
+    assert l1 < 0.02

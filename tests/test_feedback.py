@@ -1,0 +1,51 @@
+"""Supernova feedback (reference src/Feedback/Supernova.cpp +
+SedovTestDriver)."""
+
+import numpy as np
+import pytest
+
+from gandalf_tpu.params import Parameters
+from gandalf_tpu.sim.simulation import GradhSphSimulation
+
+
+def test_sedov_test_driver_injects_energy_and_mass():
+    p = Parameters()
+    for k, v in {
+            "ndim": 3, "sim": "sph", "ic": "box", "dimensionless": 1,
+            "run_id": "",
+            "Nlattice1[0]": 8, "Nlattice1[1]": 8, "Nlattice1[2]": 8,
+            "boxmin[0]": -0.5, "boxmax[0]": 0.5,
+            "boxmin[1]": -0.5, "boxmax[1]": 0.5,
+            "boxmin[2]": -0.5, "boxmax[2]": 0.5,
+            "boundary_lhs[0]": "periodic", "boundary_rhs[0]": "periodic",
+            "boundary_lhs[1]": "periodic", "boundary_rhs[1]": "periodic",
+            "boundary_lhs[2]": "periodic", "boundary_rhs[2]": "periodic",
+            "rhofluid1": 1.0, "press1": 1e-5,
+            "gas_eos": "energy_eqn", "gamma_eos": 1.6666667,
+            "hydro_forces": 1, "neib_search": "bruteforce",
+            "supernova_feedback": "sedov_test", "tsupernova": 0.001,
+    }.items():
+        p.set(k, v)
+    sim = GradhSphSimulation(p)
+    sim.SetupSimulation()
+    N = sim.state.N
+    alive0 = int(np.asarray(sim.state.alive).sum())
+    assert N - alive0 == 2                    # Minj/mmean spare slots
+    E0 = float((np.asarray(sim.state.m) * np.asarray(sim.state.u)).sum())
+    for _ in range(10):
+        sim.main_loop_step()
+    s = sim.state
+    assert int(np.asarray(s.alive).sum()) == N     # spares activated
+    m = np.asarray(s.m)
+    v = np.asarray(s.v)
+    u = np.asarray(s.u)
+    E = 0.5 * (m * (v ** 2).sum(-1)).sum() + (m * u).sum()
+    # E_tot = E0 + Einj (0.01) exactly at injection, conserved after
+    assert E == pytest.approx(E0 + 0.01, rel=2e-3)
+    assert np.isfinite(v).all()
+    # blast wave: outward radial motion around the origin
+    r = np.asarray(s.r)
+    rad = np.sqrt((r ** 2).sum(-1))
+    vrad = (r * v).sum(-1) / np.maximum(rad, 1e-10)
+    inner = rad < 0.25
+    assert vrad[inner].mean() > 0.0
