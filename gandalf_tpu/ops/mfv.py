@@ -711,3 +711,61 @@ def state_from_qcons(ndim: int, Q: Array, ndens: Array):
     u = (Q[..., ietot] / jnp.maximum(m, 1e-300)
          - 0.5 * jnp.sum(v * v, axis=-1))
     return m, rho, v, u
+
+
+# ---------------------------------------------------------------------------
+# self-gravity
+# ---------------------------------------------------------------------------
+
+def mfv_smoothed_gravity(kern: SmoothingKernel, box, r: Array, m: Array,
+                         h: Array, zeta: Array, hfactor: Array):
+    """All-pairs kernel-softened MFV self-gravity with grad-h zeta terms
+    (MfvCommon::ComputeSmoothedGravForces, MfvCommon.cpp:375-415).
+    wgrav -> 1/s^2 outside kernel support, so one dense pass covers the
+    reference's smooth + direct branches.  Returns (a, gpot)."""
+    N = r.shape[0]
+    dr = box.min_image(r[None, :, :] - r[:, None, :])
+    drsqd = jnp.sum(dr * dr, axis=-1)
+    eye = jnp.eye(N, dtype=bool)
+    drmag = jnp.sqrt(jnp.where(eye, 1.0, drsqd))
+    inv_drmag = jnp.where(eye, 0.0, 1.0 / drmag)
+    unit = dr * inv_drmag[..., None]
+
+    invh_i = (1.0 / h)[:, None]
+    invh_j = (1.0 / h)[None, :]
+    s_i = drmag * invh_i
+    s_j = drmag * invh_j
+    invm_i = (1.0 / jnp.maximum(m, 1e-30))[:, None]
+    paux = 0.5 * (m[None, :] * invh_i * invh_i * kern.wgrav(s_i)
+                  + m[None, :] * invh_j * invh_j * kern.wgrav(s_j)
+                  + invm_i * (zeta * hfactor)[:, None] * kern.w1(s_i)
+                  + invm_i * (zeta * hfactor)[None, :] * kern.w1(s_j))
+    gaux = 0.5 * (invh_i * kern.wpot(s_i) + invh_j * kern.wpot(s_j))
+    paux = jnp.where(eye, 0.0, paux)
+    gaux = jnp.where(eye, 0.0, gaux)
+    a = jnp.sum(paux[..., None] * unit, axis=1)
+    gpot = jnp.sum(m[None, :] * gaux, axis=1)
+    return a, gpot
+
+
+def gravity_source_terms(ndim: int, dt: Array, Q0: Array, Q: Array,
+                         a0: Array, a: Array, rdmdt: Array) -> Array:
+    """Gravitational momentum/energy sources added to the conserved
+    update (MfvIntegration.cpp:150-170 EndTimestep branch):
+
+      Q_k  += dt/2 (Q0_rho a0_k + Q_rho a_k)
+      Q_E  += dt/2 sum_k [a0_k (Q0_k + Q0_rho a0_k dt/2)
+                          + a_k (Q_k + Q_rho a_k dt/2)]
+              + 1/2 (a0 + a) . rdmdt
+    """
+    irho, iE = ndim, ndim + 1
+    dE = 0.5 * dt * (
+        jnp.sum(a0 * (Q0[..., :ndim]
+                      + 0.5 * Q0[..., irho, None] * a0 * dt), -1)
+        + jnp.sum(a * (Q[..., :ndim]
+                       + 0.5 * Q[..., irho, None] * a * dt), -1))
+    dE = dE + 0.5 * jnp.sum((a0 + a) * rdmdt, -1)
+    dmom = 0.5 * dt * (Q0[..., irho, None] * a0 + Q[..., irho, None] * a)
+    Q = Q.at[..., :ndim].add(dmom)
+    Q = Q.at[..., iE].add(dE)
+    return Q

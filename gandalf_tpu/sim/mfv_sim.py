@@ -55,8 +55,10 @@ class MfvMusclSimulation(SimulationBase):
         self.hydro_forces = bool(p.intparams["hydro_forces"])
         self.courant_mult = p.floatparams["courant_mult"]
         self.accel_mult = p.floatparams["accel_mult"]
-        if bool(p.intparams["self_gravity"]):
-            raise ValueError("MFV self-gravity lands with the tree milestone")
+        self.self_gravity = bool(p.intparams["self_gravity"])
+        if self.self_gravity and self.box.periodic_dims():
+            raise NotImplementedError("periodic MFV self-gravity (Ewald) "
+                                      "not wired yet")
 
     # -- neighbour views (all-pairs with images) ----------------------------
     def _neighbor_view(self, s: MfvState, fields: Dict[str, jnp.ndarray]):
@@ -140,14 +142,31 @@ class MfvMusclSimulation(SimulationBase):
             s.B, s.grad, s.alpha_slope, s.bad_grad, dr, nb, None)
 
     # -- jitted step ---------------------------------------------------------
+    def _gravity_pass(self, s: MfvState):
+        """Smoothed self-gravity acceleration (zeta-corrected)."""
+        from ..ops.mfv import mfv_smoothed_gravity
+
+        return mfv_smoothed_gravity(self.kern, self.box, s.r, s.m, s.h,
+                                    s.zeta, s.hfactor)
+
+    def _dt_criterion(self, s: MfvState):
+        dt = 2.0 * self.courant_mult * s.h / s.vsig_max
+        if self.self_gravity:
+            amag = jnp.sqrt(jnp.sum(s.a * s.a, axis=-1))
+            dt = jnp.minimum(dt, self.accel_mult
+                             * jnp.sqrt(s.h / (amag + 1e-30)))
+        return jnp.min(dt)
+
     def _build_bootstrap(self):
         def bootstrap(s: MfvState) -> MfvState:
             s = self._density_pass(s)
             Q0 = mfv_ops.qcons_from_state(s.ndim, s.m, s.v, s.u)
             s = s.replace(Qcons0=Q0, r0=s.r, v0=s.v)
+            if self.self_gravity:
+                a, gpot = self._gravity_pass(s)
+                s = s.replace(a=a, a0=a)
             s = self._gradient_pass(s)
-            dt = jnp.min(2.0 * self.courant_mult * s.h / s.vsig_max)
-            return s.replace(dt=dt)
+            return s.replace(dt=self._dt_criterion(s))
 
         return bootstrap
 
@@ -159,17 +178,30 @@ class MfvMusclSimulation(SimulationBase):
             t = s.t + dt
             flux = self._flux_pass(s, dt)
             Qcons = s.Qcons0 + flux.dQdt * dt
-            # energy bookkeeping for the moving-mesh term (EndTimestep:
-            # 0.5*(a0+a).rdmdt) — zero until gravity lands
-            m, rho, v, u = mfv_ops.state_from_qcons(ndim, Qcons, s.ndens)
-            r = s.r0 + 0.5 * (s.v0 + v) * dt
-            r = self.box.wrap(r)
-            s = s.replace(m=m, v=v, u=u, r=r, Qcons0=Qcons,
-                          r0=r, v0=v)
+            if self.self_gravity:
+                # drift, re-evaluate gravity, apply the momentum/energy
+                # source terms (MfvIntegration.cpp:150-170)
+                m_new = Qcons[..., ndim]
+                v_mid = Qcons[..., :ndim] / jnp.maximum(m_new, 1e-30)[:, None]
+                r = self.box.wrap(s.r0 + 0.5 * (s.v0 + v_mid) * dt)
+                s_mid = s.replace(r=r, m=m_new)
+                a, gpot = self._gravity_pass(s_mid)
+                rdmdt = flux.rdmdt_dot * dt
+                Qcons = mfv_ops.gravity_source_terms(
+                    ndim, dt, s.Qcons0, Qcons, s.a0, a, rdmdt)
+                m, rho, v, u = mfv_ops.state_from_qcons(ndim, Qcons, s.ndens)
+                s = s.replace(m=m, v=v, u=u, r=r, Qcons0=Qcons,
+                              r0=r, v0=v, a=a, a0=a, gpot=gpot)
+            else:
+                m, rho, v, u = mfv_ops.state_from_qcons(ndim, Qcons, s.ndens)
+                r = s.r0 + 0.5 * (s.v0 + v) * dt
+                r = self.box.wrap(r)
+                s = s.replace(m=m, v=v, u=u, r=r, Qcons0=Qcons,
+                              r0=r, v0=v)
             s = self._density_pass(s)
             s = self._gradient_pass(s)
-            dt_next = jnp.min(2.0 * self.courant_mult * s.h / s.vsig_max)
-            return s.replace(t=t, dt=dt_next, nstep=s.nstep + 1)
+            return s.replace(t=t, dt=self._dt_criterion(s),
+                             nstep=s.nstep + 1)
 
         return step
 

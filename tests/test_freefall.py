@@ -104,3 +104,45 @@ def test_freefall_tree_gravity():
         errs.append(abs(lr - freefall_analytical_radius(tfrac) * r0))
     assert len(errs) > 5
     assert float(np.mean(errs)) < 9e-3
+
+
+def test_freefall_mfv_gravity():
+    """MFV self-gravity (MfvCommon::ComputeSmoothedGravForces + the
+    gravity source terms of MfvIntegration): uniform-sphere collapse must
+    follow the analytic cycloid."""
+    import numpy as np
+
+    p = Parameters()
+    for k, v in {
+            "ndim": 3, "sim": "meshlessfv", "ic": "sphere", "Nhydro": 600,
+            "particle_distribution": "cubic_lattice",
+            "mcloud": 1.0, "radius": 1.0, "dimensionless": 1,
+            "press1": 1e-6, "gamma_eos": 1.6666666666666667,
+            "gas_eos": "energy_eqn", "hydro_forces": 1, "self_gravity": 1,
+            "riemann_solver": "hllc", "zero_mass_flux": 1,
+            "h_fac": 1.2, "run_id": "", "courant_mult": 0.2,
+            "accel_mult": 0.05, "tend": 0.9}.items():
+        p.set(k, v)
+    sim = SimulationBase.factory(p)
+    sim.SetupSimulation()
+
+    def hmr(s):
+        r = np.asarray(s.r)
+        rad = np.sort(np.sqrt((r ** 2).sum(-1)))
+        return rad[len(rad) // 2]
+
+    r0 = hmr(sim.state)
+    tff = np.sqrt(3.0 * np.pi / 32.0 / (3.0 / (4.0 * np.pi)))
+    errs = []
+    moms = []
+    m = np.asarray(sim.state.m)
+    while sim.t < 0.9 * tff and sim.Nsteps < 1000:
+        sim.main_loop_step()
+        s = sim.state
+        errs.append(abs(hmr(s)
+                        - freefall_analytical_radius(sim.t / tff) * r0))
+        moms.append(np.abs((np.asarray(s.m)[:, None]
+                            * np.asarray(s.v)).sum(0)).max())
+    assert np.mean(errs) < 0.03, f"MFV freefall L1 = {np.mean(errs)}"
+    assert max(moms) < 1e-8                         # momentum conserved
+    assert np.isfinite(np.asarray(sim.state.v)).all()
