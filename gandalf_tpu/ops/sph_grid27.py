@@ -53,7 +53,7 @@ class Grid27Spec:
 
 def plan_grid27(box: DomainBox, r: np.ndarray, h_max: float,
                 kernrange: float, k_slack: float = 1.35,
-                k_target: int = None) -> Grid27Spec:
+                k_target: int = None, z_multiple: int = 1) -> Grid27Spec:
     """Host-side planning (per rebuild cadence).
 
     With k_target (e.g. 128 for the Pallas kernels), the cell size is grown
@@ -69,7 +69,8 @@ def plan_grid27(box: DomainBox, r: np.ndarray, h_max: float,
         best = None
         sup = support
         for _ in range(30):
-            spec = plan_grid27(box, r, sup / kernrange, kernrange, k_slack)
+            spec = plan_grid27(box, r, sup / kernrange, kernrange, k_slack,
+                               z_multiple=z_multiple)
             if spec.k_cell > k_target:
                 break
             best = spec
@@ -91,8 +92,13 @@ def plan_grid27(box: DomainBox, r: np.ndarray, h_max: float,
             periodic.append(False)
         lo.append(lo_k)
         hi.append(hi_k)
-    ncells = tuple(max(int(np.floor((hi[k] - lo[k]) / support)), 1)
-                   for k in range(ndim))
+    ncells = [max(int(np.floor((hi[k] - lo[k]) / support)), 1)
+              for k in range(ndim)]
+    if z_multiple > 1:
+        # shard-friendly z extent: round DOWN to a mesh multiple (larger
+        # cells stay a superset of the kernel support)
+        ncells[0] = max((ncells[0] // z_multiple) * z_multiple, z_multiple)
+    ncells = tuple(ncells)
     extents = tuple(hi[k] - lo[k] for k in range(ndim))
     # occupancy
     cid = np.zeros(r.shape[0], dtype=np.int64)
@@ -165,16 +171,18 @@ def from_dense(spec: Grid27Spec, b: GridBinning, x_d: Array) -> Array:
     return flat[b.cell_of, b.slot_of]
 
 
-def add_ghost_layers(spec: Grid27Spec, x_d: Array, shift_vec=None) -> Array:
+def add_ghost_layers(spec: Grid27Spec, x_d: Array, shift_vec=None,
+                     dims=None) -> Array:
     """Pad the grid with one ghost layer per face.
 
     Periodic dims wrap-copy (with optional coordinate shift ±L applied via
     shift_vec for position tensors); open dims pad with zeros (masked by the
-    fill tensor which pads to False).
+    fill tensor which pads to False).  `dims` restricts which grid axes get
+    ghosted (the sharded path supplies dim 0 via ppermute halos).
     """
     nd = spec.ndim
     out = x_d
-    for k in range(nd):
+    for k in (range(nd) if dims is None else dims):
         n = spec.ncells[k]
         if spec.periodic[k]:
             lo_slice = jax.lax.slice_in_dim(out, n - 1, n, axis=k)
@@ -220,7 +228,8 @@ ITER_MAX = 150
 def density_grid27(kern: SmoothingKernel, spec: Grid27Spec,
                    h_fac: float, h_converge: float,
                    r_d: Array, m_d: Array, h_d: Array, fill: Array,
-                   hmax: float, slab_chunk: int = None) -> Grid27Density:
+                   hmax: float, slab_chunk: int = None,
+                   ghost_fn=None) -> Grid27Density:
     """Grad-h h-rho iteration over the structured grid (27 static shifts).
 
     All tensors are dense (*ncells, K, ...); returns dense results.
@@ -232,9 +241,10 @@ def density_grid27(kern: SmoothingKernel, spec: Grid27Spec,
     """
     nd = spec.ndim
     invndim = 1.0 / nd
-    rp_full = add_ghost_layers(spec, r_d, shift_vec=True)
-    mp_full = add_ghost_layers(spec, m_d)
-    fp_full = add_ghost_layers(spec, fill)
+    ghost = ghost_fn or add_ghost_layers
+    rp_full = ghost(spec, r_d, shift_vec=True)
+    mp_full = ghost(spec, m_d)
+    fp_full = ghost(spec, fill)
     mp_full = jnp.where(fp_full, mp_full, 0.0)
 
     n0 = spec.ncells[0]
@@ -376,7 +386,7 @@ def _auto_slab(spec: Grid27Spec) -> int:
 
 def forces_grid27(kern: SmoothingKernel, visc: ArtificialViscosity,
                   spec: Grid27Spec, dense: Dict[str, Array], fill: Array,
-                  slab_chunk: int = None):
+                  slab_chunk: int = None, ghost_fn=None):
     """Hydro forces over the structured grid (27 static shifts), processed
     in dim-0 slabs (lax.map) to bound the (cells, K, K) pair temporaries.
 
@@ -403,10 +413,11 @@ def forces_grid27(kern: SmoothingKernel, visc: ArtificialViscosity,
         widths = [(0, pad0_amount)] + [(0, 0)] * (x.ndim - 1)
         return jnp.pad(x, widths, constant_values=fill_val)
 
-    rp_full = pad_first(add_ghost_layers(spec, r_d_full, shift_vec=True))
-    vp_full = pad_first(add_ghost_layers(spec, dense["v"]))
-    pkp_full = pad_first(add_ghost_layers(spec, packed_full))
-    fp_full = pad_first(add_ghost_layers(spec, fill))
+    ghost = ghost_fn or add_ghost_layers
+    rp_full = pad_first(ghost(spec, r_d_full, shift_vec=True))
+    vp_full = pad_first(ghost(spec, dense["v"]))
+    pkp_full = pad_first(ghost(spec, packed_full))
+    fp_full = pad_first(ghost(spec, fill))
 
     def slab_fn(s):
         c = slab_chunk
