@@ -52,3 +52,20 @@ def lagrangian_radii(snap, mfrac: float = 0.5) -> float:
     mcum = np.cumsum(m[order])
     idx = np.searchsorted(mcum, mfrac * mcum[-1])
     return float(r[order][min(idx, len(r) - 1)])
+
+
+def time_derivative(quantity: str, id: int = 0, sim: str = "current"):
+    """Finite-difference time derivative of a quantity for one particle
+    across the stored snapshots (reference analysis/compute.py
+    time_derivative)."""
+    import numpy as np
+
+    from .facade import SimBuffer
+
+    simulation = SimBuffer.get_sim(sim)
+    snaps = simulation.snapshots
+    if len(snaps) < 2:
+        raise ValueError("need at least two snapshots")
+    ts = np.array([s.t for s in snaps])
+    qs = np.array([s.extract_array(quantity)[id] for s in snaps])
+    return ts[1:], np.diff(qs) / np.diff(ts)

@@ -298,3 +298,20 @@ def make_movie(filename: str = "movie.mp4", x: str = "x", y: str = "y",
             fig.savefig(f"{base}/frame{i:04d}.png")
         return base
     return filename
+
+
+def CreateTimeData(quantity: str, id: int = 0, sim="current"):
+    """Time series of `quantity` for particle `id` across all snapshots
+    (reference facade.CreateTimeData / 'time data' fetcher)."""
+    simulation = SimBuffer.get_sim(sim)
+    ts = np.array([s.t for s in simulation.snapshots])
+    qs = np.array([s.extract_array(quantity)[id]
+                   for s in simulation.snapshots])
+    return ts, qs
+
+
+def L1errornorm(ic, x=None, y=None, xmin=None, xmax=None, **kw):
+    """Convenience re-export (reference exposes it on the facade too)."""
+    from .compute import L1errornorm as _l1
+
+    return _l1(ic, x, y, xmin, xmax, **kw)

@@ -123,6 +123,67 @@ class Polytropic(EOS):
 
 
 @dataclasses.dataclass(frozen=True, eq=False)
+class LocallyIsothermal(EOS):
+    """T = max(temp0 d_star^-templaw, tempmin) with d_star the distance to
+    the nearest star (src/Thermal/LocallyIsothermal.cpp:33-95).  The
+    controller sets `star_r` ((Ns, ndim) array) at setup; with no stars
+    the origin is used."""
+
+    temp0: float = 1.0
+    templaw: float = 1.0
+    tempmin: float = 0.0
+    star_r: object = None
+
+    def _temp(self, r):
+        if r is None:
+            raise ValueError("locally-isothermal EOS needs positions")
+        stars = self.star_r if self.star_r is not None             else jnp.zeros((1, r.shape[1]))
+        d2 = jnp.sum((r[:, None, :] - stars[None, :, :]) ** 2, -1)
+        d = jnp.sqrt(jnp.min(d2, axis=1))
+        return jnp.maximum(self.temp0 * jnp.maximum(d, 1e-30)
+                           ** (-self.templaw), self.tempmin)
+
+    def specific_internal_energy(self, rho, u, r=None):
+        return self._temp(r) / self.gammam1 / self.mu_bar
+
+    def sound_speed(self, rho, u):
+        return jnp.sqrt(self.gammam1 * u)
+
+    def thermal_update(self, rho, u, r=None):
+        u_new = self.specific_internal_energy(rho, u, r)
+        return u_new, self.pressure(rho, u_new), self.sound_speed(rho, u_new)
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class DiscLocallyIsothermal(EOS):
+    """Disc temperature profile cs = norm (d/rin)^-slope around star 0
+    (src/Thermal/DiscLocallyIsothermal.cpp:42-105)."""
+
+    slope: float = 0.25
+    norm: float = 0.05
+    rin: float = 1.0
+    star_r: object = None
+
+    def _cs(self, r):
+        if r is None:
+            raise ValueError("disc-locally-isothermal EOS needs positions")
+        star = self.star_r[0] if self.star_r is not None             else jnp.zeros((r.shape[1],))
+        d = jnp.sqrt(jnp.sum((r - star[None, :]) ** 2, -1))
+        return self.norm * jnp.maximum(d / self.rin, 1e-30) ** (-self.slope)
+
+    def specific_internal_energy(self, rho, u, r=None):
+        cs = self._cs(r)
+        return cs * cs / self.gammam1
+
+    def sound_speed(self, rho, u):
+        return jnp.sqrt(self.gammam1 * u)
+
+    def thermal_update(self, rho, u, r=None):
+        u_new = self.specific_internal_energy(rho, u, r)
+        return u_new, self.pressure(rho, u_new), self.sound_speed(rho, u_new)
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
 class Radws(EOS):
     """Opacity-table EOS with variable gamma (src/Thermal/RadwsEOS.cpp):
     P = (gamma(rho,T) - 1) rho u, c = sqrt(gamma (gamma-1) u)."""
@@ -181,6 +242,20 @@ def eos_factory(params) -> EOS:
     if name == "barotropic":
         return Barotropic(gamma=gamma, mu_bar=mu_bar, temp0=temp0,
                           rho_bary=params.floatparams["rho_bary"])
+    if name in ("locally_isothermal", "local_isothermal"):
+        return LocallyIsothermal(
+            gamma=gamma, mu_bar=mu_bar, temp0=temp0,
+            templaw=params.floatparams["templaw"],
+            tempmin=params.floatparams["tempmin"])
+    if name == "disc_locally_isothermal":
+        import math
+
+        return DiscLocallyIsothermal(
+            gamma=gamma, mu_bar=mu_bar,
+            slope=params.floatparams["DiscIcQ"],
+            norm=params.floatparams["DiscIcHr"]
+            * math.sqrt(1.0 / params.floatparams["DiscIcRin"]),
+            rin=params.floatparams["DiscIcRin"])
     if name == "polytropic":
         return Polytropic(gamma=gamma, mu_bar=mu_bar,
                           Kpoly=params.floatparams["Kpoly"],

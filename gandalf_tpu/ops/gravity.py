@@ -106,4 +106,8 @@ def external_potential_accel(name: str, params, r: Array) -> Array:
         avert = params.floatparams["avert"]
         a = jnp.zeros_like(r)
         return a.at[:, -1].set(avert)
+    if name == "silcc":
+        # the reference SilccPotential::AddExternalPotential body is empty
+        # (ExternalPotential.h SilccPotential) — parity: no force
+        return jnp.zeros_like(r)
     raise ValueError(f"Unrecognised external_potential: {name!r}")

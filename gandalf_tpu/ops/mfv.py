@@ -545,6 +545,7 @@ class MfvConfig:
     zero_mass_flux: bool = True
     static_particles: bool = False
     riemann: str = "hllc"            # hllc | exact
+    slope_limiter: str = "gizmo"     # gizmo | scalar | null | zeroslope
 
 
 def compute_godunov_fluxes(kern: SmoothingKernel, cfg: MfvConfig, ndim: int,
@@ -607,8 +608,20 @@ def compute_godunov_fluxes(kern: SmoothingKernel, cfg: MfvConfig, ndim: int,
     half_dr = 0.5 * dr
 
     # --- left state (particle i side) -------------------------------------
-    dW_i, gradW_i = gizmo_limited_dW(Wprim, nb["Wprim"], grad, alpha_slope,
-                                     half_dr, dr)
+    if cfg.slope_limiter == "zeroslope":
+        # first-order: no reconstruction (ZeroSlopeLimiter)
+        gradW_i = jnp.zeros_like(grad)[:, None]
+        dW_i = jnp.zeros_like(Wprim)[:, None] * jnp.ones_like(Amag)[..., None]
+    elif cfg.slope_limiter in ("null", "scalar"):
+        # cell-limited plain extrapolation, no pairwise Gizmo clamp
+        # (NullLimiter uses alpha = 1; ScalarLimiter the cell alphas)
+        alph = jnp.ones_like(alpha_slope) if cfg.slope_limiter == "null"             else alpha_slope
+        gradW_i = (alph[..., None] * grad)[:, None]
+        dW_i = jnp.einsum("nkvi,nki->nkv", gradW_i
+                          * jnp.ones_like(Amag)[..., None, None], half_dr)
+    else:
+        dW_i, gradW_i = gizmo_limited_dW(Wprim, nb["Wprim"], grad,
+                                         alpha_slope, half_dr, dr)
     Wl = Wprim[:, None, :] + dW_i
     Wl = Wl.at[..., :ndim].add(-vface)
     Wdot_l = _primitive_time_derivative(Wl, gradW_i, sound[:, None], ndim)
@@ -616,8 +629,17 @@ def compute_godunov_fluxes(kern: SmoothingKernel, cfg: MfvConfig, ndim: int,
     Wl = Wl + 0.5 * Wdot_l * dt
 
     # --- right state (neighbour j side): needs j's limited slopes ---------
-    dW_j, gradW_j = _gizmo_limited_dW_j(nb["Wprim"], Wprim, nb["grad"],
-                                        nb["alpha_slope"], -half_dr, -dr)
+    if cfg.slope_limiter == "zeroslope":
+        gradW_j = jnp.zeros_like(nb["grad"])
+        dW_j = jnp.zeros_like(nb["Wprim"])
+    elif cfg.slope_limiter in ("null", "scalar"):
+        alph = jnp.ones_like(nb["alpha_slope"])             if cfg.slope_limiter == "null" else nb["alpha_slope"]
+        gradW_j = alph[..., None] * nb["grad"]
+        dW_j = jnp.einsum("nkvi,nki->nkv", gradW_j, -half_dr)
+    else:
+        dW_j, gradW_j = _gizmo_limited_dW_j(nb["Wprim"], Wprim, nb["grad"],
+                                            nb["alpha_slope"], -half_dr,
+                                            -dr)
     Wr = nb["Wprim"] + dW_j
     Wr = Wr.at[..., :ndim].add(-vface)
     Wdot_r = _primitive_time_derivative(Wr, gradW_j, nb["sound"], ndim)

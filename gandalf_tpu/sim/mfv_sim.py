@@ -49,7 +49,8 @@ class MfvMusclSimulation(SimulationBase):
             gamma=p.floatparams["gamma_eos"],
             zero_mass_flux=bool(p.intparams["zero_mass_flux"]),
             static_particles=bool(p.intparams["static_particles"]),
-            riemann=p.stringparams["riemann_solver"])
+            riemann=p.stringparams["riemann_solver"],
+            slope_limiter=p.stringparams["slope_limiter"])
         self.h_fac = p.floatparams["h_fac"]
         self.h_converge = p.floatparams["h_converge"]
         self.hydro_forces = bool(p.intparams["hydro_forces"])

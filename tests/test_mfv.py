@@ -138,3 +138,27 @@ class TestExactRiemannSolver:
                                                       sol["vx"]))))
         # ~4x the 512/128 result (0.0086) at quarter resolution
         assert l1 < 0.04, f"exact-solver L1(vx) = {l1}"
+
+
+@pytest.mark.parametrize("lim", ["scalar", "null", "zeroslope"])
+def test_slope_limiter_options(lim):
+    """slope_limiter = scalar/null/zeroslope variants stay finite on the
+    Sod tube (reference SlopeLimiter template dispatch)."""
+    import numpy as np
+
+    p = make_mfv_adsod_params()
+    p.set("run_id", "")
+    p.set("slope_limiter", lim)
+    p.set("Nlattice1[0]", 128)
+    p.set("Nlattice2[0]", 32)
+    p.set("tend", 0.1)
+    sim = SimulationBase.factory(p)
+    sim.SetupSimulation()
+    n = 0
+    while sim.t < 0.1 and n < 600:
+        sim.main_loop_step()
+        n += 1
+    vx = np.asarray(sim.state.v)[:, 0]
+    assert np.isfinite(vx).all()
+    # the shock plateau is developing in the right direction
+    assert vx.max() > 0.3

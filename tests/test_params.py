@@ -64,3 +64,48 @@ def test_sm2012_disabled():
     p.set("sim", "sm2012sph")
     with pytest.raises(ValueError):
         p.check_invalid_parameters()
+
+
+def test_locally_isothermal_eos():
+    """LocallyIsothermal / DiscLocallyIsothermal temperature profiles
+    (src/Thermal/LocallyIsothermal.cpp, DiscLocallyIsothermal.cpp)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gandalf_tpu.ops.eos import eos_factory
+    from gandalf_tpu.params import Parameters
+
+    p = Parameters()
+    p.set("gas_eos", "locally_isothermal")
+    p.set("temp0", 2.0)
+    p.set("templaw", 0.5)
+    p.set("tempmin", 0.01)
+    p.set("gamma_eos", 1.4)
+    p.set("mu_bar", 1.0)
+    eos = eos_factory(p)
+    r = jnp.asarray([[4.0, 0.0, 0.0], [100.0, 0.0, 0.0]])
+    u, press, cs = eos.thermal_update(jnp.ones(2), jnp.zeros(2), r=r)
+    # T = 2 * 4^-0.5 = 1.0 at d=4 -> u = T/(gamma-1)
+    assert float(u[0]) == pytest.approx(1.0 / 0.4)
+    assert float(u[1]) == pytest.approx(0.2 / 0.4)
+
+    p.set("gas_eos", "disc_locally_isothermal")
+    p.set("DiscIcQ", 0.5)
+    p.set("DiscIcHr", 0.05)
+    p.set("DiscIcRin", 0.4)
+    eos = eos_factory(p)
+    u, press, cs = eos.thermal_update(jnp.ones(2), jnp.zeros(2), r=r)
+    norm = 0.05 * np.sqrt(1.0 / 0.4)
+    cs_expect = norm * (4.0 / 0.4) ** -0.5
+    assert float(cs[0]) == pytest.approx(cs_expect)
+
+
+def test_interpreter_repl():
+    """cmd-based REPL wraps the facade (analysis/gandalf_interpreter.py
+    analogue)."""
+    from gandalf_tpu.analysis.interpreter import GandalfInterpreter
+
+    g = GandalfInterpreter()
+    assert "newsim" in g._fns and "run" in g._fns and "plot" in g._fns
+    assert g.default("unknowncmd 1 2") is False
+    assert g.default("quit") is True
