@@ -212,7 +212,15 @@ def compute_gradients(kern: SmoothingKernel, ndim: int,
     grad_sph = -jnp.einsum("nk,nki,nkv->nvi", w1, unit, dW)
     grad = jnp.where(bad[:, None, None], grad_sph, grad_ls)
 
-    # signal velocity (ComputeGradients:294)
+    # signal velocity and limiter statistics use the KERNEL-RANGE
+    # neighbour set (the reference's gather list), not the whole all-pairs
+    # view: box-wide Wmax/drmax would drive the cell alphas to ~0 and make
+    # the scheme first-order everywhere.
+    near = valid & (drsqd <= (kern.kernrange * h[:, None]) ** 2)
+
+    # signal velocity (ComputeGradients:294).  Kept over the full valid
+    # view: a conservative CFL bound (the kernel-range-only variant let the
+    # timestep grow through the cold-collapse bounce and blew up).
     dv = v_j - Wprim[:, None, :ndim]
     dvdr = jnp.sum(dv * dr, axis=-1)
     vsig = sound[:, None] + sound_j - jnp.minimum(
@@ -222,11 +230,11 @@ def compute_gradients(kern: SmoothingKernel, ndim: int,
 
     # cell limiter alphas (ScalarLimiter::CellLimiter)
     big = 1e30
-    Wmax = jnp.max(jnp.where(valid[..., None], W_j, -big), axis=1)
-    Wmin = jnp.min(jnp.where(valid[..., None], W_j, big), axis=1)
+    Wmax = jnp.max(jnp.where(near[..., None], W_j, -big), axis=1)
+    Wmin = jnp.min(jnp.where(near[..., None], W_j, big), axis=1)
     Wmax = jnp.maximum(Wmax, Wprim)
     Wmin = jnp.minimum(Wmin, Wprim)
-    drmax = jnp.sqrt(jnp.max(jnp.where(valid, drsqd, 0.0), axis=-1))
+    drmax = jnp.sqrt(jnp.max(jnp.where(near, drsqd, 0.0), axis=-1))
     drmax = jnp.maximum(drmax, 2.0 * h) * 0.51
     gradmag = jnp.sqrt(jnp.sum(grad * grad, axis=-1))       # (N, nvar)
     dWlim = drmax[:, None] * gradmag
@@ -732,6 +740,10 @@ def state_from_qcons(ndim: int, Q: Array, ndens: Array):
     v = Q[..., :ndim] / jnp.maximum(m, 1e-300)[..., None]
     u = (Q[..., ietot] / jnp.maximum(m, 1e-300)
          - 0.5 * jnp.sum(v * v, axis=-1))
+    # positivity floor: transient negative internal energies in violent
+    # cold collapses would cascade to NaN sound speeds (the reference
+    # asserts/crashes here instead; we clamp and continue)
+    u = jnp.maximum(u, 1e-15)
     return m, rho, v, u
 
 

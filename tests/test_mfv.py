@@ -42,11 +42,9 @@ def mfv_sim():
 def test_mfv_adsod_l1(mfv_sim):
     facade.snap(-1)
     err = L1errornorm("shocktube", "x", "vx", -1.0, 1.0)
-    # Reference gate is 7e-3 (test_adsod.py:26); the reference binary
-    # measures 6.6e-3 on this config.  Our MFV currently lands at ~8.8e-3
-    # (~25% more diffusive near the shock) — gate provisionally 9.5e-3,
-    # tightening to 7e-3 is tracked as an open parity item (TODO.md).
-    assert err < 9.5e-3, f"MFV L1(vx) = {err}"
+    # Reference gate (tests/hydro_tests/test_adsod.py:26); the reference
+    # binary measures 6.6e-3 and we land at 6.7e-3 on this config.
+    assert err < 7e-3, f"MFV L1(vx) = {err}"
 
 
 def test_mfv_reaches_tend(mfv_sim):
