@@ -130,7 +130,7 @@ def loadsim(run_id: str, fileformat: str = None) -> SimulationBase:
                 params.parse_line(line)
     sim = SimulationBase.__new__(SimulationBase)
     SimulationBase.__init__(sim, params)
-    forms = [fileformat] if fileformat else ["column", "su"]
+    forms = [fileformat] if fileformat else ["column", "su", "sf"]
     for form in forms:
         files = sorted(glob.glob(f"{run_id}.{form}.*"))
         for fn in files:
@@ -138,6 +138,8 @@ def loadsim(run_id: str, fileformat: str = None) -> SimulationBase:
                 continue
             if form == "su":
                 t, data = sim_io.read_seren_unform(fn)
+            elif form == "sf":
+                t, data = sim_io.read_seren_form(fn)
             else:
                 t, data = sim_io.read_column_snapshot(fn)
             ndim = data["r"].shape[1]

@@ -1,0 +1,152 @@
+"""N-body sub-system detection (NbodySystemTree,
+src/Nbody/NbodySystemTree.cpp:116-520).
+
+Host-side numpy implementation: the reference rebuilds its
+nearest-neighbour agglomerative tree every `nsystembuildstep` steps on the
+host too, and star counts are small, so this is NOT device code.
+
+- `create_system_tree`: repeatedly merge MUTUAL nearest-neighbour pairs of
+  free nodes into parents until one root remains (CreateNbodySystemTree).
+- `build_subsystems`: bottom-up walk marking the largest nodes with
+  Ncomp <= Ncompmax whose gravitational potential energy is dominated by
+  the internal pair energy, |gpe - gpe_internal| < gpefrac * gpe
+  (BuildSubSystems:256-420) — bound, isolated binaries/triples/quadruples.
+- `orbital_elements`: semi-major axis / eccentricity / period of a bound
+  pair (the reference's binary diagnostics).
+
+Sub-system REGULARISED internal integration (SystemParticle + perturber
+lists) is not implemented yet; detection feeds diagnostics and the
+hierarchical-timestep assignment.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class SubSystem:
+    members: Tuple[int, ...]       # star indices
+    r_com: np.ndarray
+    v_com: np.ndarray
+    m: float
+    gpe_internal: float
+    ketot: float
+    tcross: float
+
+    @property
+    def n(self) -> int:
+        return len(self.members)
+
+    @property
+    def bound(self) -> bool:
+        return self.ketot < self.gpe_internal
+
+
+def create_system_tree(r: np.ndarray):
+    """Agglomerative mutual-nearest-neighbour pairing.  Returns
+    (children, members): children[p] = (c1, c2) for each internal node p
+    (node ids >= Nstar), members[node] = tuple of star indices."""
+    N = len(r)
+    pos = {i: r[i].copy() for i in range(N)}
+    members = {i: (i,) for i in range(N)}
+    children = {}
+    free = list(range(N))
+    next_id = N
+    while len(free) > 1:
+        # nearest free node of every free node
+        P = np.array([pos[i] for i in free])
+        d2 = ((P[:, None, :] - P[None, :, :]) ** 2).sum(-1)
+        np.fill_diagonal(d2, np.inf)
+        nearest = d2.argmin(axis=1)
+        merged_any = False
+        used = set()
+        for ii in range(len(free)):
+            jj = nearest[ii]
+            if ii in used or jj in used:
+                continue
+            if nearest[jj] == ii and ii < jj:     # mutual pair
+                a, b = free[ii], free[jj]
+                children[next_id] = (a, b)
+                members[next_id] = members[a] + members[b]
+                ma, mb = len(members[a]), len(members[b])
+                pos[next_id] = (pos[a] * ma + pos[b] * mb) / (ma + mb)
+                used.update((ii, jj))
+                merged_any = True
+                next_id += 1
+        if not merged_any:
+            # degenerate chain: force-merge the globally closest pair
+            ii, jj = np.unravel_index(d2.argmin(), d2.shape)
+            a, b = free[ii], free[jj]
+            children[next_id] = (a, b)
+            members[next_id] = members[a] + members[b]
+            pos[next_id] = 0.5 * (pos[a] + pos[b])
+            used.update((ii, jj))
+            next_id += 1
+        free = [f for k, f in enumerate(free) if k not in used]
+        free.extend(n for n in range(N, next_id) if n not in
+                    {c for pair in children.values() for c in pair})
+        free = sorted(set(free))
+    return children, members
+
+
+def build_subsystems(r: np.ndarray, v: np.ndarray, m: np.ndarray,
+                     gpot: np.ndarray, Ncompmax: int = 4,
+                     gpefrac: float = 1.0e-3) -> List[SubSystem]:
+    """Identify bound, isolated sub-systems (BuildSubSystems).
+
+    gpot: positive total potential |phi| per star (reference convention);
+    a node qualifies when its stars' total gpe is internally dominated."""
+    N = len(r)
+    if N < 2:
+        return []
+    children, members = create_system_tree(r)
+    out: List[SubSystem] = []
+    claimed = set()
+    # largest nodes first so a triple absorbs its inner binary
+    for node in sorted(children, key=lambda n: -len(members[n])):
+        mem = members[node]
+        if len(mem) > Ncompmax or any(i in claimed for i in mem):
+            continue
+        idx = np.array(mem)
+        gpe = 0.5 * float((m[idx] * gpot[idx]).sum())
+        # internal pair energy
+        dr = r[idx][:, None, :] - r[idx][None, :, :]
+        d = np.sqrt((dr ** 2).sum(-1))
+        np.fill_diagonal(d, np.inf)
+        gpe_int = 0.5 * float((m[idx][:, None] * m[idx][None, :] / d).sum())
+        if abs(gpe - gpe_int) >= gpefrac * abs(gpe):
+            continue
+        mtot = float(m[idx].sum())
+        v_com = (m[idx][:, None] * v[idx]).sum(0) / mtot
+        r_com = (m[idx][:, None] * r[idx]).sum(0) / mtot
+        ketot = 0.5 * float((m[idx] * ((v[idx] - v_com) ** 2)
+                             .sum(-1)).sum())
+        vmean = np.sqrt(2.0 * ketot / mtot) if ketot > 0 else 1e-30
+        tcross = np.sqrt(mtot * mtot / max(gpe_int, 1e-300)) / vmean
+        out.append(SubSystem(members=tuple(mem), r_com=r_com, v_com=v_com,
+                             m=mtot, gpe_internal=gpe_int, ketot=ketot,
+                             tcross=tcross))
+        claimed.update(mem)
+    return out
+
+
+def orbital_elements(r1, v1, m1, r2, v2, m2):
+    """(a, e, period) of a two-body orbit, G = 1 (the reference's binary
+    diagnostics; negative a = unbound)."""
+    dr = np.asarray(r1) - np.asarray(r2)
+    dv = np.asarray(v1) - np.asarray(v2)
+    mu = m1 + m2
+    d = np.linalg.norm(dr)
+    v2rel = (dv ** 2).sum()
+    eps = 0.5 * v2rel - mu / d                 # specific orbital energy
+    a = -mu / (2.0 * eps) if eps != 0 else np.inf
+    # eccentricity from the Laplace-Runge-Lenz vector (any ndim >= 2)
+    hvec_sq = (dr ** 2).sum() * (dv ** 2).sum() - ((dr * dv).sum()) ** 2
+    e2 = 1.0 + 2.0 * eps * hvec_sq / (mu * mu)
+    e = np.sqrt(max(e2, 0.0))
+    period = 2.0 * np.pi * np.sqrt(a ** 3 / mu) if a > 0 else np.inf
+    return float(a), float(e), float(period)

@@ -199,3 +199,158 @@ def read_column_snapshot(filename: str) -> Tuple[float, Dict[str, np.ndarray]]:
     }
     hydro["nstar"] = n_star
     return t, hydro
+
+
+SEREN_ASCII_TAG = "SERENASCIIDUMPV2"
+
+
+def write_seren_form(filename: str, t: float, hydro: Dict[str, np.ndarray],
+                     h_fac: float = 1.2, nsteps: int = 0,
+                     noutsnap: int = 0, star: Dict[str, np.ndarray] = None
+                     ) -> None:
+    """SEREN formatted (ASCII) snapshot, 'sf'
+    (Simulation::WriteSerenFormSnapshotFile, SimulationIO.hpp:989-1210):
+    same header layout as 'su' but one value per line, then scalar arrays
+    one value per line and vector arrays one row per particle."""
+    r = np.asarray(hydro["r"])
+    N, ndim = r.shape
+    data_ids = ["porig", "r", "m", "h", "v", "rho", "u"]
+    widths = {"porig": 1, "r": ndim, "m": 1, "h": 1, "v": ndim,
+              "rho": 1, "u": 1}
+    dtypes = {"porig": 2, "r": 4, "m": 4, "h": 4, "v": 4, "rho": 4, "u": 4}
+    unit_ids = {"porig": 0, "r": 1, "m": 2, "h": 1, "v": 4,
+                "rho": 6, "u": 20}
+    nstar = 0 if star is None else len(star["m"])
+    idata = np.zeros(50, np.int64)
+    idata[0] = N
+    idata[1] = nstar
+    idata[4] = N
+    idata[20] = len(data_ids) + (1 if nstar else 0)
+    ilpdata = np.zeros(50, np.int64)
+    ilpdata[0] = noutsnap
+    ilpdata[1] = nsteps
+    rdata = np.zeros(50)
+    rdata[0] = h_fac
+    ddata = np.zeros(50)
+    ddata[0] = t
+    ddata[2] = float(np.mean(hydro["m"])) if N else 0.0
+
+    with open(filename, "w") as f:
+        w = lambda x: f.write(f"{x}\n")
+        w(SEREN_ASCII_TAG)
+        w(4)
+        for _ in range(3):
+            w(ndim)
+        for arr in (idata, ilpdata):
+            for x in arr:
+                w(int(x))
+        for arr in (rdata, ddata):
+            for x in arr:
+                w(f"{x:.10e}")
+        for did in data_ids + (["sink_v1"] if nstar else []):
+            w(did)
+        for did in data_ids:
+            f.write(f"{widths[did]} 1 {N} {dtypes[did]} {unit_ids[did]}\n")
+        if nstar:
+            f.write(f"1 1 {nstar} 7 0\n")
+        np.savetxt(f, np.asarray(hydro.get("iorig", np.arange(N)),
+                                 np.int64), fmt="%d")
+        np.savetxt(f, r, fmt="%.10e")
+        np.savetxt(f, np.asarray(hydro["m"]), fmt="%.10e")
+        np.savetxt(f, np.asarray(hydro["h"]), fmt="%.10e")
+        np.savetxt(f, np.asarray(hydro["v"]).reshape(N, ndim), fmt="%.10e")
+        np.savetxt(f, np.asarray(hydro["rho"]), fmt="%.10e")
+        np.savetxt(f, np.asarray(hydro["u"]), fmt="%.10e")
+        if nstar:
+            sink_len = 12 + 2 * ndim
+            f.write(f"2 2 0 {sink_len} 0 0\n")
+            for i in range(nstar):
+                f.write("1 1\n")
+                f.write(f"{i + 1} 0\n")
+                sdata = np.zeros(sink_len)
+                sdata[1:1 + ndim] = np.asarray(star["r"])[i]
+                sdata[1 + ndim:1 + 2 * ndim] = np.asarray(star["v"])[i]
+                sdata[1 + 2 * ndim] = np.asarray(star["m"])[i]
+                sdata[2 + 2 * ndim] = np.asarray(star["h"])[i]
+                f.write(" ".join(f"{x:.10e}" for x in sdata) + "\n")
+
+
+def read_seren_form(filename: str) -> Tuple[float, Dict[str, np.ndarray]]:
+    """Read a SEREN formatted ('sf') snapshot."""
+    with open(filename) as f:
+        tok = iter(f.read().split())
+    tag = next(tok)
+    if not tag.startswith("SERENASCIIDUMP"):
+        raise ValueError(f"not a SEREN ASCII snapshot: {tag!r}")
+    next(tok)                          # precision
+    ndim = int(next(tok))
+    next(tok); next(tok)
+    idata = np.array([int(next(tok)) for _ in range(50)])
+    ilpdata = np.array([int(next(tok)) for _ in range(50)])
+    rdata = np.array([float(next(tok)) for _ in range(50)])
+    ddata = np.array([float(next(tok)) for _ in range(50)])
+    N, nstar, ndata = int(idata[0]), int(idata[1]), int(idata[20])
+    data_ids = [next(tok) for _ in range(ndata)]
+    typedata = [[int(next(tok)) for _ in range(5)] for _ in range(ndata)]
+    out: Dict[str, np.ndarray] = {}
+    for did, td in zip(data_ids, typedata):
+        if did == "sink_v1":
+            break
+        width, n = td[0], td[2]
+        vals = np.array([float(next(tok)) for _ in range(n * width)])
+        out[did] = vals.reshape(n, width) if (width > 1
+                                              or did in ("r", "v")) else vals
+    out["nstar"] = nstar
+    if "porig" in out:
+        out["iorig"] = out.pop("porig").astype(np.int64)
+    if nstar:
+        for _ in range(6):
+            next(tok)
+        sink_len = 12 + 2 * ndim
+        rs, vs = np.zeros((nstar, ndim)), np.zeros((nstar, ndim))
+        ms, hs = np.zeros(nstar), np.zeros(nstar)
+        for i in range(nstar):
+            for _ in range(4):
+                next(tok)
+            sdata = np.array([float(next(tok)) for _ in range(sink_len)])
+            rs[i] = sdata[1:1 + ndim]
+            vs[i] = sdata[1 + ndim:1 + 2 * ndim]
+            ms[i] = sdata[1 + 2 * ndim]
+            hs[i] = sdata[2 + 2 * ndim]
+        out["star"] = {"r": rs, "v": vs, "m": ms, "h": hs}
+    return float(ddata[0]), out
+
+
+def write_seren_lite(filename: str, t: float, hydro: Dict[str, np.ndarray],
+                     noutsnap: int = 0) -> None:
+    """Reduced 'sl' (lite) binary snapshot: float32 r/m/h/rho/u only
+    (Simulation::WriteSerenLiteSnapshotFile)."""
+    r = np.asarray(hydro["r"])
+    N, ndim = r.shape
+    data_ids = ["r", "m", "h", "rho", "u"]
+    widths = {"r": ndim, "m": 1, "h": 1, "rho": 1, "u": 1}
+    unit_ids = {"r": 1, "m": 2, "h": 1, "rho": 6, "u": 20}
+    idata = np.zeros(50, np.int32)
+    idata[0] = N
+    idata[4] = N
+    idata[20] = len(data_ids)
+    ilpdata = np.zeros(50, np.int64)
+    ilpdata[0] = noutsnap
+    rdata = np.zeros(50, np.float32)
+    ddata = np.zeros(50, np.float64)
+    ddata[0] = t
+    with open(filename, "wb") as f:
+        f.write(SEREN_TAG.ljust(STRING_LENGTH).encode())
+        np.array([4, ndim, ndim, ndim], np.int32).tofile(f)
+        idata.tofile(f)
+        ilpdata.tofile(f)
+        rdata.tofile(f)
+        ddata.tofile(f)
+        for did in data_ids:
+            f.write(did.ljust(STRING_LENGTH).encode())
+        for did in data_ids:
+            np.array([widths[did], 1, N, 4, unit_ids[did]],
+                     np.int32).tofile(f)
+        r.astype(np.float32).tofile(f)
+        for k in ("m", "h", "rho", "u"):
+            np.asarray(hydro[k], np.float32).tofile(f)

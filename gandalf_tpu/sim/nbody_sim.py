@@ -93,6 +93,21 @@ class NbodySimulation(SimulationBase):
             self.state = self._step_fn(self.state)
         self.Nsteps += 1
         self.t = float(self.state.t)
+        # sub-system identification every nsystembuildstep steps
+        # (NbodySimulation::MainLoop -> NbodySystemTree; detection feeds
+        # diagnostics, internal regularised integration is a TODO)
+        p = self.params
+        if bool(p.intparams["sub_systems"]) \
+                and self.Nsteps % max(p.intparams["nsystembuildstep"],
+                                      1) == 0:
+            from ..ops.systemtree import build_subsystems
+
+            s = self.state
+            self.subsystems = build_subsystems(
+                np.asarray(s.r), np.asarray(s.v), np.asarray(s.m),
+                np.asarray(s.gpot), Ncompmax=p.intparams["Ncompmax"]
+                if "Ncompmax" in p.intparams else 4,
+                gpefrac=p.floatparams["gpefrac"])
 
     def _state_to_host(self) -> Dict[str, np.ndarray]:
         s = self.state

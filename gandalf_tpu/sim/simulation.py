@@ -103,6 +103,8 @@ class SimulationBase:
             fname = f.readline().strip()
         if form == "su":
             t, data = sim_io.read_seren_unform(fname)
+        elif form == "sf":
+            t, data = sim_io.read_seren_form(fname)
         else:
             t, data = sim_io.read_column_snapshot(fname)
         data["t"] = t
@@ -209,8 +211,12 @@ class SimulationBase:
     def _write_snapshot_file(self):
         form = self.params.stringparams["out_file_form"]
         run_id = self.params.stringparams["run_id"]
-        if form in ("sf", "su", "seren_form", "seren_unform"):
+        if form in ("su", "seren_unform"):
             form_tag = "su"
+        elif form in ("sf", "seren_form"):
+            form_tag = "sf"
+        elif form in ("sl", "seren_lite"):
+            form_tag = "sl"
         else:
             form_tag = "column"
         fname = f"{run_id}.{form_tag}.{self.Noutsnap:05d}"
@@ -226,6 +232,14 @@ class SimulationBase:
                 fname, self.t, data,
                 h_fac=self.params.floatparams["h_fac"],
                 nsteps=self.Nsteps, noutsnap=self.Noutsnap, star=star)
+        elif form_tag == "sf":
+            sim_io.write_seren_form(
+                fname, self.t, data,
+                h_fac=self.params.floatparams["h_fac"],
+                nsteps=self.Nsteps, noutsnap=self.Noutsnap, star=star)
+        elif form_tag == "sl":
+            sim_io.write_seren_lite(fname, self.t, data,
+                                    noutsnap=self.Noutsnap)
         else:
             sim_io.write_column_snapshot(fname, self.t, data)
         # restart pointer file (SimulationBase::RestartSnapshot,

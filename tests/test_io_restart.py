@@ -166,3 +166,44 @@ def test_render_grid_uniform_box():
     assert grid.shape == (32, 32)
     assert grid.mean() == pytest.approx(2.0, rel=0.05)
     assert grid.std() / grid.mean() < 0.05
+
+
+def test_seren_form_roundtrip(tmp_path):
+    """sf (SEREN ASCII) write/read round-trip incl. sink records
+    (Simulation::WriteSerenFormSnapshotFile)."""
+    import numpy as np
+
+    from gandalf_tpu.sim.io import read_seren_form, write_seren_form
+
+    rng = np.random.default_rng(9)
+    N = 12
+    hydro = {"r": rng.normal(size=(N, 3)), "v": rng.normal(size=(N, 3)),
+             "m": rng.uniform(1, 2, N), "h": rng.uniform(0.1, 0.2, N),
+             "rho": rng.uniform(0.5, 1.5, N), "u": rng.uniform(1, 3, N)}
+    star = {"r": rng.normal(size=(2, 3)), "v": rng.normal(size=(2, 3)),
+            "m": np.array([1.0, 2.0]), "h": np.array([0.1, 0.2])}
+    fn = str(tmp_path / "T.sf.00000")
+    write_seren_form(fn, 1.25, hydro, star=star)
+    t, data = read_seren_form(fn)
+    assert t == 1.25
+    for k in ("r", "v", "m", "h", "rho", "u"):
+        np.testing.assert_allclose(data[k], hydro[k], rtol=1e-9)
+    assert data["nstar"] == 2
+    np.testing.assert_allclose(data["star"]["m"], star["m"], rtol=1e-9)
+    np.testing.assert_allclose(data["star"]["r"], star["r"], rtol=1e-9)
+
+
+def test_seren_lite_writes(tmp_path):
+    import numpy as np
+
+    from gandalf_tpu.sim.io import write_seren_lite
+
+    N = 8
+    hydro = {"r": np.zeros((N, 3)), "m": np.ones(N), "h": np.ones(N),
+             "rho": np.ones(N), "u": np.ones(N)}
+    fn = str(tmp_path / "T.sl.00000")
+    write_seren_lite(fn, 0.5, hydro)
+    import os
+
+    # float32 header + 5 arrays
+    assert os.path.getsize(fn) > 0
