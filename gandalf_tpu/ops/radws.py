@@ -151,13 +151,15 @@ def _ebalance(table: OpacityTable, dudt, temp_ex, temp, kappa, kappap,
 
 
 def energy_find_equi(table: OpacityTable, rho: Array, u: Array,
-                     dudt: Array, col2: Array, n_iter: int = 30):
+                     dudt: Array, col2: Array, n_iter: int = 30,
+                     temp_amb: Array = None):
     """(ueq, dt_therm) per particle: bisect f(T) = dudt + ebalance on the
     tabulated temperature range (EnergyFindEqui/EnergyFindEquiTemp,
     EnergyRadws.cpp:340-700).  f is decreasing in T."""
     idens = idens_of(table, rho)
     temp = temp_from_u(table, rho, u)
-    temp_amb = table.temp_ambient
+    if temp_amb is None:
+        temp_amb = table.temp_ambient   # radiative-FB passes a field
 
     def f_of(T):
         it = itemp_of(table, T)

@@ -118,3 +118,53 @@ class TestRadwsSimulation:
         rho = np.asarray(s.rho)
         u = np.asarray(s.u)
         assert np.allclose(P, (5.0 / 3.0 - 1.0) * rho * u, rtol=1e-6)
+
+
+class TestRadiativeFeedback:
+    def test_sink_heating_field(self):
+        """SinkHeating ambient field: T^4 falls as 1/d^2, floors at
+        temp_inf far away (RadiativeFB.cpp:258-300)."""
+        import jax.numpy as jnp
+
+        from gandalf_tpu.ops.radiative_fb import (SinkHeatingConfig,
+                                                  ambient_temperature,
+                                                  sink_luminosity)
+
+        cfg = SinkHeatingConfig(rad_const=1.0, temp_inf=5.0, f_acc=0.75,
+                                msun=1.0, r_star=0.01)
+        # one accreting stellar-mass sink at the origin
+        m = jnp.asarray([1.0])
+        mdot = jnp.asarray([0.1])
+        rads = jnp.asarray([0.05])
+        L, rsrc = sink_luminosity(cfg, m, mdot, rads)
+        # stellar class: intrinsic + accretion luminosity
+        L_exp = 1.0 + 0.75 * (1.0 * 0.1 / 0.01) * (1 - 0.01 / 0.1)
+        assert float(L[0]) == pytest.approx(L_exp)
+        assert float(rsrc[0]) == 0.01
+
+        r = jnp.asarray([[0.1, 0.0, 0.0], [1.0, 0.0, 0.0],
+                         [100.0, 0.0, 0.0]])
+        T = ambient_temperature(cfg, r, jnp.zeros((1, 3)), m, mdot, rads,
+                                jnp.asarray([True]))
+        T = np.asarray(T)
+        # near field dominated by the sink, far field -> temp_inf
+        assert T[0] > T[1] > T[2]
+        assert T[2] == pytest.approx(5.0, rel=1e-3)
+        # T^4 - Tinf^4 scales as 1/d^2
+        ratio = (T[0] ** 4 - 5.0 ** 4) / (T[1] ** 4 - 5.0 ** 4)
+        assert ratio == pytest.approx(100.0, rel=1e-6)
+
+    def test_equilibrium_with_ambient_field(self):
+        """energy_find_equi accepts a per-particle ambient temperature:
+        hotter ambient -> hotter equilibrium."""
+        import jax.numpy as jnp
+
+        tab = make_ideal_table(temp_ambient=10.0)
+        rho = jnp.full(2, 1e-2)
+        u = jnp.full(2, 50.0)
+        tamb = jnp.asarray([10.0, 100.0])
+        ueq, _ = energy_find_equi(tab, rho, u, jnp.zeros(2), jnp.zeros(2),
+                                  temp_amb=tamb)
+        # ideal table: ueq = T_amb / (gamma-1)
+        assert float(ueq[0]) == pytest.approx(15.0, rel=0.1)
+        assert float(ueq[1]) == pytest.approx(150.0, rel=0.1)
