@@ -223,25 +223,40 @@ class SimulationBase:
         data = self._state_to_host()
         star = data.pop("star", None)
         alive = data.pop("alive", None)
+        t_out = self.t
+        units = getattr(self, "units", None)
+        if units is not None and not units.dimensionless:
+            # write in output units (reference multiplies by outscale)
+            qmap = {"r": "r", "v": "v", "a": "a", "m": "m", "h": "r",
+                    "rho": "rho", "u": "u", "dudt": "dudt",
+                    "pressure": "press", "sound": "v"}
+            for k, q in qmap.items():
+                if k in data:
+                    data[k] = data[k] * units.output_scale(q)
+            if star is not None:
+                for k, q in (("r", "r"), ("v", "v"), ("m", "m"),
+                             ("h", "r")):
+                    star[k] = star[k] * units.output_scale(q)
+            t_out = self.t * units.output_scale("t")
         if alive is not None and not alive.all():
             # drop accreted corpses: files carry live particles only
             # (the reference removes accreted particles outright)
             data = {k: v[alive] for k, v in data.items()}
         if form_tag == "su":
             sim_io.write_seren_unform(
-                fname, self.t, data,
+                fname, t_out, data,
                 h_fac=self.params.floatparams["h_fac"],
                 nsteps=self.Nsteps, noutsnap=self.Noutsnap, star=star)
         elif form_tag == "sf":
             sim_io.write_seren_form(
-                fname, self.t, data,
+                fname, t_out, data,
                 h_fac=self.params.floatparams["h_fac"],
                 nsteps=self.Nsteps, noutsnap=self.Noutsnap, star=star)
         elif form_tag == "sl":
-            sim_io.write_seren_lite(fname, self.t, data,
+            sim_io.write_seren_lite(fname, t_out, data,
                                     noutsnap=self.Noutsnap)
         else:
-            sim_io.write_column_snapshot(fname, self.t, data)
+            sim_io.write_column_snapshot(fname, t_out, data)
         # restart pointer file (SimulationBase::RestartSnapshot,
         # Simulation.cpp:609-631)
         with open(f"{run_id}.restart", "w") as f:
@@ -294,6 +309,10 @@ class GradhSphSimulation(SimulationBase):
 
         self.units = SimUnits()
         self.units.setup_units(p)
+        if not self.units.dimensionless:
+            from ..units import inscale_parameters
+
+            inscale_parameters(p, self.units)
         self.kern = kernel_factory(p.stringparams["kernel"], self.ndim)
         self.eos = eos_factory(p)
         self.visc = ArtificialViscosity.from_params(p)
@@ -403,6 +422,16 @@ class GradhSphSimulation(SimulationBase):
             if self.restart_data is not None or \
                     self.params.stringparams["ic"] == "python":
                 ic = dict(self.restart_data or {})
+                if not self.units.dimensionless:
+                    # snapshot files are in OUTPUT units; convert back
+                    for k, q in (("r", "r"), ("v", "v"), ("m", "m"),
+                                 ("h", "r"), ("rho", "rho"), ("u", "u")):
+                        if k in ic:
+                            ic[k] = (np.asarray(ic[k])
+                                     / self.units.output_scale(q))
+                    if "t" in ic:
+                        ic["t"] = (float(ic["t"])
+                                   / self.units.output_scale("t"))
                 N = len(ic["m"])
                 ic.setdefault("v", np.zeros((N, self.ndim)))
                 ic.setdefault("u", np.zeros(N))

@@ -167,3 +167,42 @@ class SimUnits:
         (reference usage: value /= simunits.X.outscale with inscale
         handling input-unit conversion)."""
         return 1.0 if self.dimensionless else getattr(self, q).inscale
+
+
+# parameter-file entries that carry units (reference: each consumer divides
+# by simunits.X.outscale at ProcessParameters / IC time; here one pass)
+_PARAM_UNITS = {
+    "mcloud": "m", "mplummer": "m", "m1": "m", "m2": "m",
+    "Minj": "m",
+    "radius": "r", "rplummer": "r", "abin": "r", "rstar": "r",
+    "rsmooth": "r", "r_smooth": "r", "sma": "r",
+    "press1": "press", "press2": "press",
+    "rhofluid1": "rho", "rhofluid2": "rho", "rho_sink": "rho",
+    "rho_bary": "rho",
+    "temp0": "temp", "temp_ambient": "temp", "tempmin": "temp",
+    "temp_au": "temp",
+    "angvel": "angvel",
+    "tend": "t", "dt_snap": "t", "tsnapfirst": "t", "tsupernova": "t",
+    "dt_python": None,   # wall-clock seconds, never scaled
+}
+_PARAM_UNITS.update({f"boxmin[{k}]": "r" for k in range(3)})
+_PARAM_UNITS.update({f"boxmax[{k}]": "r" for k in range(3)})
+_PARAM_UNITS.update({f"vfluid1[{k}]": "v" for k in range(3)})
+_PARAM_UNITS.update({f"vfluid2[{k}]": "v" for k in range(3)})
+
+
+def inscale_parameters(params, units: "SimUnits") -> None:
+    """Convert unit-carrying parameter values to internal (G = 1) units
+    in place (the reference divides each value by simunits.X.outscale at
+    its point of use; one coherent pass keeps box/IC/sink values
+    consistent).  No-op in dimensionless mode or when already applied."""
+    if units.dimensionless:
+        return
+    if params.intparams.get("_inscaled", 0):
+        return
+    for key, q in _PARAM_UNITS.items():
+        if q is None or key not in params.floatparams:
+            continue
+        params.floatparams[key] = (params.floatparams[key]
+                                   / units.input_scale(q))
+    params.intparams["_inscaled"] = 1

@@ -109,3 +109,28 @@ def test_interpreter_repl():
     assert "newsim" in g._fns and "run" in g._fns and "plot" in g._fns
     assert g.default("unknowncmd 1 2") is False
     assert g.default("quit") is True
+
+
+def test_physical_units_inscaling():
+    """dimensionless=0: unit-carrying parameters are converted to internal
+    G=1 units once (reference divides each by simunits.X.outscale)."""
+    from gandalf_tpu.params import Parameters
+    from gandalf_tpu.units import SimUnits, inscale_parameters
+
+    p = Parameters()
+    p.set("dimensionless", 0)
+    p.set("routunit", "pc")
+    p.set("moutunit", "m_sun")
+    p.set("toutunit", "myr")
+    p.set("mcloud", 2.0)
+    p.set("radius", 0.5)
+    p.set("tend", 14.9085)      # ~one time unit for pc/Msun
+    units = SimUnits()
+    units.setup_units(p)
+    inscale_parameters(p, units)
+    assert p.floatparams["mcloud"] == pytest.approx(2.0)     # base unit
+    assert p.floatparams["radius"] == pytest.approx(0.5)
+    assert p.floatparams["tend"] == pytest.approx(1.0, rel=1e-3)
+    # idempotent
+    inscale_parameters(p, units)
+    assert p.floatparams["tend"] == pytest.approx(1.0, rel=1e-3)
