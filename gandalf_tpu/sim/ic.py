@@ -689,6 +689,122 @@ def cdiscontinuity_ic(params, eos) -> Dict[str, np.ndarray]:
     return shocktube_ic(p2, eos)
 
 
+def disc_ic(params, eos) -> Dict[str, np.ndarray]:
+    """Accretion disc around a central star (src/Ic/DiscIc.cpp:21-260):
+    surface density Sigma ~ r^-p between rin/rout (rejection-sampled),
+    Gaussian vertical structure with H = cs/Omega, locally-isothermal
+    cs = H_r sqrt(M*/rin) (r/rin)^-q, Keplerian rotation (gas gets the
+    pressure-gradient correction; the reference applies it to the dust
+    branch, which looks like an index slip), central star + optional
+    planet returned under 'star'."""
+    ip, fp = params.intparams, params.floatparams
+    ndim = ip["ndim"]
+    if ndim < 2:
+        raise ValueError("disc IC needs ndim >= 2")
+    N = ip["Nhydro"]
+    Mstar = fp["DiscIcStarMass"]
+    mdisc = fp["DiscIcMass"]
+    p_idx, q_idx = fp["DiscIcP"], fp["DiscIcQ"]
+    rin, rout = fp["DiscIcRin"], fp["DiscIcRout"]
+    H_r = fp["DiscIcHr"]
+    gammam1 = fp["gamma_eos"] - 1.0
+    rng = np.random.default_rng(ip["randseed"])
+
+    # rejection-sample r from Sigma(r) r dr ~ (r/rin)^(1-p)
+    f_max = (rout / rin) ** -(p_idx - 1) if p_idx <= 1 else 1.0
+    rs = np.empty(N)
+    got = 0
+    while got < N:
+        cand = rin + (rout - rin) * rng.random(2 * N)
+        f = (cand / rin) ** -(p_idx - 1)
+        keep = cand[rng.random(2 * N) * f_max < f]
+        take = min(N - got, len(keep))
+        rs[got:got + take] = keep[:take]
+        got += take
+    phi = 2.0 * np.pi * rng.random(N)
+
+    cs0 = H_r * np.sqrt(Mstar / rin)
+    cs = cs0 * (rs / rin) ** -q_idx
+    omega = np.sqrt(Mstar / rs ** 3)
+    H = cs / omega
+    r = np.zeros((N, ndim))
+    r[:, 0] = rs * np.cos(phi)
+    r[:, 1] = rs * np.sin(phi)
+    if ndim == 3:
+        r[:, 2] = H * rng.standard_normal(N) / np.sqrt(2.0)
+
+    # sub-Keplerian gas rotation (pressure-gradient correction)
+    vk = np.sqrt(Mstar / rs)
+    if ndim == 3:
+        vk = vk * np.sqrt(np.maximum(
+            1.0 - 0.5 * (H / rs) ** 2 * (1.5 + p_idx + q_idx), 0.0))
+    else:
+        vk = vk * np.sqrt(np.maximum(
+            1.0 - (H / rs) ** 2 * (p_idx + 2 * q_idx), 0.0))
+    v = np.zeros((N, ndim))
+    v[:, 0] = -vk * np.sin(phi)
+    v[:, 1] = vk * np.cos(phi)
+
+    m = np.full(N, mdisc / N)
+    if p_idx != 2:
+        sig0 = (2 - p_idx) * mdisc * rin ** -p_idx / (2 * np.pi) \
+            / (rout ** (2 - p_idx) - rin ** (2 - p_idx))
+    else:
+        sig0 = mdisc * rin ** 2 / (2 * np.pi) / np.log(rout / rin)
+    sigma = sig0 * (rs / rin) ** -p_idx
+    rho = sigma / (H * np.sqrt(np.pi)) if ndim == 3 else sigma
+    h = 2.0 * fp["h_fac"] * (m / np.maximum(rho, 1e-30)) ** (1.0 / ndim)
+    u = cs * cs / gammam1
+
+    out = {"r": r, "v": v, "m": m, "h": h, "u": u}
+    star_r = [np.zeros(ndim)]
+    star_v = [np.zeros(ndim)]
+    star_m = [Mstar]
+    star_h = [rin / 2.0]
+    if ip["DiscIcPlanet"]:
+        rp = fp["DiscIcPlanetRadius"]
+        mp = fp["DiscIcPlanetMass"]
+        star_r.append(np.array([rp, 0.0] + [0.0] * (ndim - 2)))
+        star_v.append(np.array([0.0, np.sqrt(Mstar / rp)]
+                               + [0.0] * (ndim - 2)))
+        star_m.append(mp)
+        star_h.append(rp * (mp / 3.0) ** (1.0 / 3.0))
+    out["star"] = {"r": np.asarray(star_r), "v": np.asarray(star_v),
+                   "m": np.asarray(star_m), "h": np.asarray(star_h)}
+    return out
+
+
+def gaussianring_ic(params, eos) -> Dict[str, np.ndarray]:
+    """2D Gaussian ring around a unit point mass (Murray 1996 viscous
+    ring; src/Ic/GaussianRingIc.cpp:30-110)."""
+    ip, fp = params.intparams, params.floatparams
+    if ip["ndim"] != 2:
+        raise ValueError("gaussianring IC is 2D only")
+    temp0, mu_bar = fp["temp0"], fp["mu_bar"]
+    gammam1 = fp["gamma_eos"] - 1.0
+    N_req = ip["Nhydro"] if ip["Nhydro"] > 0 else 26376
+    rcentre, width = 0.85, 0.025
+    inner, outer = 0.80, 0.90
+    nrings = 21
+    nper = max(N_req // nrings, 1)
+    N = nrings * nper
+    iring = np.repeat(np.arange(nrings), nper)
+    rr = inner + (outer - inner) * iring / (nrings - 1.0)
+    jj = np.tile(np.arange(nper), nrings)
+    phi = 2.0 * np.pi * jj / nper + 0.01 * iring   # de-align rings
+    r = np.stack([rr * np.cos(phi), rr * np.sin(phi)], -1)
+    sigma = np.exp(-((rr - rcentre) / width) ** 2)
+    m = 0.01 / N * sigma
+    vk = np.sqrt(1.0 / rr)
+    v = np.stack([-vk * np.sin(phi), vk * np.cos(phi)], -1)
+    u0 = temp0 / mu_bar / gammam1
+    h = fp["h_fac"] * np.sqrt(m / np.maximum(
+        sigma * 0.01 / (np.pi * (outer ** 2 - inner ** 2)), 1e-30))
+    return {"r": r, "v": v, "m": m, "h": h, "u": np.full(N, u0),
+            "star": {"r": np.zeros((1, 2)), "v": np.zeros((1, 2)),
+                     "m": np.array([1.0]), "h": np.array([0.05])}}
+
+
 def dustybox_ic(params, eos) -> Dict[str, np.ndarray]:
     """Uniform gas box + slightly-offset dust lattice with a velocity
     offset (DUSTYBOX drag test; src/Ic/DustyBoxIc.cpp:40-150)."""
@@ -715,6 +831,8 @@ def dustybox_ic(params, eos) -> Dict[str, np.ndarray]:
 
 
 _IC_REGISTRY = {
+    "disc": disc_ic,
+    "gaussianring": gaussianring_ic,
     "dustybox": dustybox_ic,
     "evrard": evrard_ic,
     "isothermsphere": isothermsphere_ic,

@@ -509,6 +509,12 @@ class GradhSphSimulation(SimulationBase):
                 self.sinks = empty_sinks(n_extra, self.ndim,
                                          self.state.r.dtype)
             self.has_sinks = self.sinks is not None
+            if hasattr(self.eos, "star_r") and self.has_sinks:
+                import dataclasses as _dc
+
+                far = jnp.where(self.sinks.active[:, None],
+                                self.sinks.r, 1e10)
+                self.eos = _dc.replace(self.eos, star_r=far)
             if self.has_sinks and self.use_block:
                 # hybrid + block timesteps: fall back to the global scheme
                 # for now (reference couples them via level_max_nbody)
@@ -598,6 +604,7 @@ class GradhSphSimulation(SimulationBase):
         dens = compute_h_bruteforce(kern, box, self.h_fac, self.h_converge,
                                     s.r, s.m, s.h, r_ext, sc_ext["m"],
                                     active=alive & ~is_dust)
+        eos_r = s.r
         if self.has_dust:
             # dust is a pressureless fluid with its own h from dust
             # neighbours (DustFull; Dust.cpp:232-280)
@@ -616,7 +623,7 @@ class GradhSphSimulation(SimulationBase):
                 converged=dens.converged & dens_d.converged)
         sane = lambda x, v: jnp.where(alive, x, v)
         u, pressure, sound = eos.thermal_update(
-            jnp.maximum(dens.rho, 1e-30), s.u)
+            jnp.maximum(dens.rho, 1e-30), s.u, r=eos_r)
         if self.has_dust:
             # dust carries no thermal state (u/P/c set by the drag pass)
             u = jnp.where(is_dust, 0.0, u)

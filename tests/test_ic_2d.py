@@ -259,3 +259,48 @@ class TestNewIcs:
         # wind only outside the cloud
         assert np.all(ic["v"][inside, 0] == 0.0)
         assert ic["v"][~inside, 0].min() > 3.0
+
+    def test_disc_ic(self):
+        import numpy as np
+        from gandalf_tpu.ops.eos import eos_factory
+        from gandalf_tpu.params import Parameters
+        from gandalf_tpu.sim.ic import generate_ic
+
+        p = Parameters()
+        for k, v in dict(ndim=3, ic="disc", Nhydro=2000, dimensionless=1,
+                         gas_eos="disc_locally_isothermal",
+                         gamma_eos=1.6666667, DiscIcPlanet=1).items():
+            p.set(k, v)
+        ic = generate_ic(p, eos_factory(p))
+        rs = np.sqrt((ic["r"][:, :2] ** 2).sum(-1))
+        assert rs.min() > 0.39 and rs.max() < 2.51
+        # Sigma ~ 1/r (p=1): M(<r) linear in r
+        frac = (rs < 1.0).mean()
+        assert abs(frac - (1.0 - 0.4) / (2.5 - 0.4)) < 0.03
+        # sub-Keplerian prograde rotation
+        j = ic["r"][:, 0] * ic["v"][:, 1] - ic["r"][:, 1] * ic["v"][:, 0]
+        vk = np.sqrt(1.0 / rs)
+        ratio = j / rs / vk
+        assert 0.98 < ratio.mean() < 1.0
+        # central star + planet
+        assert len(ic["star"]["m"]) == 2
+        assert ic["star"]["m"][0] == pytest.approx(1.0)
+
+    def test_gaussianring_ic(self):
+        import numpy as np
+        from gandalf_tpu.ops.eos import eos_factory
+        from gandalf_tpu.params import Parameters
+        from gandalf_tpu.sim.ic import generate_ic
+
+        p = Parameters()
+        for k, v in dict(ndim=2, ic="gaussianring", Nhydro=4200,
+                         dimensionless=1, temp0=0.001, mu_bar=1.0,
+                         gas_eos="isothermal",
+                         gamma_eos=1.6666667).items():
+            p.set(k, v)
+        ic = generate_ic(p, eos_factory(p))
+        rr = np.sqrt((ic["r"] ** 2).sum(-1))
+        assert 0.79 < rr.min() and rr.max() < 0.91
+        # Gaussian mass profile peaks at the ring centre
+        assert abs(rr[ic["m"].argmax()] - 0.85) < 0.01
+        assert ic["star"]["m"][0] == 1.0
