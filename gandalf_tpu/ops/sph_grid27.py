@@ -543,9 +543,14 @@ def _force_shifts(kern, visc, spec, nd, i_of, rp, vp, pkp, fp_, r_d, v_i,
 
 def hydro_pass_grid27(kern, visc, box: DomainBox, spec: Grid27Spec, eos,
                       h_fac, h_converge, hydro_forces: bool,
-                      s: SphState) -> SphState:
+                      s: SphState, alive: Array = None) -> SphState:
     """Full structured-grid hydro pass: bin -> dense -> density -> EOS ->
-    forces -> back to particle order."""
+    forces -> back to particle order.
+
+    `alive` (optional) masks dead particles (accreted corpses, unfired SN
+    spares) out of the dense fill mask: they contribute to no sums, and
+    their own fields come back as benign constants (matching the brute
+    path's dead-slot sanitisation)."""
     nd = s.ndim
     b = bin_particles(spec, s.r)
     hmax = min(spec.extents[k] / spec.ncells[k] for k in range(nd)) \
@@ -553,6 +558,8 @@ def hydro_pass_grid27(kern, visc, box: DomainBox, spec: Grid27Spec, eos,
 
     d = lambda x: to_dense(spec, b, x)
     fill = dense_fill_mask(spec, b)
+    if alive is not None:
+        fill = fill & d(alive)
     r_d, v_d, m_d, h_d = d(s.r), d(s.v), d(s.m), d(s.h)
 
     dens = density_grid27(kern, spec, h_fac, h_converge,
@@ -575,9 +582,14 @@ def hydro_pass_grid27(kern, visc, box: DomainBox, spec: Grid27Spec, eos,
         div_v_d = jnp.zeros_like(m_d)
 
     back = lambda x_d: from_dense(spec, b, x_d)
+    live = alive if alive is not None else jnp.ones((s.N,), bool)
+    sane = lambda x_d, v: jnp.where(live, back(x_d), v)
     return s.replace(
-        h=back(dens.h), rho=back(dens.rho), invomega=back(dens.invomega),
-        zeta=back(dens.zeta), hfactor=back(dens.hfactor),
-        u=back(u_d), pressure=back(pressure_d), sound=back(sound_d),
-        a=back(a_d), dudt=back(dudt_d), div_v=back(div_v_d),
+        h=sane(dens.h, 1.0), rho=sane(dens.rho, 1.0),
+        invomega=sane(dens.invomega, 1.0), zeta=sane(dens.zeta, 0.0),
+        hfactor=sane(dens.hfactor, 0.0),
+        u=sane(u_d, 1e-30), pressure=sane(pressure_d, 0.0),
+        sound=sane(sound_d, 0.0),
+        a=jnp.where(live[:, None], back(a_d), 0.0),
+        dudt=sane(dudt_d, 0.0), div_v=sane(div_v_d, 0.0),
         neib_overflow=dens.overflow | b.overflow)

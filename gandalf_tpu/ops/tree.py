@@ -12,14 +12,21 @@ multipole kernels src/Headers/NeighbourSearch.h:350-520) for XLA:
   centre/half-extent, quadrupole moments) are computed bottom-up with
   reshape-reductions — no pointers, no copen/cnext indices
   (KDTree::StockCellProperties :808-1090 equivalent),
-- the walk is a per-leaf-group breadth-first frontier over levels with a
-  fixed width W: cells passing the geometric MAC contribute multipole
-  forces immediately; failing cells expand their two children into the next
-  frontier (KDTree walk's stack becomes a statically-shaped frontier
-  compaction).  Cells that reach the bottom level unresolved become
-  particle-particle (leaf x leaf) direct interactions.
+- the walk is per leaf GROUP (all L particles share one interaction list,
+  like the reference's per-cell OpenMP walk): a compacted frontier of cell
+  ids per level.  Cells passing the geometric MAC contribute multipole
+  forces; failing cells expand their two children into the next frontier
+  (compaction is a cumsum+scatter, no sort).  Cells still open at the leaf
+  level become the direct particle-particle near-field list, gathered and
+  evaluated ONCE as a single dense (L x Wn*L) pair block,
+- `fast` mode evaluates the far field at the group centre with a first-order
+  Taylor expansion (acceleration Jacobian), the reference's cell-centred
+  fast-multipole variant (ComputeFastMonopoleForces,
+  src/Headers/NeighbourSearch.h:769); exact mode evaluates multipoles at
+  every particle (reference ComputeCellMonopole/QuadrupoleForces).
 
-Monopole + quadrupole supported (multipole = "monopole" | "quadrupole").
+Monopole + quadrupole supported (multipole = "monopole" | "quadrupole" |
+"fast_monopole" | "fast_quadrupole").
 """
 
 from __future__ import annotations
@@ -41,22 +48,48 @@ class TreeSpec:
     n_pad: int          # padded particle count (power-of-two multiple of L)
     leaf_size: int      # L
     depth: int          # number of levels below the root (leaves at `depth`)
-    frontier: int       # frontier width W
+    frontier: int       # max opened cells per level (W)
     theta_sqd: float    # geometric MAC opening angle^2
     quadrupole: bool = True
+    fast: bool = False  # cell-centred Taylor far field (fast_* multipole)
+    near_cap: int = 0   # max direct-interaction leaf cells per group (Wn)
+    group_chunk: int = 32
 
     @property
     def n_leaves(self) -> int:
         return self.n_pad // self.leaf_size
 
 
-def plan_tree(N: int, leaf_size: int = 32, frontier: int = 256,
-              theta_sqd: float = 0.1, quadrupole: bool = True) -> TreeSpec:
+def plan_tree(N: int, leaf_size: int = 32, frontier: int = None,
+              theta_sqd: float = 0.1, quadrupole: bool = True,
+              fast: bool = False, near_cap: int = None,
+              group_chunk: int = None) -> TreeSpec:
     n_leaves = max(1, -(-N // leaf_size))
     n_leaves = 1 << int(np.ceil(np.log2(n_leaves)))
+    if near_cap is None:
+        # near-field cells scale as (kernrange-ish / theta)^3; calibrated on
+        # jittered-lattice + Plummer distributions
+        near_cap = int(np.clip(96.0 / max(theta_sqd, 1e-3) ** 1.5, 32, 1024))
+        near_cap = min(near_cap, n_leaves)
+    if frontier is None:
+        frontier = min(max(2 * near_cap, 64), 2 * n_leaves)
+    if group_chunk is None:
+        # bound the (Gc, L, Wn*L) near-field pair block to ~4M lanes
+        group_chunk = int(np.clip(2 ** 22 // max(leaf_size * leaf_size
+                                                 * near_cap, 1), 1, 64))
     return TreeSpec(n_pad=n_leaves * leaf_size, leaf_size=leaf_size,
                     depth=int(np.log2(n_leaves)), frontier=frontier,
-                    theta_sqd=theta_sqd, quadrupole=quadrupole)
+                    theta_sqd=theta_sqd, quadrupole=quadrupole, fast=fast,
+                    near_cap=near_cap, group_chunk=group_chunk)
+
+
+def grow_tree_caps(spec: TreeSpec, factor: float = 1.6) -> TreeSpec:
+    """Host-side cap growth after an overflow (the analogue of the
+    reference's Nneibmax doubling, GradhSphTree.cpp:172-185)."""
+    return dataclasses.replace(
+        spec,
+        near_cap=min(int(spec.near_cap * factor) + 8, spec.n_leaves),
+        frontier=min(int(spec.frontier * factor) + 16, 2 * spec.n_leaves))
 
 
 def morton_codes(r: Array, lo: Array, extent: Array, bits: int = 10) -> Array:
@@ -94,22 +127,23 @@ def build_tree(spec: TreeSpec, r_s: Array, m_s: Array,
     ndim = r_s.shape[1]
     big = 1e30
 
+    alive_leaf = alive.reshape(n_leaves, L)
     m_leaf_p = jnp.where(alive, m_s, 0.0).reshape(n_leaves, L)
     r_leaf = r_s.reshape(n_leaves, L, ndim)
     m_tot = jnp.sum(m_leaf_p, axis=1)
     com = jnp.sum(m_leaf_p[..., None] * r_leaf, axis=1) \
         / jnp.maximum(m_tot, 1e-300)[..., None]
-    rmin = jnp.min(jnp.where(alive.reshape(n_leaves, L, 1), r_leaf, big),
-                   axis=1)
-    rmax = jnp.max(jnp.where(alive.reshape(n_leaves, L, 1), r_leaf, -big),
-                   axis=1)
+    rmin = jnp.min(jnp.where(alive_leaf[..., None], r_leaf, big), axis=1)
+    rmax = jnp.max(jnp.where(alive_leaf[..., None], r_leaf, -big), axis=1)
     # empty leaves: collapse the box to the COM (zero size)
     empty = (m_tot <= 0.0)[..., None]
     rmin = jnp.where(empty, com, rmin)
     rmax = jnp.where(empty, com, rmax)
 
     if spec.quadrupole:
-        dr = r_leaf - com[:, None, :]
+        # mask dead/padding slots BEFORE the outer product: padded slots sit
+        # at huge coordinates and 0 * huge^2 would overflow f32 to NaN
+        dr = jnp.where(alive_leaf[..., None], r_leaf - com[:, None, :], 0.0)
         q = jnp.einsum("lp,lpi,lpj->lij", m_leaf_p, dr, dr)
         tr = jnp.einsum("lii->l", q)
         q = 3.0 * q - tr[:, None, None] * jnp.eye(ndim)
@@ -147,10 +181,19 @@ def build_tree(spec: TreeSpec, r_s: Array, m_s: Array,
                       quad=quads)
 
 
+def _safe_invr(drsqd: Array) -> Array:
+    """1/|dr| that is 0 (not inf) at coincident points, with the clamp set
+    so that inv_r^5 cannot overflow the dtype (masked cells multiply by
+    m = 0, and 0 * inf would poison the sums with NaN)."""
+    eps = 1e-24 if drsqd.dtype == jnp.float32 else 1e-60
+    return jnp.where(drsqd > eps,
+                     jax.lax.rsqrt(jnp.maximum(drsqd, eps)), 0.0)
+
+
 def _multipole_accel(dr: Array, m: Array, quad: Array, quadrupole: bool):
     """Acceleration + potential from cells at displacement dr (= com - x)."""
     drsqd = jnp.sum(dr * dr, axis=-1)
-    inv_r = 1.0 / jnp.sqrt(jnp.maximum(drsqd, 1e-300))
+    inv_r = _safe_invr(drsqd)
     inv_r3 = inv_r * inv_r * inv_r
     a = m[..., None] * dr * inv_r3[..., None]
     pot = m * inv_r
@@ -167,6 +210,20 @@ def _multipole_accel(dr: Array, m: Array, quad: Array, quadrupole: bool):
     return a, pot
 
 
+def _compact(valid: Array, values: Array, cap: int, fill) -> tuple:
+    """Compact `values[valid]` to the front of a (cap,) buffer (stable).
+
+    Returns (compacted, count).  Entries beyond cap are dropped — the caller
+    checks count > cap for overflow.  cumsum + scatter; no sort.
+    """
+    pos = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    count = pos[-1] + 1
+    dest = jnp.where(valid, jnp.minimum(pos, cap - 1), cap)
+    out = jnp.full((cap,), fill, dtype=values.dtype)
+    out = out.at[dest].set(values, mode="drop")
+    return out, count
+
+
 class TreeGravityResult(NamedTuple):
     a: Array        # (n_pad, ndim), sorted order
     gpot: Array     # (n_pad,)
@@ -174,137 +231,159 @@ class TreeGravityResult(NamedTuple):
 
 def tree_gravity(spec: TreeSpec, tree: TreeLevels,
                  r_s: Array, m_s: Array, alive: Array,
-                 h_s: Array = None, kern=None) -> TreeGravityResult:
+                 h_s: Array = None, kern=None, zh_s: Array = None):
     """Frontier-walk gravity for every particle (sorted order).
 
-    Near-field (unopened leaf pairs) uses kernel-softened pair forces when
-    (h_s, kern) are given, Newtonian otherwise.
+    Near-field (unopened leaf pairs) uses the reference's SYMMETRIC grad-h
+    kernel-softened pair force when (h_s, kern) are given — including the
+    zeta*hfactor*w1 grad-h correction terms when `zh_s` (= zeta * hfactor
+    per particle) is provided (GradhSph::ComputeSphGravForces,
+    src/GradhSph/GradhSph.cpp:598-656) — Newtonian otherwise.  Beyond
+    kernel support the symmetric formula degenerates to the Newtonian sum,
+    matching the direct oracle exactly.  Returns
+    (TreeGravityResult, overflow bool).
     """
     L = spec.leaf_size
     W = spec.frontier
+    Wn = spec.near_cap
     ndim = r_s.shape[1]
     n_leaves = spec.n_leaves
     theta_sqd = spec.theta_sqd
+    dtype = r_s.dtype
 
     r_leaf = r_s.reshape(n_leaves, L, ndim)
     m_leaf = jnp.where(alive, m_s, 0.0).reshape(n_leaves, L)
+    h_leaf = h_s.reshape(n_leaves, L) if h_s is not None else None
+    zh_leaf = zh_s.reshape(n_leaves, L) if zh_s is not None else None
     leaf_centre = tree.centre[-1]
     leaf_half = tree.half[-1]
 
-    # stack level arrays into padded tables indexed by (level, cell)
-    def stack(tab, fill=0.0):
-        padded = []
-        width = 1 << spec.depth
-        for ell, x in enumerate(tab):
-            n = x.shape[0]
-            pad = [(0, width - n)] + [(0, 0)] * (x.ndim - 1)
-            padded.append(jnp.pad(x, pad, constant_values=fill))
-        return jnp.stack(padded)           # (depth+1, width, ...)
-
-    m_tab = stack(tree.m)
-    com_tab = stack(tree.com)
-    centre_tab = stack(tree.centre)
-    half_tab = stack(tree.half)
-    quad_tab = stack(tree.quad)
-
     def walk_group(g):
-        """Gravity on the L particles of leaf group g."""
+        """Interaction list + far field for the L particles of leaf g."""
         rt = r_leaf[g]                                    # (L, ndim)
         gc = leaf_centre[g]
         gh = leaf_half[g]
 
-        a_acc = jnp.zeros((L, ndim), dtype=r_s.dtype)
-        pot_acc = jnp.zeros((L,), dtype=r_s.dtype)
+        if spec.fast:
+            a0 = jnp.zeros((ndim,), dtype)
+            pot0 = jnp.zeros((), dtype)
+            jac = jnp.zeros((ndim, ndim), dtype)
+        else:
+            a_acc = jnp.zeros((L, ndim), dtype)
+            pot_acc = jnp.zeros((L,), dtype)
 
-        # frontier of cell ids at the current level; -1 = empty slot
-        front0 = jnp.full((W,), -1, dtype=jnp.int32)
-        front0 = front0.at[0].set(0)
+        front = jnp.full((W,), -1, dtype=jnp.int32).at[0].set(0)
+        n_front = jnp.asarray(1, jnp.int32)
+        overflow = jnp.asarray(False)
+        near_ids = jnp.full((Wn,), -1, dtype=jnp.int32)
 
-        def level_step(carry, ell):
-            front, a_acc, pot_acc, overflow = carry
+        for ell in range(spec.depth + 1):
             valid = front >= 0
             idx = jnp.maximum(front, 0)
-            m_c = jnp.where(valid, m_tab[ell, idx], 0.0)
-            com_c = com_tab[ell, idx]
-            cen_c = centre_tab[ell, idx]
-            half_c = half_tab[ell, idx]
+            m_c = jnp.where(valid, tree.m[ell][idx], 0.0)
+            com_c = tree.com[ell][idx]
+            half_c = tree.half[ell][idx]
 
             # geometric MAC (reference KDTree.cpp:824-843: open if
-            # drsqd < rmax^2/theta^2).  d = worst-case distance from any
-            # group particle to the cell COM (COM-to-group-box gap), rmax =
-            # cell half-diagonal; conservative for the whole group at once.
+            # drsqd < rmax^2/theta^2).  Gap = worst-case distance from any
+            # group particle to the cell COM; rmax = cell half-diagonal;
+            # conservative for the whole group at once.
             gap = jnp.maximum(jnp.abs(com_c - gc) - gh, 0.0)
             dsqd = jnp.sum(gap * gap, axis=-1)
             rmax_sqd = jnp.sum(half_c * half_c, axis=-1)
-            is_leaf_level = ell == spec.depth
-            accept = valid & (dsqd * theta_sqd > rmax_sqd) & (m_c > 0.0)
-            open_ = valid & ~accept & (m_c > 0.0)
+            nonzero = m_c > 0.0
+            accept = valid & nonzero & (dsqd * theta_sqd > rmax_sqd)
+            open_ = valid & nonzero & ~accept
 
-            # far-field contribution from accepted cells
-            dr = com_c[None, :, :] - rt[:, None, :]       # (L, W, ndim)
-            a_far, p_far = _multipole_accel(
-                dr, jnp.where(accept, m_c, 0.0),
-                jnp.where(accept[:, None, None], quad_tab[ell, idx], 0.0),
-                spec.quadrupole)
-            a_acc = a_acc + jnp.sum(a_far, axis=1)
-            pot_acc = pot_acc + jnp.sum(p_far, axis=1)
+            quad_c = jnp.where(accept[:, None, None], tree.quad[ell][idx],
+                               0.0) if spec.quadrupole else \
+                jnp.zeros((W, ndim, ndim), dtype)
+            m_a = jnp.where(accept, m_c, 0.0)
+            if spec.fast:
+                dr = com_c - gc[None, :]                  # (W, ndim)
+                a_f, p_f = _multipole_accel(dr, m_a, quad_c,
+                                            spec.quadrupole)
+                a0 = a0 + jnp.sum(a_f, axis=0)
+                pot0 = pot0 + jnp.sum(p_f, axis=0)
+                # monopole acceleration Jacobian: d a_i / d x_j =
+                # m (3 d_i d_j r^-5 - delta_ij r^-3)  (FastMultipoleForces,
+                # NeighbourSearch.h:482-520)
+                drsqd = jnp.sum(dr * dr, axis=-1)
+                inv_r = _safe_invr(drsqd)
+                inv_r3 = inv_r * inv_r * inv_r
+                inv_r5 = inv_r3 * inv_r * inv_r
+                outer = dr[:, :, None] * dr[:, None, :]
+                jac = jac + jnp.sum(
+                    m_a[:, None, None]
+                    * (3.0 * outer * inv_r5[:, None, None]
+                       - jnp.eye(ndim, dtype=dtype) * inv_r3[:, None, None]),
+                    axis=0)
+            else:
+                dr = com_c[None, :, :] - rt[:, None, :]   # (L, W, ndim)
+                a_f, p_f = _multipole_accel(dr, m_a, quad_c,
+                                            spec.quadrupole)
+                a_acc = a_acc + jnp.sum(a_f, axis=1)
+                pot_acc = pot_acc + jnp.sum(p_f, axis=1)
 
-            # leaf-level unopened cells -> direct particle sums
-            def leaf_direct(a_acc, pot_acc):
-                near = open_ & is_leaf_level
-                # (W, L) neighbour particles of each near leaf
-                r_nb = r_leaf[idx]                        # (W, L, ndim)
-                m_nb = jnp.where(near[:, None], m_leaf[idx], 0.0)
-                drn = r_nb[None, :, :, :] - rt[:, None, None, :]
-                dsq = jnp.sum(drn * drn, axis=-1)         # (L, W, L)
-                self_pair = dsq <= 0.0
-                if h_s is not None and kern is not None:
-                    h_t = h_s.reshape(n_leaves, L)[g]
-                    h_nb = h_s.reshape(n_leaves, L)[idx]
-                    hbar = 0.5 * (h_t[:, None, None] + h_nb[None, :, :])
-                    dmag = jnp.sqrt(jnp.maximum(dsq, 1e-300))
-                    s = dmag / hbar
-                    wg = kern.wgrav(s) / (hbar * hbar)
-                    wp = kern.wpot(s) / hbar
-                    coef = jnp.where(self_pair, 0.0, m_nb[None] * wg / dmag)
-                    a_n = jnp.sum(coef[..., None] * drn, axis=(1, 2))
-                    p_n = jnp.sum(jnp.where(self_pair, 0.0,
-                                            m_nb[None] * wp), axis=(1, 2))
-                else:
-                    inv_d = jnp.where(self_pair, 0.0,
-                                      1.0 / jnp.sqrt(jnp.maximum(dsq,
-                                                                 1e-300)))
-                    inv_d3 = inv_d ** 3
-                    a_n = jnp.sum((m_nb[None] * inv_d3)[..., None] * drn,
-                                  axis=(1, 2))
-                    p_n = jnp.sum(m_nb[None] * inv_d, axis=(1, 2))
-                return a_acc + a_n, pot_acc + p_n
+            if ell < spec.depth:
+                # expand opened cells into children, compact
+                child0 = jnp.where(open_, 2 * idx, -1)
+                child1 = jnp.where(open_, 2 * idx + 1, -1)
+                kids = jnp.stack([child0, child1], axis=-1).reshape(-1)
+                front, n_front = _compact(kids >= 0, kids, W,
+                                          jnp.asarray(-1, jnp.int32))
+                overflow = overflow | (n_front > W)
+            else:
+                near_ids, n_near = _compact(open_, idx, Wn,
+                                            jnp.asarray(-1, jnp.int32))
+                overflow = overflow | (n_near > Wn)
 
-            a_acc, pot_acc = jax.lax.cond(
-                is_leaf_level, leaf_direct,
-                lambda a, p: (a, p), a_acc, pot_acc)
+        # near field: one dense (L, Wn*L) pair block
+        nvalid = near_ids >= 0
+        nidx = jnp.maximum(near_ids, 0)
+        r_nb = r_leaf[nidx]                               # (Wn, L, ndim)
+        m_nb = jnp.where(nvalid[:, None], m_leaf[nidx], 0.0)
+        drn = r_nb[None, :, :, :] - rt[:, None, None, :]  # (L, Wn, L, nd)
+        dsq = jnp.sum(drn * drn, axis=-1)
+        self_pair = dsq <= 0.0
+        if h_leaf is not None and kern is not None:
+            # symmetric grad-h smoothed gravity (GradhSph.cpp:598-640):
+            # paux = 0.5*[wgrav(s_i)/h_i^2 + zh_i*w1(s_i)
+            #           + wgrav(s_j)/h_j^2 + zh_j*w1(s_j)]
+            invh_t = (1.0 / h_leaf[g])[:, None, None]
+            invh_nb = (1.0 / h_leaf[nidx])[None, :, :]
+            dmag = jnp.sqrt(jnp.maximum(dsq, 1e-300))
+            s_t = dmag * invh_t
+            s_nb = dmag * invh_nb
+            paux = 0.5 * (invh_t * invh_t * kern.wgrav(s_t)
+                          + invh_nb * invh_nb * kern.wgrav(s_nb))
+            if zh_leaf is not None:
+                paux = paux + 0.5 * (
+                    zh_leaf[g][:, None, None] * kern.w1(s_t)
+                    + zh_leaf[nidx][None, :, :] * kern.w1(s_nb))
+            gaux = 0.5 * (invh_t * kern.wpot(s_t)
+                          + invh_nb * kern.wpot(s_nb))
+            coef = jnp.where(self_pair, 0.0, m_nb[None] * paux / dmag)
+            a_n = jnp.sum(coef[..., None] * drn, axis=(1, 2))
+            p_n = jnp.sum(jnp.where(self_pair, 0.0, m_nb[None] * gaux),
+                          axis=(1, 2))
+        else:
+            inv_d = jnp.where(self_pair, 0.0, _safe_invr(dsq))
+            inv_d3 = inv_d * inv_d * inv_d
+            a_n = jnp.sum((m_nb[None] * inv_d3)[..., None] * drn,
+                          axis=(1, 2))
+            p_n = jnp.sum(m_nb[None] * inv_d, axis=(1, 2))
 
-            # expand opened (non-leaf) cells into children
-            expand = open_ & ~is_leaf_level
-            child0 = jnp.where(expand, 2 * front, -1)
-            kids = jnp.stack([child0, jnp.where(expand, child0 + 1, -1)],
-                             axis=-1).reshape(-1)         # (2W,)
-            # compact valid children to the front of the next frontier
-            order = jnp.argsort(jnp.where(kids >= 0, 0, 1), stable=True)
-            kids_sorted = kids[order]
-            n_kids = jnp.sum(kids >= 0)
-            overflow = overflow | (n_kids > W)
-            front_next = kids_sorted[:W]
-            return (front_next, a_acc, pot_acc, overflow), None
+        if spec.fast:
+            # Taylor expansion of the far field at each particle
+            # (a = a0 + J.(r - gc); pot's gradient is the acceleration)
+            delta = rt - gc[None, :]
+            a_far = a0[None, :] + jnp.einsum("ij,pj->pi", jac, delta)
+            pot_far = pot0 + jnp.einsum("j,pj->p", a0, delta)
+            return a_far + a_n, pot_far + p_n, overflow
+        return a_acc + a_n, pot_acc + p_n, overflow
 
-        carry0 = (front0, a_acc, pot_acc, jnp.asarray(False))
-        (front, a_acc, pot_acc, overflow), _ = jax.lax.scan(
-            level_step, carry0, jnp.arange(spec.depth + 1))
-        return a_acc, pot_acc, overflow
-
-    # vmap over a chunk of groups, lax.map over chunks: keeps each device
-    # step large enough to fill the VPU without materialising all groups.
-    group_chunk = min(64, n_leaves)
+    group_chunk = min(spec.group_chunk, n_leaves)
     n_chunks = -(-n_leaves // group_chunk)
     gids = jnp.arange(n_chunks * group_chunk, dtype=jnp.int32) % n_leaves
     gids = gids.reshape(n_chunks, group_chunk)
@@ -315,8 +394,141 @@ def tree_gravity(spec: TreeSpec, tree: TreeLevels,
                              gpot=pot.reshape(spec.n_pad)), jnp.any(overflow)
 
 
+def _morton_codes_np(r: np.ndarray, bits: int) -> np.ndarray:
+    N, ndim = r.shape
+    lo = r.min(axis=0)
+    extent = np.maximum(r.max(axis=0) - lo, 1e-30)
+    scaled = np.clip((r - lo) / extent, 0.0, 1.0 - 1e-9)
+    cells = (scaled * (1 << bits)).astype(np.uint64)
+    code = np.zeros(N, dtype=np.uint64)
+    for b in range(bits):
+        for k in range(ndim):
+            code |= ((cells[:, k] >> np.uint64(b)) & np.uint64(1)) \
+                << np.uint64(b * ndim + k)
+    return code
+
+
+def plan_buckets(r: np.ndarray, leaf_size: int, bits: int = 10) -> np.ndarray:
+    """Host-side bucket planning (per tree-rebuild cadence, the analogue of
+    KDTree::BuildTree every ntreebuildstep, HydroTree.cpp:310).
+
+    Particles are Morton-sorted and split at OCTANT boundaries until every
+    run holds <= leaf_size particles, then consecutive runs are greedily
+    re-packed up to leaf_size.  Every bucket is therefore a compact spatial
+    box (unlike fixed-count chunks of the curve, which can straddle major
+    Morton jumps and produce domain-spanning leaf boxes that blow up the
+    MAC's near-field lists).
+
+    Returns gather map (G_pad, leaf_size) int32, -1 = empty slot; G_pad is a
+    power of two (empty buckets at the tail).
+    """
+    N, ndim = r.shape
+    code = _morton_codes_np(np.asarray(r, np.float64), bits)
+    order = np.argsort(code, kind="stable")
+    cs = code[order]
+    total_bits = bits * ndim
+    nchild = 1 << ndim
+
+    # level-synchronous octant splitting (vectorised searchsorted)
+    starts, ends = np.array([0], np.int64), np.array([N], np.int64)
+    leaf_s, leaf_e = [], []
+    for lev in range(1, bits + 1):
+        big = (ends - starts) > leaf_size
+        if not big.any():
+            leaf_s.append(starts)
+            leaf_e.append(ends)
+            break
+        leaf_s.append(starts[~big])
+        leaf_e.append(ends[~big])
+        bs, be = starts[big], ends[big]
+        shift = np.uint64(total_bits - ndim * lev)
+        parent = (cs[bs] >> shift) >> np.uint64(ndim)
+        child_lo = ((parent[:, None] << np.uint64(ndim))
+                    + np.arange(nchild, dtype=np.uint64)[None, :]) << shift
+        bounds = np.searchsorted(cs, child_lo.ravel()).reshape(-1, nchild)
+        starts = bounds.ravel()
+        ends = np.concatenate([bounds[:, 1:], be[:, None]],
+                              axis=1).ravel()
+        keep = ends > starts
+        starts, ends = starts[keep], ends[keep]
+        if lev == bits and len(starts):
+            # code collisions deeper than the grid: chop into L-sized chunks
+            for s, e in zip(starts, ends):
+                for c in range(int(s), int(e), leaf_size):
+                    leaf_s.append(np.array([c]))
+                    leaf_e.append(np.array([min(c + leaf_size, int(e))]))
+            starts = ends = np.array([], np.int64)
+    leaf_s = np.concatenate(leaf_s) if leaf_s else np.array([0])
+    leaf_e = np.concatenate(leaf_e) if leaf_e else np.array([N])
+    o = np.argsort(leaf_s)
+    leaf_s, leaf_e = leaf_s[o], leaf_e[o]
+
+    # greedy packing of consecutive octant runs up to leaf_size
+    counts = leaf_e - leaf_s
+    cum = np.concatenate([[0], np.cumsum(counts)])
+    g_starts = []
+    i = 0
+    n_runs = len(counts)
+    while i < n_runs:
+        g_starts.append(i)
+        # last run index whose cumulative count still fits in leaf_size
+        j = np.searchsorted(cum, cum[i] + leaf_size, side="right") - 1
+        i = max(j, i + 1)
+    G = len(g_starts)
+    g_starts.append(n_runs)
+    G_pad = 1 << int(np.ceil(np.log2(max(G, 1))))
+    gmap = np.full((G_pad, leaf_size), -1, np.int32)
+    for gi in range(G):
+        s = leaf_s[g_starts[gi]]
+        e = leaf_e[g_starts[gi + 1] - 1]
+        gmap[gi, : e - s] = order[s:e]
+    return gmap
+
+
+def plan_tree_for_buckets(gmap: np.ndarray, theta_sqd: float = 0.1,
+                          quadrupole: bool = True, fast: bool = False,
+                          near_cap: int = None,
+                          frontier: int = None) -> TreeSpec:
+    """TreeSpec matching a plan_buckets gather map."""
+    G_pad, L = gmap.shape
+    spec = plan_tree(G_pad * L, leaf_size=L, theta_sqd=theta_sqd,
+                     quadrupole=quadrupole, fast=fast, near_cap=near_cap,
+                     frontier=frontier)
+    assert spec.n_pad == G_pad * L, (spec.n_pad, gmap.shape)
+    return spec
+
+
+def tree_gravity_grouped(spec: TreeSpec, gmap: Array, r: Array, m: Array,
+                         h: Array = None, kern=None, alive: Array = None,
+                         zh: Array = None):
+    """Gravity with host-planned buckets: gather into bucket order (static
+    map, no in-jit sort), stock boxes from CURRENT positions, walk, scatter
+    back.  Returns (a, gpot, overflow) in ORIGINAL particle order."""
+    N, ndim = r.shape
+    flat = gmap.reshape(-1)
+    safe = jnp.maximum(flat, 0)
+    in_map = flat >= 0
+    r_s = jnp.where(in_map[:, None], r[safe], 1e15)
+    m_s = jnp.where(in_map, m[safe], 0.0)
+    alive_s = in_map if alive is None else in_map & alive[safe]
+    h_s = zh_s = None
+    if h is not None:
+        h_s = jnp.where(in_map, h[safe], 1.0)
+    if zh is not None:
+        zh_s = jnp.where(in_map, zh[safe], 0.0)
+    tree = build_tree(spec, r_s, m_s, alive_s)
+    res, overflow = tree_gravity(spec, tree, r_s, m_s, alive_s, h_s, kern,
+                                 zh_s)
+    a = jnp.zeros((N, ndim), r.dtype).at[safe].add(
+        jnp.where(in_map[:, None], res.a, 0.0))
+    gpot = jnp.zeros((N,), r.dtype).at[safe].add(
+        jnp.where(in_map, res.gpot, 0.0))
+    return a, gpot, overflow
+
+
 def tree_gravity_all(spec: TreeSpec, r: Array, m: Array,
-                     h: Array = None, kern=None):
+                     h: Array = None, kern=None, alive: Array = None,
+                     zh: Array = None):
     """Convenience wrapper: sort -> build -> walk -> unsort.
 
     Returns (a, gpot, overflow) in ORIGINAL particle order.
@@ -331,12 +543,17 @@ def tree_gravity_all(spec: TreeSpec, r: Array, m: Array,
     r_s = jnp.concatenate([r[order], jnp.full((pad, ndim), 1e15,
                                               dtype=r.dtype)])
     m_s = jnp.concatenate([m[order], jnp.zeros((pad,), dtype=m.dtype)])
-    alive = jnp.concatenate([jnp.ones((N,), bool), jnp.zeros((pad,), bool)])
-    h_s = None
+    alive_n = jnp.ones((N,), bool) if alive is None else alive[order]
+    alive_s = jnp.concatenate([alive_n, jnp.zeros((pad,), bool)])
+    h_s = zh_s = None
     if h is not None:
         h_s = jnp.concatenate([h[order], jnp.ones((pad,), dtype=h.dtype)])
-    tree = build_tree(spec, r_s, m_s, alive)
-    res, overflow = tree_gravity(spec, tree, r_s, m_s, alive, h_s, kern)
+    if zh is not None:
+        zh_s = jnp.concatenate([zh[order],
+                                jnp.zeros((pad,), dtype=zh.dtype)])
+    tree = build_tree(spec, r_s, m_s, alive_s)
+    res, overflow = tree_gravity(spec, tree, r_s, m_s, alive_s, h_s, kern,
+                                 zh_s)
     inv = jnp.zeros_like(order).at[order].set(
         jnp.arange(N, dtype=order.dtype))
     return res.a[:N][inv], res.gpot[:N][inv], overflow

@@ -43,7 +43,11 @@ _INT_DEFAULTS: Dict[str, int] = {
     "self_gravity": 0,
     "kgrav": 1,
     "Nleafmax": 6,
-    "ntreebuildstep": 1,
+    # tree-bucket replan cadence; the reference default is 1 (rebuild every
+    # step, KDTree::BuildTree is cheap there) but our host-side bucket
+    # planning costs ~0.1s/M particles, and stale buckets stay CORRECT
+    # (boxes are re-stocked in-jit every step) — 8 is the TPU-tuned default
+    "ntreebuildstep": 8,
     "ntreestockstep": 1,
     "sub_systems": 0,
     "Npec": 1,

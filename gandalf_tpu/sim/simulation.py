@@ -362,12 +362,10 @@ class GradhSphSimulation(SimulationBase):
         self.use_block = self.nlevels > 1
         if self.use_block:
             self.use_celllist = False
-        # sinks / stars (reference Sinks + star-gas hybrid coupling)
+        # sinks / stars (reference Sinks + star-gas hybrid coupling);
+        # dead-particle (accreted) masking works on both neighbour paths
         self.sink_particles = bool(p.intparams["sink_particles"])
         self.create_sinks = bool(p.intparams["create_sinks"])
-        if (self.sink_particles or self.create_sinks) and self.use_celllist:
-            # dead-particle masking is wired into the all-pairs path only
-            self.use_celllist = False
         from ..ops.sinks import SinkConfig
 
         self.sink_cfg = SinkConfig(
@@ -390,7 +388,7 @@ class GradhSphSimulation(SimulationBase):
         self.chunk = 4096        # particle chunk (gather pipeline)
         self.cell_chunk = 256    # cell chunk (dense pipeline)
 
-    def _plan_grid(self, r, h, growth: float = 1.3):
+    def _plan_grid(self, r, h, growth: float = 1.3, alive=None):
         """(Re)plan the structured grid from current positions/h (host-side;
         the TPU analogue of the tree rebuild, HydroTree::BuildTree).
 
@@ -400,7 +398,12 @@ class GradhSphSimulation(SimulationBase):
         padding otherwise wastes 3.3x memory bandwidth."""
         from ..ops.sph_grid27 import plan_grid27
 
-        h_max = float(np.asarray(h).max()) * growth
+        h_arr = np.asarray(h)
+        if alive is not None:
+            # dead slots (accreted corpses, unfired SN spares) carry benign
+            # pad values like h = 1 that must not blow up the cell size
+            h_arr = h_arr[np.asarray(alive)]
+        h_max = float(h_arr.max()) * growth
         k_target = 128 if len(np.asarray(r)) >= 500_000 else None
         try:
             self.gridspec = plan_grid27(self.box, np.asarray(r), h_max,
@@ -413,6 +416,34 @@ class GradhSphSimulation(SimulationBase):
     def _compile(self):
         self._step_fn = jax.jit(self._build_step())
         self._bootstrap_fn = jax.jit(self._build_bootstrap())
+
+    def _plan_tree_buckets(self, r_np: np.ndarray,
+                           grow_caps: bool = False) -> bool:
+        """(Re)plan the gravity-tree buckets from current positions — the
+        host-side analogue of KDTree::BuildTree every ntreebuildstep
+        (HydroTree.cpp:310).  Between replans the bucket STRUCTURE is fixed
+        (a static gather map baked into the jitted step) while the cell
+        boxes are re-stocked from live positions every step, so the MAC
+        stays conservative as particles drift.  Returns True when the step
+        must be recompiled (padded shape or caps changed)."""
+        from ..ops.tree import (grow_tree_caps, plan_buckets,
+                                plan_tree_for_buckets)
+
+        p = self.params
+        mp = p.stringparams["multipole"]
+        old = self.treespec
+        gmap = plan_buckets(r_np, leaf_size=32)
+        spec = plan_tree_for_buckets(
+            gmap, theta_sqd=p.floatparams["thetamaxsqd"],
+            quadrupole=mp in ("quadrupole", "fast_quadrupole"),
+            fast=mp.startswith("fast"),
+            near_cap=old.near_cap if old else None,
+            frontier=old.frontier if old else None)
+        if grow_caps:
+            spec = grow_tree_caps(spec)
+        self.treespec = spec
+        self.state = self.state.replace(bucket_map=jnp.asarray(gmap))
+        return old != spec
 
     def SetupSimulation(self):
         """GenerateIC + PostInitialConditionsSetup
@@ -462,7 +493,6 @@ class GradhSphSimulation(SimulationBase):
                 self.state = self.state.replace(
                     flags=jnp.where(dead, self.state.flags | FLAG_DEAD,
                                     self.state.flags))
-                self.use_celllist = False   # alive masking is brute-only
             # supernova feedback: queued events + dead spare slots for the
             # injected hot gas (reference SupernovaDriver; ops/feedback.py)
             from ..ops.feedback import driver_from_params
@@ -494,7 +524,6 @@ class GradhSphSimulation(SimulationBase):
                     kw["iorig"] = jnp.arange(s0.N + n_spare,
                                              dtype=jnp.int32)
                     self.state = s0.replace(**kw)
-                    self.use_celllist = False  # alive masking is brute-only
             # stars / sinks: pre-allocated static slots (ops.sinks)
             from ..ops.sinks import empty_sinks, make_sinks
 
@@ -528,26 +557,31 @@ class GradhSphSimulation(SimulationBase):
             if self.use_celllist:
                 self._plan_grid(ic["r"], ic["h"])
             if self.self_gravity and self.use_celllist:
-                from ..ops.tree import plan_tree
-
-                p = self.params
-                self.treespec = plan_tree(
-                    N=self.state.N,
-                    theta_sqd=p.floatparams["thetamaxsqd"],
-                    quadrupole=p.stringparams["multipole"] != "monopole")
+                self._plan_tree_buckets(np.asarray(self.state.r))
             self._compile()
-            if self.use_block:
-                self.state, self._blocksched = self._bootstrap_fn(self.state)
-            elif self.has_sinks:
-                self.state, self.sinks = self._bootstrap_fn(self.state,
-                                                            self.sinks)
-            else:
-                self.state = self._bootstrap_fn(self.state)
+            self._run_bootstrap()
             while self.use_celllist and bool(self.state.neib_overflow):
-                self._plan_grid(self.state.r, self.state.h)
+                self._plan_grid(self.state.r, self.state.h,
+                                alive=self.state.alive)
+                if self.treespec is not None:
+                    self._plan_tree_buckets(np.asarray(self.state.r),
+                                            grow_caps=True)
+                self.state = self.state.replace(
+                    neib_overflow=jnp.asarray(False))
                 self._compile()
-                self.state = self._bootstrap_fn(self.state)
+                self._run_bootstrap()
         self._init_output_cadence()
+
+    def _run_bootstrap(self):
+        """Dispatch the jitted bootstrap with whatever extra carries the
+        active feature set threads through it (block schedule, sinks)."""
+        if self.use_block:
+            self.state, self._blocksched = self._bootstrap_fn(self.state)
+        elif self.has_sinks:
+            self.state, self.sinks = self._bootstrap_fn(self.state,
+                                                        self.sinks)
+        else:
+            self.state = self._bootstrap_fn(self.state)
 
     # -- the jitted physics ----------------------------------------------------
     def _hydro_pass(self, s: SphState) -> SphState:
@@ -555,12 +589,14 @@ class GradhSphSimulation(SimulationBase):
         s = self._hydro_only_pass(s)
         if self.self_gravity:
             if self.use_celllist:
-                # Barnes-Hut multipole walk (kernel-softened near field);
-                # grad-h zeta corrections in the near field are a TODO.
-                from ..ops.tree import tree_gravity_all
+                # Barnes-Hut multipole walk; the near field uses the
+                # symmetric grad-h smoothed-gravity formula with
+                # zeta*hfactor correction terms (GradhSph.cpp:598-656)
+                from ..ops.tree import tree_gravity_grouped
 
-                a_g, gpot, overflow = tree_gravity_all(
-                    self.treespec, s.r, s.m, s.h, self.kern)
+                a_g, gpot, overflow = tree_gravity_grouped(
+                    self.treespec, s.bucket_map, s.r, s.m, s.h, self.kern,
+                    alive=s.alive, zh=s.zeta * s.hfactor)
                 s = s.replace(a=s.a + a_g, gpot=gpot,
                               neib_overflow=s.neib_overflow | overflow)
             else:
@@ -587,7 +623,7 @@ class GradhSphSimulation(SimulationBase):
 
             return hydro_pass_grid27(kern, visc, box, self.gridspec, eos,
                                      self.h_fac, self.h_converge,
-                                     self.hydro_forces, s)
+                                     self.hydro_forces, s, alive=s.alive)
         # ghost images for mirror walls; periodic handled by min-image;
         # dead (accreted) particles carry zero mass and skip the h loop
         from ..state import DUST_TYPE
@@ -920,6 +956,13 @@ class GradhSphSimulation(SimulationBase):
                         "supernova feedback + block timesteps")
                 self.state = self._bootstrap_fn(self.state) \
                     if not self.has_sinks else self.state
+        # gravity-tree bucket rebuild cadence (ntreebuildstep analogue)
+        if self.treespec is not None and self.Nsteps > 0:
+            ntb = max(self.params.intparams["ntreebuildstep"], 1)
+            if self.Nsteps % ntb == 0:
+                with self.timing.block("TREE_REBUILD"):
+                    if self._plan_tree_buckets(np.asarray(self.state.r)):
+                        self._compile()
         with self.timing.block("MAIN_LOOP"):
             prev = self.state
             if self.use_block:
@@ -929,13 +972,27 @@ class GradhSphSimulation(SimulationBase):
                 self.state, self.sinks = self._step_fn(prev, self.sinks)
             else:
                 self.state = self._step_fn(prev)
-            # neighbour-capacity overflow: replan the grid and redo the step
+            # neighbour-capacity overflow: replan the grid (and regrow the
+            # tree caps) and redo the step from the pre-step state
             # (reference analogue: Nneibmax doubling, GradhSphTree.cpp:172).
             if self.use_celllist and bool(self.state.neib_overflow):
                 with self.timing.block("GRID_REPLAN"):
-                    self._plan_grid(self.state.r, self.state.h)
+                    self._plan_grid(self.state.r, self.state.h,
+                                alive=self.state.alive)
+                    self.state = prev
+                    if self.treespec is not None:
+                        self._plan_tree_buckets(np.asarray(prev.r),
+                                                grow_caps=True)
                     self._compile()
-                    self.state = self._step_fn(prev)
+                    prev = self.state
+                    if self.use_block:
+                        self.state, self._blocksched = self._step_fn(
+                            prev, self._blocksched)
+                    elif self.has_sinks:
+                        self.state, self.sinks = self._step_fn(prev,
+                                                               self.sinks)
+                    else:
+                        self.state = self._step_fn(prev)
         self.Nsteps += 1
         self.t = float(self.state.t)
 

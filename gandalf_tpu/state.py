@@ -81,6 +81,9 @@ class SphState:
     dt: Array
     nstep: Array            # integer step counter
     neib_overflow: Array    # bool: neighbour-capacity overflow this step
+    # host-planned gravity-tree bucket gather map (G_pad, L), -1 = empty
+    # (None when tree gravity is off; replanned every ntreebuildstep)
+    bucket_map: Array = None
 
     # -- helpers ------------------------------------------------------------
     @property
