@@ -53,9 +53,56 @@ def correct(s: NbodyState, dt: Array) -> NbodyState:
     return s.replace(r=r, v=v, a2dot=a2dot, a3dot=a3dot)
 
 
+def correct_ts4(s: NbodyState, dt: Array) -> NbodyState:
+    """Time-symmetric 4th-order Hermite corrector
+    (NbodyHermite4TS::CorrectionTerms, src/Nbody/NbodyHermite4TS.cpp:77-120):
+    v = v0 + (a0+a) dt/2 - (adot-adot0) dt^2/12;
+    r = r0 + (v0+v) dt/2 - (a-a0) dt^2/12.
+    Symmetric in (begin, end) quantities, so P(EC)^n iteration converges
+    to a time-reversible map with no secular energy drift."""
+    invdt = 1.0 / dt
+    a2dot = (-6.0 * (s.a0 - s.a) - dt * (4.0 * s.adot0 + 2.0 * s.adot)) \
+        * invdt * invdt
+    a3dot = (12.0 * (s.a0 - s.a) + 6.0 * dt * (s.adot0 + s.adot)) \
+        * invdt * invdt * invdt
+    dt2 = dt * dt
+    v = s.v0 + 0.5 * (s.a0 + s.a) * dt - (s.adot - s.adot0) * dt2 / 12.0
+    r = s.r0 + 0.5 * (s.v0 + v) * dt - (s.a - s.a0) * dt2 / 12.0
+    return s.replace(r=r, v=v, a2dot=a2dot, a3dot=a3dot)
+
+
+def predict_ts6(s: NbodyState, dt: Array) -> NbodyState:
+    """6th-order predictor using the step-start snap
+    (NbodyHermite6TS::AdvanceParticles)."""
+    dt2 = dt * dt
+    dt3 = dt2 * dt
+    dt4 = dt3 * dt
+    r = s.r0 + s.v0 * dt + 0.5 * s.a0 * dt2 + s.adot0 * dt3 / 6.0 \
+        + s.a2dot0 * dt4 / 24.0
+    v = s.v0 + s.a0 * dt + 0.5 * s.adot0 * dt2 + s.a2dot0 * dt3 / 6.0
+    return s.replace(r=r, v=v)
+
+
+def correct_ts6(s: NbodyState, dt: Array) -> NbodyState:
+    """Time-symmetric 6th-order Hermite corrector using begin/end snap
+    (NbodyHermite6TS::CorrectionTerms, src/Nbody/NbodyHermite6TS.cpp:
+    496-551): v = v0 + (a0+a) dt/2 - (adot-adot0) dt^2/10
+    + (a2dot+a2dot0) dt^3/120, and symmetrically for r."""
+    invdt = 1.0 / dt
+    dt2 = dt * dt
+    dt3 = dt2 * dt
+    a3dot = (12.0 * (s.a0 - s.a) + 6.0 * dt * (s.adot0 + s.adot)) \
+        * invdt * invdt * invdt
+    v = s.v0 + 0.5 * (s.a0 + s.a) * dt - 0.1 * (s.adot - s.adot0) * dt2 \
+        + (s.a2dot + s.a2dot0) * dt3 / 120.0
+    r = s.r0 + 0.5 * (s.v0 + v) * dt - 0.1 * (s.a - s.a0) * dt2 \
+        + (s.adot + s.adot0) * dt3 / 120.0
+    return s.replace(r=r, v=v, a3dot=a3dot)
+
+
 def end_timestep(s: NbodyState) -> NbodyState:
     """Record step-start quantities (NbodyHermite4::EndTimestep)."""
-    return s.replace(r0=s.r, v0=s.v, a0=s.a, adot0=s.adot)
+    return s.replace(r0=s.r, v0=s.v, a0=s.a, adot0=s.adot, a2dot0=s.a2dot)
 
 
 def aarseth_timestep(cfg: HermiteConfig, s: NbodyState) -> Array:

@@ -54,6 +54,32 @@ def direct_nbody(r: Array, v: Array, m: Array,
     return GravityResult(a=a, adot=adot, gpot=gpot)
 
 
+def direct_snap(r: Array, v: Array, a: Array, m: Array) -> Array:
+    """Direct-sum snap (2nd acceleration derivative) given current
+    accelerations (the second force pass of NbodyHermite6TS,
+    src/Nbody/NbodyHermite6TS.cpp CalculateDirectGravForces):
+
+    with alpha = (dr.dv)/r^2, beta = (|dv|^2 + dr.da)/r^2 + alpha^2:
+    snap_i = sum_j m_j [da/r^3 - 6 alpha jterm - 3 beta dr/r^3]
+    where jterm = dv/r^3 - 3 alpha dr/r^3   (Nitadori & Makino 2008).
+    """
+    dr = r[None, :, :] - r[:, None, :]
+    dv = v[None, :, :] - v[:, None, :]
+    da = a[None, :, :] - a[:, None, :]
+    drsqd = jnp.sum(dr * dr, axis=-1)
+    eye = jnp.eye(r.shape[0], dtype=bool)
+    inv_r2 = jnp.where(eye, 0.0, 1.0 / jnp.where(eye, 1.0, drsqd))
+    inv_r = jnp.sqrt(inv_r2)
+    inv_r3 = inv_r2 * inv_r
+    alpha = jnp.sum(dr * dv, axis=-1) * inv_r2
+    beta = (jnp.sum(dv * dv, axis=-1) + jnp.sum(dr * da, axis=-1)) \
+        * inv_r2 + alpha * alpha
+    jterm = dv * inv_r3[..., None] - (3.0 * alpha * inv_r3)[..., None] * dr
+    snap = da * inv_r3[..., None] - (6.0 * alpha)[..., None] * jterm \
+        - (3.0 * beta * inv_r3)[..., None] * dr
+    return jnp.sum(m[None, :, None] * snap, axis=1)
+
+
 def direct_softened(r: Array, v: Array, m: Array, h: Array,
                     kern: SmoothingKernel,
                     compute_jerk: bool = False) -> GravityResult:
@@ -92,22 +118,34 @@ def direct_softened(r: Array, v: Array, m: Array, h: Array,
     return GravityResult(a=a, adot=adot, gpot=gpot)
 
 
-def external_potential_accel(name: str, params, r: Array) -> Array:
-    """External analytic potentials (reference ExternalPotential.h:45-173)."""
-    if name == "none":
-        return jnp.zeros_like(r)
+def external_potential(name: str, cfg: dict, r: Array, v: Array):
+    """External analytic potentials: returns (accel, jerk, potential)
+    matching the reference's AddExternalPotential contributions
+    (ExternalPotential.h:45-173; wired at Simulation.cpp:1163-1181 using
+    floatparams mplummer/rplummer/avert — the `_extpot` parameter aliases
+    exist in the reference's defaults table but are never read).
+
+    `cfg` is a plain dict of the needed scalars (host-side constants baked
+    into the jitted step): mplummer, rplummer, kgrav, avert, rzero.
+    """
+    z = jnp.zeros_like(r)
+    zp = jnp.zeros(r.shape[:-1], dtype=r.dtype)
+    if name in ("none", "silcc"):
+        # reference SilccPotential::AddExternalPotential body is empty
+        return z, z, zp
     if name == "plummer":
-        mpl = params.floatparams["mplummer_extpot"]
-        rpl = params.floatparams["rplummer_extpot"]
+        mpl, rpl = cfg["mplummer"], cfg["rplummer"]
         rsqd = jnp.sum(r * r, axis=-1, keepdims=True)
-        return -mpl * r / (rsqd + rpl * rpl) ** 1.5
+        dvdr = jnp.sum(r * v, axis=-1, keepdims=True)
+        denom = rsqd + rpl * rpl
+        a = -mpl * r * denom ** -1.5
+        adot = 3.0 * mpl * denom ** -2.5 * dvdr * r \
+            - mpl * denom ** -1.5 * v
+        pot = 2.0 * mpl * denom[..., 0] ** -0.5
+        return a, adot, pot
     if name == "vertical":
-        # constant vertical acceleration avert along the last dimension
-        avert = params.floatparams["avert"]
-        a = jnp.zeros_like(r)
-        return a.at[:, -1].set(avert)
-    if name == "silcc":
-        # the reference SilccPotential::AddExternalPotential body is empty
-        # (ExternalPotential.h SilccPotential) — parity: no force
-        return jnp.zeros_like(r)
+        k, avert, rzero = cfg["kgrav"], cfg["avert"], cfg["rzero"]
+        a = z.at[..., k].set(avert)
+        pot = (r[..., k] - rzero) * avert
+        return a, z, pot
     raise ValueError(f"Unrecognised external_potential: {name!r}")

@@ -67,9 +67,10 @@ def plan_tree(N: int, leaf_size: int = 32, frontier: int = None,
     n_leaves = max(1, -(-N // leaf_size))
     n_leaves = 1 << int(np.ceil(np.log2(n_leaves)))
     if near_cap is None:
-        # near-field cells scale as (kernrange-ish / theta)^3; calibrated on
-        # jittered-lattice + Plummer distributions
-        near_cap = int(np.clip(96.0 / max(theta_sqd, 1e-3) ** 1.5, 32, 1024))
+        # measured law on jittered lattices: worst-group near-field leaf
+        # count ~= leaf_size / theta^3 (Morton-bucket boxes overlap, so the
+        # count grows with L, not just with 1/theta^3)
+        near_cap = int(1.3 * leaf_size / max(theta_sqd, 1e-3) ** 1.5) + 32
         near_cap = min(near_cap, n_leaves)
     if frontier is None:
         frontier = min(max(2 * near_cap, 64), 2 * n_leaves)
@@ -127,18 +128,26 @@ def build_tree(spec: TreeSpec, r_s: Array, m_s: Array,
     ndim = r_s.shape[1]
     big = 1e30
 
+    # f32-safe masked divide: 1e-300 underflows to 0 in f32 and 0/0 = NaN
+    # boxes would open EVERY cell in the walk (spurious overflow)
+    far = 1e15
+    def _div_com(num, den):
+        safe = jnp.maximum(den, jnp.asarray(1e-30, den.dtype))
+        return jnp.where((den > 0.0)[..., None], num / safe[..., None], far)
+
     alive_leaf = alive.reshape(n_leaves, L)
     m_leaf_p = jnp.where(alive, m_s, 0.0).reshape(n_leaves, L)
     r_leaf = r_s.reshape(n_leaves, L, ndim)
     m_tot = jnp.sum(m_leaf_p, axis=1)
-    com = jnp.sum(m_leaf_p[..., None] * r_leaf, axis=1) \
-        / jnp.maximum(m_tot, 1e-300)[..., None]
+    com = _div_com(jnp.sum(m_leaf_p[..., None] * r_leaf, axis=1), m_tot)
     rmin = jnp.min(jnp.where(alive_leaf[..., None], r_leaf, big), axis=1)
     rmax = jnp.max(jnp.where(alive_leaf[..., None], r_leaf, -big), axis=1)
-    # empty leaves: collapse the box to the COM (zero size)
+    # empty leaves: collapse the box to a far sentinel so the walk's MAC
+    # always accepts them (m = 0 excludes them as sources anyway) and an
+    # empty TARGET group opens nothing
     empty = (m_tot <= 0.0)[..., None]
-    rmin = jnp.where(empty, com, rmin)
-    rmax = jnp.where(empty, com, rmax)
+    rmin = jnp.where(empty, far, rmin)
+    rmax = jnp.where(empty, far, rmax)
 
     if spec.quadrupole:
         # mask dead/padding slots BEFORE the outer product: padded slots sit
@@ -158,13 +167,21 @@ def build_tree(spec: TreeSpec, r_s: Array, m_s: Array,
         m2 = ms[0].reshape(-1, 2)
         c2 = coms[0].reshape(-1, 2, ndim)
         mm = jnp.sum(m2, axis=1)
-        cc = jnp.sum(m2[..., None] * c2, axis=1) \
-            / jnp.maximum(mm, 1e-300)[..., None]
-        lo2 = jnp.min(lo.reshape(-1, 2, ndim), axis=1)
-        hi2 = jnp.max(hi.reshape(-1, 2, ndim), axis=1)
+        cc = _div_com(jnp.sum(m2[..., None] * c2, axis=1), mm)
+        # union only OCCUPIED children: empty-child sentinel boxes must not
+        # inflate the parent box to the sentinel
+        occ2 = (m2 > 0.0)[..., None]
+        lo2 = jnp.min(jnp.where(occ2, lo.reshape(-1, 2, ndim), big), axis=1)
+        hi2 = jnp.max(jnp.where(occ2, hi.reshape(-1, 2, ndim), -big),
+                      axis=1)
+        par_empty = (mm <= 0.0)[..., None]
+        lo2 = jnp.where(par_empty, far, lo2)
+        hi2 = jnp.where(par_empty, far, hi2)
         if spec.quadrupole:
             q2 = quads[0].reshape(-1, 2, ndim, ndim)
-            d = c2 - cc[:, None, :]
+            # empty children sit at the far sentinel; mask their (zero-mass)
+            # displacement so 0 * far^2 cannot overflow f32 to inf
+            d = jnp.where(occ2, c2 - cc[:, None, :], 0.0)
             dq = jnp.einsum("lp,lpi,lpj->lij", m2, d, d)
             trdq = jnp.einsum("lii->l", dq)
             qq = jnp.sum(q2, axis=1) + 3.0 * dq \
@@ -272,12 +289,14 @@ def tree_gravity(spec: TreeSpec, tree: TreeLevels,
             a_acc = jnp.zeros((L, ndim), dtype)
             pot_acc = jnp.zeros((L,), dtype)
 
-        front = jnp.full((W,), -1, dtype=jnp.int32).at[0].set(0)
-        n_front = jnp.asarray(1, jnp.int32)
+        front = jnp.zeros((1,), dtype=jnp.int32)   # level-0 root
         overflow = jnp.asarray(False)
         near_ids = jnp.full((Wn,), -1, dtype=jnp.int32)
 
         for ell in range(spec.depth + 1):
+            # a level holds at most 2^ell cells — sizing every level's
+            # frontier at W would waste most of the upper-level compute
+            W_ell = front.shape[0]
             valid = front >= 0
             idx = jnp.maximum(front, 0)
             m_c = jnp.where(valid, tree.m[ell][idx], 0.0)
@@ -297,7 +316,7 @@ def tree_gravity(spec: TreeSpec, tree: TreeLevels,
 
             quad_c = jnp.where(accept[:, None, None], tree.quad[ell][idx],
                                0.0) if spec.quadrupole else \
-                jnp.zeros((W, ndim, ndim), dtype)
+                jnp.zeros((W_ell, ndim, ndim), dtype)
             m_a = jnp.where(accept, m_c, 0.0)
             if spec.fast:
                 dr = com_c - gc[None, :]                  # (W, ndim)
@@ -326,13 +345,18 @@ def tree_gravity(spec: TreeSpec, tree: TreeLevels,
                 pot_acc = pot_acc + jnp.sum(p_f, axis=1)
 
             if ell < spec.depth:
-                # expand opened cells into children, compact
+                # expand opened cells into children; compact only once the
+                # level could outgrow its width cap
                 child0 = jnp.where(open_, 2 * idx, -1)
                 child1 = jnp.where(open_, 2 * idx + 1, -1)
                 kids = jnp.stack([child0, child1], axis=-1).reshape(-1)
-                front, n_front = _compact(kids >= 0, kids, W,
-                                          jnp.asarray(-1, jnp.int32))
-                overflow = overflow | (n_front > W)
+                W_next = min(W, 2 ** (ell + 1))
+                if kids.shape[0] <= W_next:
+                    front = kids
+                else:
+                    front, n_front = _compact(kids >= 0, kids, W_next,
+                                              jnp.asarray(-1, jnp.int32))
+                    overflow = overflow | (n_front > W_next)
             else:
                 near_ids, n_near = _compact(open_, idx, Wn,
                                             jnp.asarray(-1, jnp.int32))
@@ -482,6 +506,134 @@ def plan_buckets(r: np.ndarray, leaf_size: int, bits: int = 10) -> np.ndarray:
         s = leaf_s[g_starts[gi]]
         e = leaf_e[g_starts[gi + 1] - 1]
         gmap[gi, : e - s] = order[s:e]
+    return gmap
+
+
+def sample_walk_stats(r: np.ndarray, gmap: np.ndarray, theta_sqd: float,
+                      sample: int = 256, seed: int = 0) -> tuple:
+    """Host-side estimate of (near-field leaf count, max frontier width) by
+    walking a random sample of occupied groups with the same conservative
+    group-box MAC the jitted walk uses.  Used at plan time to size
+    near_cap/frontier to the DISTRIBUTION instead of a worst-case formula
+    (the in-jit overflow flag + grow_tree_caps is the safety net for
+    unsampled stragglers)."""
+    G, L = gmap.shape
+    ndim = r.shape[1]
+    big, far = 1e30, 1e15
+    ok = gmap >= 0
+    pts = r[np.maximum(gmap, 0)]
+    lo = np.where(ok[..., None], pts, big).min(axis=1)
+    hi = np.where(ok[..., None], pts, -big).max(axis=1)
+    occ = ok.any(axis=1)
+    lo[~occ] = far
+    hi[~occ] = far
+    levels = [(lo, hi, occ)]
+    while len(lo) > 1:
+        occ2 = occ.reshape(-1, 2)
+        lo2 = np.where(occ2[..., None], lo.reshape(-1, 2, ndim), big).min(1)
+        hi2 = np.where(occ2[..., None], hi.reshape(-1, 2, ndim), -big).max(1)
+        occ = occ2.any(axis=1)
+        lo2[~occ] = far
+        hi2[~occ] = far
+        lo, hi = lo2, hi2
+        levels.insert(0, (lo, hi, occ))
+
+    rng = np.random.default_rng(seed)
+    occ_ids = np.nonzero(levels[-1][2])[0]
+    if len(occ_ids) == 0:
+        return 1, 1
+    sel = rng.choice(occ_ids, size=min(sample, len(occ_ids)), replace=False)
+    g_lo, g_hi = levels[-1][0][sel], levels[-1][1][sel]
+    gc = 0.5 * (g_lo + g_hi)
+    gh = 0.5 * (g_hi - g_lo)
+    S = len(sel)
+    opened = np.ones((S, 1), bool)
+    max_front, near_max = 1, 0
+    for ell, (lo, hi, occ) in enumerate(levels):
+        centre = 0.5 * (lo + hi)
+        half = 0.5 * (hi - lo)
+        gap = np.maximum(np.abs(centre[None] - gc[:, None]) - gh[:, None],
+                         0.0)
+        dsqd = np.sum(gap * gap, -1)
+        rmax_sqd = np.sum(half * half, -1)[None, :]
+        accept = opened & occ[None, :] & (dsqd * theta_sqd > rmax_sqd)
+        open_ = opened & occ[None, :] & ~accept
+        cnt = open_.sum(1)
+        if ell < len(levels) - 1:
+            nxt = np.zeros((S, 2 * open_.shape[1]), bool)
+            nxt[:, 0::2] = open_
+            nxt[:, 1::2] = open_
+            opened = nxt
+            max_front = max(max_front, 2 * int(cnt.max()))
+        else:
+            near_max = int(cnt.max())
+    return near_max, max_front
+
+
+def plan_buckets_kd(r: np.ndarray, leaf_size: int) -> np.ndarray:
+    """Host-side balanced KD bucket planner (the reference KDTree's
+    longest-axis median split, KDTree.cpp:442-595, done level-synchronously
+    with one lexsort per level instead of recursive QuickSelect).
+
+    Splits until every bucket holds <= leaf_size particles.  Buckets are
+    DISJOINT tight boxes with occupancy in (leaf_size/2, leaf_size], which
+    keeps the walk's near-field lists small — Morton-run packing produced
+    overlapping boxes whose near fields blew up ~4x.
+
+    Returns gather map (G_pad, leaf_size) int32, -1 = empty; G_pad is the
+    number of buckets padded to a power of two.
+
+    Uses the C++ planner (gandalf_tpu/native/kdplan.cpp) when available —
+    ~100x faster than the numpy fallback on this host class.
+    """
+    N, ndim = r.shape
+    from ..native import load as _load_native
+
+    lib = _load_native()
+    if lib is not None and ndim <= 16:
+        r_c = np.ascontiguousarray(r, dtype=np.float64)
+        # upper bound on buckets: every split is at worst (ceil, floor)
+        g_max = 1
+        while g_max * leaf_size < 2 * N + leaf_size:
+            g_max *= 2
+        gmap = np.full((g_max, leaf_size), -1, np.int32)
+        n_used = lib.kd_plan_buckets(
+            r_c.ctypes.data, N, ndim, leaf_size,
+            gmap.ctypes.data, g_max)
+        if n_used > 0:
+            G_pad = 1 << int(np.ceil(np.log2(max(n_used, 1))))
+            return np.ascontiguousarray(gmap[:G_pad])
+    seg = np.zeros(N, dtype=np.int64)      # bucket id (sorted, compact)
+    order = np.arange(N)
+    r_work = r
+    idx = np.arange(N)
+    for _ in range(64):                    # safety bound >> log2(N)
+        # compress ids (keeps seg sorted) and find oversized segments
+        _, seg = np.unique(seg, return_inverse=True)
+        counts = np.bincount(seg)
+        if counts.max() <= leaf_size:
+            break
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        lo = np.minimum.reduceat(r_work, starts, axis=0)
+        hi = np.maximum.reduceat(r_work, starts, axis=0)
+        axis = np.argmax(hi - lo, axis=1)              # (n_seg,)
+        key = r_work[idx, axis[seg]]
+        o = np.lexsort((key, seg))
+        seg = seg[o]
+        order = order[o]
+        r_work = r_work[o]
+        pos = idx - starts[seg]
+        split = (counts > leaf_size)[seg]
+        child = (split & (pos >= (counts[seg] + 1) // 2)).astype(np.int64)
+        seg = 2 * seg + child
+    counts = np.bincount(seg)
+    assert counts.max() <= leaf_size, (counts.max(), leaf_size)
+    n_seg = len(counts)
+    G_pad = 1 << int(np.ceil(np.log2(max(n_seg, 1))))
+    gmap = np.full((G_pad, leaf_size), -1, np.int32)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pos = idx - starts[seg]
+    gmap[seg, pos] = order
     return gmap
 
 

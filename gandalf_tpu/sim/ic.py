@@ -465,18 +465,11 @@ def plummer_stars_ic(params) -> Dict[str, np.ndarray]:
     return {"r": r[:, :ndim], "v": v[:, :ndim], "m": m, "h": h}
 
 
-def binary_ic(params) -> Dict[str, np.ndarray]:
-    """Binary star from orbital elements (Ic::AddBinaryStar,
-    src/Ic/Ic.cpp)."""
-    fp = params.floatparams
-    ndim = params.intparams["ndim"]
-    if ndim < 2:
-        raise ValueError("binary IC needs ndim >= 2")
-    sma, ecc = fp["abin"], fp["ebin"]
-    m1, m2 = fp["m1"], fp["m2"]
-    rng = np.random.default_rng(params.intparams["randseed"])
-    M = 2.0 * np.pi * rng.random()
-    # solve Kepler's equation for the eccentric anomaly
+def _binary_offsets(sma, ecc, m1, m2, M, ndim):
+    """Positions/velocities of a two-body pair about its barycentre from
+    orbital elements at mean anomaly M (Ic::AddBinaryStar, src/Ic/Ic.cpp).
+
+    Returns (r1, v1, r2, v2) each of shape (ndim,)."""
     Ee = M
     for _ in range(100):
         Ee = Ee - (Ee - ecc * np.sin(Ee) - M) / (1.0 - ecc * np.cos(Ee))
@@ -487,20 +480,81 @@ def binary_ic(params) -> Dict[str, np.ndarray]:
     hc = np.sqrt((1.0 + ecc * np.cos(theta)) / (2.0 - sep / sma))
     phi = np.arccos(np.clip(hc, -1.0, 1.0))
     mbin = m1 + m2
-
-    r = np.zeros((2, ndim))
-    v = np.zeros((2, ndim))
     rx = sep * np.cos(theta)
     ry = sep * np.sin(theta)
     vx = -vel * np.cos(0.5 * np.pi - theta + phi)
     vy = vel * np.sin(0.5 * np.pi - theta + phi)
-    r[0, 0], r[0, 1] = rx * m2 / mbin, ry * m2 / mbin
-    v[0, 0], v[0, 1] = vx * m2 / mbin, vy * m2 / mbin
-    r[1, 0], r[1, 1] = -rx * m1 / mbin, -ry * m1 / mbin
-    v[1, 0], v[1, 1] = -vx * m1 / mbin, -vy * m1 / mbin
-    m = np.array([m1, m2])
-    h = np.full(2, fp["rstar"])
-    return {"r": r, "v": v, "m": m, "h": h}
+    r1 = np.zeros(ndim)
+    v1 = np.zeros(ndim)
+    r2 = np.zeros(ndim)
+    v2 = np.zeros(ndim)
+    r1[0], r1[1] = rx * m2 / mbin, ry * m2 / mbin
+    v1[0], v1[1] = vx * m2 / mbin, vy * m2 / mbin
+    r2[0], r2[1] = -rx * m1 / mbin, -ry * m1 / mbin
+    v2[0], v2[1] = -vx * m1 / mbin, -vy * m1 / mbin
+    return r1, v1, r2, v2
+
+
+def binary_ic(params) -> Dict[str, np.ndarray]:
+    """Binary star from orbital elements (Ic::AddBinaryStar,
+    src/Ic/Ic.cpp)."""
+    fp = params.floatparams
+    ndim = params.intparams["ndim"]
+    if ndim < 2:
+        raise ValueError("binary IC needs ndim >= 2")
+    rng = np.random.default_rng(params.intparams["randseed"])
+    M = 2.0 * np.pi * rng.random()
+    m1, m2 = fp["m1"], fp["m2"]
+    r1, v1, r2, v2 = _binary_offsets(fp["abin"], fp["ebin"], m1, m2, M,
+                                     ndim)
+    return {"r": np.stack([r1, r2]), "v": np.stack([v1, v2]),
+            "m": np.array([m1, m2]), "h": np.full(2, fp["rstar"])}
+
+
+def triple_ic(params) -> Dict[str, np.ndarray]:
+    """Hierarchical triple: outer binary of (m1+m2) and m3 at abin, the
+    first component replaced by an inner (m1, m2) binary at abin2
+    (HierarchicalSystemIc.cpp:88-117)."""
+    fp = params.floatparams
+    ndim = params.intparams["ndim"]
+    if ndim < 2:
+        raise ValueError("triple IC needs ndim >= 2")
+    rng = np.random.default_rng(params.intparams["randseed"])
+    m1, m2, m3 = fp["m1"], fp["m2"], fp["m3"]
+    R1, V1, R3, V3 = _binary_offsets(fp["abin"], fp["ebin"], m1 + m2, m3,
+                                     2.0 * np.pi * rng.random(), ndim)
+    r1, v1, r2, v2 = _binary_offsets(fp["abin2"], fp["ebin2"], m1, m2,
+                                     2.0 * np.pi * rng.random(), ndim)
+    return {
+        "r": np.stack([R1 + r1, R1 + r2, R3]),
+        "v": np.stack([V1 + v1, V1 + v2, V3]),
+        "m": np.array([m1, m2, m3]),
+        "h": np.full(3, fp["rstar"]),
+    }
+
+
+def quadruple_ic(params) -> Dict[str, np.ndarray]:
+    """Hierarchical quadruple: outer binary of (m1+m2) and (m3+m4), each
+    component an inner binary at abin2 (HierarchicalSystemIc.cpp:119-150)."""
+    fp = params.floatparams
+    ndim = params.intparams["ndim"]
+    if ndim < 2:
+        raise ValueError("quadruple IC needs ndim >= 2")
+    rng = np.random.default_rng(params.intparams["randseed"])
+    m1, m2, m3, m4 = fp["m1"], fp["m2"], fp["m3"], fp["m4"]
+    RA, VA, RB, VB = _binary_offsets(fp["abin"], fp["ebin"],
+                                     m1 + m2, m3 + m4,
+                                     2.0 * np.pi * rng.random(), ndim)
+    r1, v1, r2, v2 = _binary_offsets(fp["abin2"], fp["ebin2"], m1, m2,
+                                     2.0 * np.pi * rng.random(), ndim)
+    r3, v3, r4, v4 = _binary_offsets(fp["abin2"], fp["ebin2"], m3, m4,
+                                     2.0 * np.pi * rng.random(), ndim)
+    return {
+        "r": np.stack([RA + r1, RA + r2, RB + r3, RB + r4]),
+        "v": np.stack([VA + v1, VA + v2, VB + v3, VB + v4]),
+        "m": np.array([m1, m2, m3, m4]),
+        "h": np.full(4, fp["rstar"]),
+    }
 
 
 def evrard_ic(params, eos) -> Dict[str, np.ndarray]:
@@ -830,6 +884,390 @@ def dustybox_ic(params, eos) -> Dict[str, np.ndarray]:
     }
 
 
+def _thermal_u(params) -> float:
+    """u from either the isothermal (temp0/mu_bar) or adiabatic
+    (press1/rho1) parameters, as the reference IC generators do."""
+    fp = params.floatparams
+    gammam1 = fp["gamma_eos"] - 1.0
+    if params.stringparams["gas_eos"] == "isothermal":
+        return fp["temp0"] / gammam1 / fp["mu_bar"]
+    return fp["press1"] / fp["rhofluid1"] / gammam1
+
+
+def _sinusoidal_displace(x: np.ndarray, amp: float, lam: float) -> np.ndarray:
+    """Displace lattice x so the density becomes rho0(1 + amp sin(k x))
+    (Ic::AddSinusoidalDensityPerturbation fixed-point iteration)."""
+    kwave = 2.0 * np.pi / lam
+    xnew = x.copy()
+    for _ in range(200):
+        xnew = x - amp * (1.0 - np.cos(kwave * xnew)) / kwave
+    return xnew
+
+
+def jeans_ic(params, eos) -> Dict[str, np.ndarray]:
+    """Sinusoidal density perturbation on a 3D periodic lattice for the
+    Jeans-instability / Ewald sine-perturbation tests
+    (src/Ic/EwaldIc.cpp:139-186, 'ewaldsine' == 'jeans')."""
+    fp, ip = params.floatparams, params.intparams
+    ndim = ip["ndim"]
+    n_lat = [ip[f"Nlattice1[{k}]"] for k in range(ndim)]
+    lo = [fp[f"boxmin[{k}]"] for k in range(ndim)]
+    hi = [fp[f"boxmax[{k}]"] for k in range(ndim)]
+    rho0 = fp["rhofluid1"]
+    amp = fp["amp"]
+    lam = hi[0] - lo[0]
+    r = add_cubic_lattice(n_lat, lo, hi)
+    r[:, 0] = _sinusoidal_displace(r[:, 0], amp, lam)
+    # wrap displaced particles back into the periodic box
+    r[:, 0] = lo[0] + np.mod(r[:, 0] - lo[0], lam)
+    N = len(r)
+    volume = np.prod(np.asarray(hi) - np.asarray(lo))
+    m = np.full(N, rho0 * volume / N)
+    h = fp["h_fac"] * (m / rho0) ** (1.0 / ndim)
+    u = np.full(N, _thermal_u(params))
+    return {"r": r, "v": np.zeros_like(r), "m": m, "h": h, "u": u}
+
+
+def basic_sine_ic(params, eos) -> Dict[str, np.ndarray]:
+    """Monte-Carlo sampled rho0(1 + amp sin(2 pi x / lambda)) density field
+    (src/Ic/BasicIc.cpp)."""
+    fp, ip = params.floatparams, params.intparams
+    ndim = ip["ndim"]
+    N = ip["Nhydro"]
+    lo = np.array([fp[f"boxmin[{k}]"] for k in range(ndim)])
+    hi = np.array([fp[f"boxmax[{k}]"] for k in range(ndim)])
+    rho0, amp = fp["rhofluid1"], fp["amp"]
+    lam = hi[0] - lo[0]
+    rng = np.random.default_rng(ip["randseed"])
+    # rejection sampling against the density envelope
+    out = []
+    need = N
+    while need > 0:
+        cand = lo + (hi - lo) * rng.random((2 * need + 16, ndim))
+        dens = 1.0 + amp * np.sin(2.0 * np.pi * cand[:, 0] / lam)
+        keep = rng.random(len(cand)) * (1.0 + abs(amp)) < dens
+        out.append(cand[keep][:need])
+        need = N - sum(len(o) for o in out)
+    r = np.concatenate(out)[:N]
+    volume = np.prod(hi - lo)
+    m = np.full(N, rho0 * volume / N)
+    h = fp["h_fac"] * (m / rho0) ** (1.0 / ndim)
+    u = np.full(N, _thermal_u(params))
+    return {"r": r, "v": np.zeros_like(r), "m": m, "h": h, "u": u}
+
+
+def _mass_weighted_box(params, rho_fn) -> Dict[str, np.ndarray]:
+    """Lattice positions with per-particle masses following rho_fn(r)
+    (the EwaldIc variable-mass pattern, src/Ic/EwaldIc.cpp:187-320)."""
+    fp, ip = params.floatparams, params.intparams
+    ndim = ip["ndim"]
+    n_lat = [ip[f"Nlattice1[{k}]"] for k in range(ndim)]
+    lo = [fp[f"boxmin[{k}]"] for k in range(ndim)]
+    hi = [fp[f"boxmax[{k}]"] for k in range(ndim)]
+    r = add_cubic_lattice(n_lat, lo, hi)
+    N = len(r)
+    volume = np.prod(np.asarray(hi) - np.asarray(lo))
+    rho = rho_fn(r)
+    m = rho * volume / N
+    h = fp["h_fac"] * (m / np.maximum(rho, 1e-30)) ** (1.0 / ndim)
+    u = np.full(N, _thermal_u(params))
+    return {"r": r, "v": np.zeros_like(r), "m": m, "h": h, "u": u}
+
+
+def _periodicity_code(params) -> int:
+    """Bitmask of fully-periodic dimensions (EwaldIc.cpp:122-134)."""
+    ndim = params.intparams["ndim"]
+    code = 0
+    for k in range(ndim):
+        if (params.stringparams[f"boundary_lhs[{k}]"] == "periodic"
+                and params.stringparams[f"boundary_rhs[{k}]"] == "periodic"):
+            code |= 1 << k
+    return code
+
+
+def _ic_sound_speed(params) -> float:
+    fp = params.floatparams
+    if params.stringparams["gas_eos"] == "isothermal":
+        return float(np.sqrt(fp["temp0"] / fp["mu_bar"]))
+    return float(np.sqrt(fp["gamma_eos"] * fp["press1"] / fp["rhofluid1"]))
+
+
+def ewaldsine2_ic(params, eos) -> Dict[str, np.ndarray]:
+    fp = params.floatparams
+    lam = fp["boxmax[0]"] - fp["boxmin[0]"]
+    kwave = 2.0 * np.pi / lam
+    return _mass_weighted_box(
+        params, lambda r: fp["rhofluid1"]
+        * (1.0 + fp["amp"] * np.sin(kwave * r[:, 0])))
+
+
+def ewaldslab_ic(params, eos) -> Dict[str, np.ndarray]:
+    """Self-gravitating isothermal slab: rho = rho0 sech^2(z/h0) with
+    h0 = cs/sqrt(2 pi rho0) normal to the non-periodic dimension."""
+    fp = params.floatparams
+    rho0 = fp["rhofluid1"]
+    cs = _ic_sound_speed(params)
+    h0 = cs / np.sqrt(2.0 * np.pi * rho0)
+    per = _periodicity_code(params)
+    axis = {3: 2, 5: 1, 6: 0}.get(per)
+    if axis is None:
+        raise ValueError("ewaldslab needs periodic boundaries in exactly "
+                         "two dimensions")
+    return _mass_weighted_box(
+        params, lambda r: rho0 / np.cosh(r[:, axis] / h0) ** 2)
+
+
+def ewaldcylinder_ic(params, eos) -> Dict[str, np.ndarray]:
+    """Self-gravitating isothermal cylinder (Ostriker profile):
+    rho = rho0 / (1 + pi rho0 r_perp^2 / (2 cs^2))^2."""
+    fp = params.floatparams
+    rho0 = fp["rhofluid1"]
+    cs = _ic_sound_speed(params)
+    a2inv = np.pi * rho0 * 0.5 / cs ** 2
+    per = _periodicity_code(params)
+    perp = {1: (1, 2), 2: (0, 2), 4: (0, 1)}.get(per)
+    if perp is None:
+        raise ValueError("ewaldcylinder needs periodic boundaries in "
+                         "exactly one dimension")
+    return _mass_weighted_box(
+        params, lambda r: rho0 / (1.0 + a2inv * (r[:, perp[0]] ** 2
+                                                 + r[:, perp[1]] ** 2)) ** 2)
+
+
+def shearflow_ic(params, eos) -> Dict[str, np.ndarray]:
+    """2D sinusoidal shear flow: vx = amp sin(2 pi y / Ly)
+    (src/Ic/ShearflowIc.cpp:57-118)."""
+    fp, ip = params.floatparams, params.intparams
+    ndim = ip["ndim"]
+    if ndim < 2:
+        raise ValueError("shearflow IC needs ndim >= 2")
+    n_lat = [ip[f"Nlattice1[{k}]"] for k in range(ndim)]
+    lo = [fp[f"boxmin[{k}]"] for k in range(ndim)]
+    hi = [fp[f"boxmax[{k}]"] for k in range(ndim)]
+    rho0, amp = fp["rhofluid1"], fp["amp"]
+    kwave = 2.0 * np.pi / (hi[1] - lo[1])
+    r = add_cubic_lattice(n_lat, lo, hi)
+    N = len(r)
+    v = np.zeros_like(r)
+    v[:, 0] = amp * np.sin(kwave * r[:, 1])
+    volume = np.prod(np.asarray(hi) - np.asarray(lo))
+    m = np.full(N, rho0 * volume / N)
+    h = fp["h_fac"] * (m / rho0) ** (1.0 / ndim)
+    u = np.full(N, fp["press1"] / rho0 / (fp["gamma_eos"] - 1.0))
+    return {"r": r, "v": v, "m": m, "h": h, "u": u}
+
+
+def rti_ic(params, eos) -> Dict[str, np.ndarray]:
+    """2D Rayleigh-Taylor instability: heavy-over-light with a smooth
+    (sigmoid) interface at y = 0.5 and a seeded vy perturbation
+    (src/Ic/RayleighTaylorIc.cpp:57-161)."""
+    fp, ip = params.floatparams, params.intparams
+    if ip["ndim"] != 2:
+        raise ValueError("rti IC is 2D only")
+    rho1, rho2 = fp["rhofluid1"], fp["rhofluid2"]
+    press1, press2 = fp["press1"], fp["press2"]
+    gammam1 = fp["gamma_eos"] - 1.0
+    amp = fp["amp"]
+    lo = [fp["boxmin[0]"], fp["boxmin[1]"]]
+    hi = [fp["boxmax[0]"], fp["boxmax[1]"]]
+    ymid = 0.5 * (lo[1] + hi[1])
+    n1 = [ip["Nlattice1[0]"], ip["Nlattice1[1]"]]
+    n2 = [ip["Nlattice2[0]"], ip["Nlattice2[1]"]]
+    r1 = add_cubic_lattice(n1, lo, [hi[0], ymid])
+    r2 = add_cubic_lattice(n2, [lo[0], ymid], hi)
+    volume = (hi[0] - lo[0]) * (ymid - lo[1])
+    delta = 0.025
+
+    def rho_at(r):
+        return rho1 + (rho2 - rho1) / (1.0 + np.exp(-(r[:, 1] - 0.5)
+                                                    / delta))
+
+    m1 = rho_at(r1) * volume / len(r1)
+    m2 = rho_at(r2) * volume / len(r2)
+    h1 = fp["h_fac"] * (m1 / rho1) ** 0.5
+    h2 = fp["h_fac"] * (m2 / rho2) ** 0.5
+    u1 = np.full(len(r1), press1 / rho1 / gammam1)
+    u2 = np.full(len(r2), press2 / rho2 / gammam1)
+    r = np.concatenate([r1, r2])
+    m = np.concatenate([m1, m2])
+    h = np.concatenate([h1, h2])
+    u = np.concatenate([u1, u2])
+    v = np.zeros_like(r)
+    band = (r[:, 1] >= 0.3) & (r[:, 1] <= 0.7)
+    v[:, 1] = np.where(
+        band,
+        amp * (1.0 + np.cos(8.0 * np.pi * (r[:, 0] + 0.25)))
+        * (1.0 + np.cos(5.0 * np.pi * (r[:, 1] - 0.5))), 0.0)
+    return {"r": r, "v": v, "m": m, "h": h, "u": u}
+
+
+def shock2d_ic(params, eos) -> Dict[str, np.ndarray]:
+    """Diagonal 2D/3D Sod-like shock: high-density state where
+    x/Lx + y/Ly >= 0.5, low-density state elsewhere
+    (src/Ic/Shock2DIc.cpp:55-200; fixed rho/P states 1/1 and 0.125/0.14)."""
+    fp, ip = params.floatparams, params.intparams
+    ndim = ip["ndim"]
+    rho0, p0 = 1.0, 1.0
+    rho1, p1 = 0.125, 0.14
+    gammam1 = fp["gamma_eos"] - 1.0
+    n_lat = [ip[f"Nlattice1[{k}]"] for k in range(ndim)]
+    lo = [fp[f"boxmin[{k}]"] for k in range(ndim)]
+    hi = [fp[f"boxmax[{k}]"] for k in range(ndim)]
+    volume = np.prod(np.asarray(hi) - np.asarray(lo))
+    scale = [1.0 / (hi[k] - lo[k]) for k in range(2)]
+
+    ra = add_cubic_lattice(n_lat, lo, hi)
+    xa = ra[:, 0] * scale[0] + ra[:, 1] * scale[1]
+    ra = ra[xa >= 0.5]
+    ratio = (rho1 / rho0) ** (1.0 / ndim)
+    n_lat2 = [max(int(n * ratio), 1) for n in n_lat]
+    rb = add_cubic_lattice(n_lat2, lo, hi)
+    xb = rb[:, 0] * scale[0] + rb[:, 1] * scale[1]
+    rb = rb[xb < 0.5]
+    m_a = np.full(len(ra), 0.875 * volume * rho0 / len(ra))
+    m_b = np.full(len(rb), 0.125 * volume * rho1 / len(rb))
+    h_a = fp["h_fac"] * (m_a / rho0) ** (1.0 / ndim)
+    h_b = fp["h_fac"] * (m_b / rho1) ** (1.0 / ndim)
+    u_a = np.full(len(ra), p0 / rho0 / gammam1)
+    u_b = np.full(len(rb), p1 / rho1 / gammam1)
+    r = np.concatenate([ra, rb])
+    m = np.concatenate([m_a, m_b])
+    h = np.concatenate([h_a, h_b])
+    u = np.concatenate([u_a, u_b])
+    return {"r": r, "v": np.zeros_like(r), "m": m, "h": h, "u": u}
+
+
+def spitzer_ic(params, eos) -> Dict[str, np.ndarray]:
+    """Cold uniform sphere for the Spitzer HII-region expansion test
+    (src/Ic/SpitzerExpansionIc.cpp:57-130): u = tiny, ionisation drives
+    the dynamics."""
+    fp, ip = params.floatparams, params.intparams
+    if ip["ndim"] != 3:
+        raise ValueError("spitzer IC is 3D only")
+    N = ip["Nhydro"]
+    mcloud, radius = fp["mcloud"], fp["radius"]
+    r = add_lattice_sphere(N, radius, 3)
+    N = len(r)
+    volume = 4.0 / 3.0 * np.pi * radius ** 3
+    rho = mcloud / volume
+    m = np.full(N, mcloud / N)
+    h = fp["h_fac"] * (m / rho) ** (1.0 / 3.0)
+    u = np.full(N, 1e-20)
+    return {"r": r, "v": np.zeros_like(r), "m": m, "h": h, "u": u}
+
+
+def filament_ic(params, eos) -> Dict[str, np.ndarray]:
+    """Rejection-sampled filament rho(R, z) = rho0 / (1 + R^2/r0^2
+    + z^2/(a^2 r0^2)) with aconst = 10.9 (src/Ic/FilamentIc.cpp:160-175;
+    dimensionless variant of the reference's physical-unit setup)."""
+    fp, ip = params.floatparams, params.intparams
+    if ip["ndim"] != 3:
+        raise ValueError("filament IC is 3D only")
+    N = ip["Nhydro"]
+    r0 = fp["radius"]
+    aconst = 10.9
+    lo = np.array([fp[f"boxmin[{k}]"] for k in range(3)])
+    hi = np.array([fp[f"boxmax[{k}]"] for k in range(3)])
+    rng = np.random.default_rng(ip["randseed"])
+    out = []
+    need = N
+    while need > 0:
+        cand = lo + (hi - lo) * rng.random((4 * need + 16, 3))
+        radsqd = cand[:, 0] ** 2 + cand[:, 1] ** 2
+        dens = 1.0 / (1.0 + radsqd / r0 ** 2
+                      + cand[:, 2] ** 2 / (r0 * aconst) ** 2)
+        keep = rng.random(len(cand)) < dens
+        out.append(cand[keep][:need])
+        need = N - sum(len(o) for o in out)
+    r = np.concatenate(out)[:N]
+    mcloud = fp["mcloud"]
+    m = np.full(N, mcloud / N)
+    # crude local rho estimate for the initial h
+    rho_c = mcloud / np.prod(hi - lo)
+    h = fp["h_fac"] * (m / rho_c) ** (1.0 / 3.0)
+    u = np.full(N, _thermal_u(params))
+    return {"r": r, "v": np.zeros_like(r), "m": m, "h": h, "u": u}
+
+
+def _bondi_solution(n: int = 4096):
+    """Dimensionless transonic isothermal Bondi solution via the Lambert-W
+    closed form (x = r/r_sonic, w = |v|/a, y = rho/rho_inf,
+    z = enclosed mass in units of 4 pi r_sonic^3 rho_inf).
+
+    Bernoulli + continuity give  w^2 - 2 ln w = 4 ln x + 4/x - 3, i.e.
+    w^2 = -W(-exp(-(4 ln x + 4/x - 3)))  on the W_-1 branch inside the
+    sonic point and W_0 outside (reference: tabulated RK4,
+    src/Ic/BondiAccretionIc.cpp:44-200 — same solution, different route).
+    """
+    from scipy.special import lambertw
+
+    x = np.geomspace(1e-4, 40.0, n)
+    g = 4.0 * np.log(x) + 4.0 / x - 3.0
+    # clamp to the W branch point -1/e: near the sonic point (g -> 1)
+    # rounding can push the argument just past it, where W returns NaN
+    arg = np.maximum(-np.exp(-g), -(1.0 - 1e-12) / np.e)
+    wsq = np.empty_like(x)
+    inside = x < 1.0
+    wsq[inside] = -lambertw(arg[inside], k=-1).real
+    wsq[~inside] = -lambertw(arg[~inside], k=0).real
+    # deep inside the sonic point e^-g underflows to 0 and W_-1(-0) = -inf;
+    # there f = w^2 solves f - ln f = g with f >> 1, i.e. f ~ g + ln g
+    under = inside & (arg > -1e-280)
+    f = np.maximum(g, 2.0)
+    for _ in range(50):
+        f = g + np.log(f)
+    wsq[under] = f[under]
+    w = np.sqrt(np.maximum(wsq, 1e-30))
+    y = np.exp(1.5) / (x * x * w)
+    # z(x) = int_0^x y x'^2 dx' = e^1.5 int dx'/w
+    dz = np.exp(1.5) / w
+    z = np.concatenate([[0.0], np.cumsum(0.5 * (dz[1:] + dz[:-1])
+                                         * np.diff(x))])
+    return x, w, y, z
+
+
+def bondi_ic(params, eos) -> Dict[str, np.ndarray]:
+    """Bondi accretion onto a sink: a uniform sphere stretched so the
+    enclosed-mass profile matches the transonic Bondi solution, with the
+    matching radial inflow (src/Ic/BondiAccretionIc.cpp:205-350).
+
+    Returns gas + one star (the sink) at the origin.
+    """
+    fp, ip = params.floatparams, params.intparams
+    if ip["ndim"] != 3:
+        raise ValueError("bondi IC is 3D only")
+    N = ip["Nhydro"]
+    temp0, mu_bar = fp["temp0"], fp["mu_bar"]
+    mcloud, msink = fp["mcloud"], fp["m1"]
+    rhogas = fp["rhofluid1"]
+    asound = np.sqrt(temp0 / mu_bar)
+    rsonic = 0.5 * msink / asound ** 2
+
+    x, w, y, z = _bondi_solution()
+    if mcloud > z[-1]:
+        raise ValueError("bondi: cloud mass too big for solution table")
+    r_sphere = add_lattice_sphere(N, 1.0, 3)
+    N = len(r_sphere)
+    drmag = np.linalg.norm(r_sphere, axis=1) + 1e-30
+    mint = mcloud * drmag ** 3
+    radp = np.interp(mint, z, x)
+    vradp = np.interp(mint, z, w)
+    r = rsonic * r_sphere * (radp / drmag)[:, None]
+    v = -asound * (vradp / drmag)[:, None] * r_sphere
+    mp = 4.0 * np.pi * rsonic ** 3 * rhogas * mcloud / N
+    m = np.full(N, mp)
+    rho_local = rhogas * np.interp(radp, x, y)
+    h = fp["h_fac"] * (m / np.maximum(rho_local, 1e-30)) ** (1.0 / 3.0)
+    gammam1 = fp["gamma_eos"] - 1.0
+    u = np.full(N, temp0 / gammam1 / mu_bar)
+    return {
+        "r": r, "v": v, "m": m, "h": h, "u": u,
+        "star": {"r": np.zeros((1, 3)), "v": np.zeros((1, 3)),
+                 "m": np.array([msink]),
+                 "h": np.array([fp["sink_radius"] * rsonic])},
+    }
+
+
 _IC_REGISTRY = {
     "disc": disc_ic,
     "gaussianring": gaussianring_ic,
@@ -837,6 +1275,18 @@ _IC_REGISTRY = {
     "evrard": evrard_ic,
     "isothermsphere": isothermsphere_ic,
     "turbcore": turbcore_ic,
+    "basic_sine": basic_sine_ic,
+    "jeans": jeans_ic,
+    "ewaldsine": jeans_ic,
+    "ewaldsine2": ewaldsine2_ic,
+    "ewaldslab": ewaldslab_ic,
+    "ewaldcylinder": ewaldcylinder_ic,
+    "shearflow": shearflow_ic,
+    "rti": rti_ic,
+    "shock2d": shock2d_ic,
+    "spitzer": spitzer_ic,
+    "filament": filament_ic,
+    "bondi": bondi_ic,
     "blob": blob_ic,
     "cdiscontinuity": cdiscontinuity_ic,
     "shocktube": shocktube_ic,
@@ -854,6 +1304,8 @@ _IC_REGISTRY = {
 _NBODY_IC_REGISTRY = {
     "plummer": plummer_stars_ic,
     "binary": binary_ic,
+    "triple": triple_ic,
+    "quadruple": quadruple_ic,
 }
 
 

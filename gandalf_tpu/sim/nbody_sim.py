@@ -34,6 +34,16 @@ class NbodySimulation(SimulationBase):
         self.scheme = p.stringparams["nbody"]
         self.softening = bool(p.intparams["nbody_softening"])
         self.kern = kernel_factory(p.stringparams["kernel"], self.ndim)
+        # external analytic potential (applied with its jerk so the Hermite
+        # corrector stays 4th-order; SphSimulation.cpp:806)
+        self.extpot = p.stringparams["external_potential"]
+        kgrav = p.intparams["kgrav"]
+        self.extpot_cfg = {
+            "mplummer": p.floatparams["mplummer"],
+            "rplummer": p.floatparams["rplummer"],
+            "kgrav": kgrav, "avert": p.floatparams["avert"],
+            "rzero": 0.0,
+        }
 
     def _forces(self, s: NbodyState) -> NbodyState:
         if self.softening:
@@ -41,15 +51,32 @@ class NbodySimulation(SimulationBase):
                                 compute_jerk=True)
         else:
             g = direct_nbody(s.r, s.v, s.m, compute_jerk=True)
-        return s.replace(a=g.a, adot=g.adot, gpot=g.gpot)
+        a, adot, gpot = g.a, g.adot, g.gpot
+        if self.extpot != "none":
+            from ..ops.gravity import external_potential
+
+            a_x, adot_x, pot_x = external_potential(
+                self.extpot, self.extpot_cfg, s.r, s.v)
+            a, adot, gpot = a + a_x, adot + adot_x, gpot + pot_x
+        s = s.replace(a=a, adot=adot, gpot=gpot)
+        if self.scheme == "hermite6ts":
+            # second pass: direct snap from the updated accelerations
+            # (NbodyHermite6TS's higher-derivative force evaluation)
+            from ..ops.gravity import direct_snap
+
+            s = s.replace(a2dot=direct_snap(s.r, s.v, s.a, s.m))
+        return s
 
     def _build_bootstrap(self):
         cfg = self.hermite
 
         def bootstrap(s: NbodyState) -> NbodyState:
             s = self._forces(s)
+            # _forces fills a2dot (snap) for hermite6ts; others start at 0
+            a2dot = s.a2dot if self.scheme == "hermite6ts" \
+                else jnp.zeros_like(s.a)
             s = s.replace(a0=s.a, adot0=s.adot, r0=s.r, v0=s.v,
-                          a2dot=jnp.zeros_like(s.a),
+                          a2dot=a2dot, a2dot0=a2dot,
                           a3dot=jnp.zeros_like(s.a))
             # startup timestep: accel-based only (a2dot/a3dot unknown yet,
             # reference CalculateAllStartupQuantities computes snap; the
@@ -63,15 +90,42 @@ class NbodySimulation(SimulationBase):
 
     def _build_step(self):
         cfg = self.hermite
+        scheme = self.scheme
+        if scheme in ("hermite4ts", "hermite6ts"):
+            # time-symmetric correctors need >= 2 P(EC)^n iterations to
+            # realise their reversibility (reference default Npec)
+            npec = max(2, cfg.npec)
+        else:
+            npec = max(1, cfg.npec)
 
         def step(s: NbodyState) -> NbodyState:
             dt = s.dt
             t = s.t + dt
-            s = hermite.predict(s, dt)
-            # P(EC)^n iteration (reference NbodySimulation::MainLoop :258-330)
-            for _ in range(max(1, cfg.npec)):
+            if scheme in ("lfkdk", "lfdkd"):
+                # velocity-Verlet leapfrog (NbodyLeapfrogKDK.cpp)
+                v_half = s.v0 + 0.5 * dt * s.a0
+                r = s.r0 + dt * v_half
+                s = s.replace(r=r, v=v_half)
                 s = self._forces(s)
-                s = hermite.correct(s, dt)
+                s = s.replace(v=s.v + 0.5 * dt * s.a)
+                s = hermite.end_timestep(s)
+                amag = jnp.sqrt(jnp.sum(s.a * s.a, axis=-1))
+                dt_next = cfg.nbody_mult * jnp.min(
+                    jnp.sqrt(s.h / (amag + 1e-20)))
+                return s.replace(t=t, dt=dt_next, nstep=s.nstep + 1)
+            if scheme == "hermite6ts":
+                s = hermite.predict_ts6(s, dt)
+                corr = hermite.correct_ts6
+            elif scheme == "hermite4ts":
+                s = hermite.predict(s, dt)
+                corr = hermite.correct_ts4
+            else:
+                s = hermite.predict(s, dt)
+                corr = hermite.correct
+            # P(EC)^n iteration (reference NbodySimulation::MainLoop :258-330)
+            for _ in range(npec):
+                s = self._forces(s)
+                s = corr(s, dt)
             s = hermite.end_timestep(s)
             dt_next = jnp.min(hermite.aarseth_timestep(cfg, s))
             return s.replace(t=t, dt=dt_next, nstep=s.nstep + 1)

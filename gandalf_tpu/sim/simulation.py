@@ -344,6 +344,15 @@ class GradhSphSimulation(SimulationBase):
                 self.box.size, ngrid=max(p.intparams["nEwaldGrid"], 9),
                 ewald_mult=p.floatparams["ewald_mult"])
         self.h_converge = p.floatparams["h_converge"]
+        # external analytic potentials (reference Simulation.cpp:1163-1181)
+        self.extpot = p.stringparams["external_potential"]
+        kgrav = p.intparams["kgrav"]
+        self.extpot_cfg = {
+            "mplummer": p.floatparams["mplummer"],
+            "rplummer": p.floatparams["rplummer"],
+            "kgrav": kgrav, "avert": p.floatparams["avert"],
+            "rzero": self.box.boxmin[kgrav] if kgrav < self.ndim else 0.0,
+        }
         # neighbour-search strategy: "bruteforce" = all-pairs oracle;
         # anything else (kdtree/octtree/celllist) maps to the TPU cell-list
         # production path.  Mirror walls currently require the image-based
@@ -426,19 +435,37 @@ class GradhSphSimulation(SimulationBase):
         boxes are re-stocked from live positions every step, so the MAC
         stays conservative as particles drift.  Returns True when the step
         must be recompiled (padded shape or caps changed)."""
-        from ..ops.tree import (grow_tree_caps, plan_buckets,
+        from ..ops.tree import (grow_tree_caps, plan_buckets_kd,
                                 plan_tree_for_buckets)
 
         p = self.params
         mp = p.stringparams["multipole"]
+        theta_sqd = p.floatparams["thetamaxsqd"]
         old = self.treespec
-        gmap = plan_buckets(r_np, leaf_size=32)
+        L = 16
+        gmap = plan_buckets_kd(r_np, leaf_size=L)
+        # Cap sizing: measured law for balanced KD buckets on jittered
+        # lattices is worst-group near ~ 150 at L=16, theta^2=0.1, stable
+        # in N; scale linearly in L and in 1/theta^1.5 and keep the in-jit
+        # overflow flag + grow_tree_caps as the backstop for clustered
+        # distributions.  (A sampled host-side walk would be exact but
+        # this host's numpy is ~100x too slow for plan-time use.)
+        near_cap = int(10.0 * L * (0.1 / max(theta_sqd, 1e-3)) ** 1.5) + 32
+        near_cap = min(near_cap, gmap.shape[0])
+        frontier = 2 * near_cap + 64
+        if old is not None:
+            # keep caps monotone between replans unless they shrank a lot
+            # (every cap change costs a recompile); overflow-grown caps are
+            # remembered this way
+            if near_cap < old.near_cap <= 4 * near_cap:
+                near_cap = old.near_cap
+            if frontier < old.frontier <= 4 * frontier:
+                frontier = old.frontier
         spec = plan_tree_for_buckets(
-            gmap, theta_sqd=p.floatparams["thetamaxsqd"],
+            gmap, theta_sqd=theta_sqd,
             quadrupole=mp in ("quadrupole", "fast_quadrupole"),
             fast=mp.startswith("fast"),
-            near_cap=old.near_cap if old else None,
-            frontier=old.frontier if old else None)
+            near_cap=near_cap, frontier=frontier)
         if grow_caps:
             spec = grow_tree_caps(spec)
         self.treespec = spec
@@ -613,6 +640,14 @@ class GradhSphSimulation(SimulationBase):
                     a_g = a_g + a_e
                     gpot = gpot + gp_e
                 s = s.replace(a=s.a + a_g, gpot=gpot)
+        if self.extpot != "none":
+            # reference: extpot->AddExternalPotential per active particle
+            # after the force loop (SphSimulation.cpp:478,717)
+            from ..ops.gravity import external_potential
+
+            a_x, _, pot_x = external_potential(self.extpot,
+                                               self.extpot_cfg, s.r, s.v)
+            s = s.replace(a=s.a + a_x, gpot=s.gpot + pot_x)
         return s
 
     def _hydro_only_pass(self, s: SphState) -> SphState:
@@ -711,8 +746,16 @@ class GradhSphSimulation(SimulationBase):
             sinks.active)
         ss = direct_softened(sinks.r, sinks.v, m_star, sinks.h, self.kern)
         act = sinks.active[:, None]
+        a_star_tot = a_st + ss.a
+        if self.extpot != "none":
+            # stars feel the external field too (SphSimulation.cpp:511,806)
+            from ..ops.gravity import external_potential
+
+            a_x, _, _ = external_potential(self.extpot, self.extpot_cfg,
+                                           sinks.r, sinks.v)
+            a_star_tot = a_star_tot + a_x
         sinks = sinks._replace(
-            a=jnp.where(act, a_st + ss.a, 0.0))
+            a=jnp.where(act, a_star_tot, 0.0))
         # dead (accreted) gas stays frozen: no forces, no heating
         s = s.replace(
             a=jnp.where(alive[:, None], s.a + a_gs, 0.0),

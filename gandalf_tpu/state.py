@@ -241,6 +241,7 @@ class NbodyState:
     v0: Array
     a0: Array
     adot0: Array
+    a2dot0: Array     # step-start snap (Hermite6TS predictor/corrector)
     m: Array
     h: Array          # softening length
     gpot: Array
@@ -276,7 +277,7 @@ def make_nbody_state(r: np.ndarray, v: np.ndarray, m: np.ndarray,
     asdt = lambda x: jnp.asarray(x, dtype=dtype)
     return NbodyState(
         r=asdt(r), v=asdt(v), a=vz(), adot=vz(), a2dot=vz(), a3dot=vz(),
-        r0=asdt(r), v0=asdt(v), a0=vz(), adot0=vz(),
+        r0=asdt(r), v0=asdt(v), a0=vz(), adot0=vz(), a2dot0=vz(),
         m=asdt(m), h=asdt(h), gpot=fz(), dt_part=fz(),
         level=iz(), nlast=iz(), tlast=fz(),
         active=jnp.ones((N,), dtype=bool),

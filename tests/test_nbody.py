@@ -98,3 +98,63 @@ class TestPlummer:
         s, _ = sim
         r = np.asarray(s.state.r)
         assert np.linalg.norm(r, axis=-1).max() < 50.0
+
+
+class TestIntegratorFamily:
+    """Eccentric binary driven with each integrator scheme: energy error
+    must stay within scheme-appropriate bounds, and the time-symmetric
+    variants must beat plain Hermite4 over many orbits
+    (reference NbodyHermite4TS/6TS, src/Headers/Nbody.h:170-344)."""
+
+    def run_binary(self, scheme, n_orbits=5, nbody_mult=0.05, npec=1):
+        p = nbody_params(ic="binary", ndim=2, abin=1.0, ebin=0.5,
+                         m1=0.5, m2=0.5, nbody=scheme, Npec=npec,
+                         tend=float(2 * np.pi * n_orbits),
+                         nbody_mult=nbody_mult)
+        s = SimulationBase.factory(p)
+        s.SetupSimulation()
+        e0 = sum(energies(s.state))
+        s.Run()
+        e1 = sum(energies(s.state))
+        return abs(e1 - e0) / abs(e0)
+
+    def test_hermite4ts(self):
+        assert self.run_binary("hermite4ts") < 1e-6
+
+    def test_hermite6ts(self):
+        assert self.run_binary("hermite6ts") < 1e-7
+
+    def test_leapfrog(self):
+        # 2nd order: much looser bound
+        assert self.run_binary("lfkdk", n_orbits=2, nbody_mult=0.02) < 1e-2
+
+    def test_ts_beats_plain(self):
+        err_plain = self.run_binary("hermite4", n_orbits=10)
+        err_ts = self.run_binary("hermite4ts", n_orbits=10)
+        assert err_ts <= err_plain * 1.5
+
+
+class TestHierarchicalICs:
+    def test_triple_runs(self):
+        p = nbody_params(ic="triple", ndim=3, abin=4.0, ebin=0.2,
+                         abin2=0.5, ebin2=0.0, m1=0.5, m2=0.5, m3=1.0,
+                         rstar=0.01, nbody="hermite4ts", tend=2.0,
+                         nbody_mult=0.05)
+        s = SimulationBase.factory(p)
+        s.SetupSimulation()
+        e0 = sum(energies(s.state))
+        s.Run()
+        e1 = sum(energies(s.state))
+        assert abs(e1 - e0) / abs(e0) < 1e-4
+
+    def test_quadruple_runs(self):
+        p = nbody_params(ic="quadruple", ndim=3, abin=6.0, ebin=0.1,
+                         abin2=0.5, ebin2=0.0, m1=0.5, m2=0.5, m3=0.5,
+                         m4=0.5, rstar=0.01, nbody="hermite4ts", tend=2.0,
+                         nbody_mult=0.05)
+        s = SimulationBase.factory(p)
+        s.SetupSimulation()
+        e0 = sum(energies(s.state))
+        s.Run()
+        e1 = sum(energies(s.state))
+        assert abs(e1 - e0) / abs(e0) < 1e-4
