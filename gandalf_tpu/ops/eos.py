@@ -52,8 +52,14 @@ class EOS:
     def internal_energy_from_pressure(self, rho: Array, p: Array) -> Array:
         return p / (self.gammam1 * rho)
 
+    # wrapper EOSes (IonisingRadiation / MCRadiation) blend the base state
+    # with the ionisation fraction; callers check this flag to thread
+    # `ionfrac` through the (possibly densified) thermal update
+    needs_ionfrac: bool = False
+
     def thermal_update(self, rho: Array, u: Array,
-                       r: Optional[Array] = None):
+                       r: Optional[Array] = None,
+                       ionfrac: Optional[Array] = None):
         """Return (u, pressure, sound) after a density update."""
         u_new = self.specific_internal_energy(rho, u, r)
         return u_new, self.pressure(rho, u_new), self.sound_speed(rho, u_new)
@@ -149,7 +155,7 @@ class LocallyIsothermal(EOS):
     def sound_speed(self, rho, u):
         return jnp.sqrt(self.gammam1 * u)
 
-    def thermal_update(self, rho, u, r=None):
+    def thermal_update(self, rho, u, r=None, ionfrac=None):
         u_new = self.specific_internal_energy(rho, u, r)
         return u_new, self.pressure(rho, u_new), self.sound_speed(rho, u_new)
 
@@ -178,7 +184,7 @@ class DiscLocallyIsothermal(EOS):
     def sound_speed(self, rho, u):
         return jnp.sqrt(self.gammam1 * u)
 
-    def thermal_update(self, rho, u, r=None):
+    def thermal_update(self, rho, u, r=None, ionfrac=None):
         u_new = self.specific_internal_energy(rho, u, r)
         return u_new, self.pressure(rho, u_new), self.sound_speed(rho, u_new)
 
@@ -208,9 +214,61 @@ class Radws(EOS):
         g = self._gamma_of(rho, u)
         return jnp.sqrt(g * (g - 1.0) * u)
 
-    def thermal_update(self, rho, u, r=None):
+    def thermal_update(self, rho, u, r=None, ionfrac=None):
         g = self._gamma_of(rho, u)
         return u, (g - 1.0) * rho * u, jnp.sqrt(g * (g - 1.0) * u)
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class IonisingRadiationEOS(EOS):
+    """Wrapper EOS for photoionised gas (reference IonisingRadiation,
+    src/Thermal/IonisingRadiationEOS.cpp:96-121): ionised particles keep
+    their (radiatively heated) u when it exceeds the base EOS value —
+    preventing e.g. an isothermal base from resetting the HII region's
+    temperature every density pass."""
+
+    base: object = None
+
+    def thermal_update(self, rho, u, r=None, ionfrac=None):
+        u_b, p_b, c_b = self.base.thermal_update(rho, u, r)
+        if ionfrac is None:
+            return u_b, p_b, c_b
+        ionised = ionfrac > 0.5
+        u_new = jnp.where(ionised, jnp.maximum(u, u_b), u_b)
+        return (u_new, self.base.pressure(rho, u_new),
+                self.base.sound_speed(rho, u_new))
+
+    def specific_internal_energy(self, rho, u, r=None):
+        return self.base.specific_internal_energy(rho, u, r)
+
+    def sound_speed(self, rho, u):
+        return self.base.sound_speed(rho, u)
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class MCRadiationEOS(EOS):
+    """Ionisation-fraction-blended EOS (reference MCRadiationEOS,
+    src/Thermal/MCRadiationEOS.cpp): u = f u_ion + (1-f) u_base with
+    u_ion = temp_ion/(gamma-1)/mu_ion."""
+
+    base: object = None
+    temp_ion: float = 1.0e4
+    mu_ion: float = 0.678
+
+    def thermal_update(self, rho, u, r=None, ionfrac=None):
+        u_b, p_b, c_b = self.base.thermal_update(rho, u, r)
+        if ionfrac is None:
+            return u_b, p_b, c_b
+        u_ion = self.temp_ion / self.gammam1 / self.mu_ion
+        u_new = ionfrac * u_ion + (1.0 - ionfrac) * u_b
+        return (u_new, self.base.pressure(rho, u_new),
+                self.base.sound_speed(rho, u_new))
+
+    def specific_internal_energy(self, rho, u, r=None):
+        return self.base.specific_internal_energy(rho, u, r)
+
+    def sound_speed(self, rho, u):
+        return self.base.sound_speed(rho, u)
 
 
 def eos_factory(params) -> EOS:
@@ -220,6 +278,25 @@ def eos_factory(params) -> EOS:
     gamma = params.floatparams["gamma_eos"]
     mu_bar = params.floatparams["mu_bar"]
     temp0 = params.floatparams["temp0"]
+    radiation = params.stringparams["radiation"]
+    if radiation in ("ionisation", "monoionisation") and name in (
+            "energy_eqn", "constant_temp", "isothermal", "polytropic",
+            "barotropic", "barotropic2"):
+        # wrap the base EOS with the ionisation blend
+        # (Hydrodynamics.cpp:81-90)
+        import copy
+
+        inner = copy.copy(params)
+        inner.stringparams = dict(params.stringparams)
+        inner.stringparams["radiation"] = "none"
+        base = eos_factory(inner)
+        if radiation == "ionisation":
+            return IonisingRadiationEOS(gamma=gamma, mu_bar=mu_bar,
+                                        needs_ionfrac=True, base=base)
+        return MCRadiationEOS(gamma=gamma, mu_bar=mu_bar,
+                              needs_ionfrac=True, base=base,
+                              temp_ion=params.floatparams["temp_ion"],
+                              mu_ion=params.floatparams["mu_ion"])
     if name in ("energy_eqn", "constant_temp"):
         return Adiabatic(gamma=gamma, mu_bar=mu_bar)
     if name == "radws":

@@ -133,4 +133,23 @@ def driver_from_params(params, mmean: float):
         return SupernovaDriver(
             events=[SupernovaEvent(t=t_sn, pos=(0.0,) * ndim)],
             mmean=mmean, seed=params.intparams["randseed"])
+    if mode == "random_sedov":
+        # SNe at t = (k + 0.5) tsupernova at uniform-random box positions
+        # (RandomSedovTestDriver::Update, SupernovaDriver.cpp).  Event
+        # times/positions are pre-drawn for the whole run so the queue
+        # stays a static host-side list.
+        t_sn = params.floatparams["tsupernova"]
+        tend = params.floatparams["tend"]
+        ndim = params.intparams["ndim"]
+        lo = [params.floatparams[f"boxmin[{k}]"] for k in range(ndim)]
+        hi = [params.floatparams[f"boxmax[{k}]"] for k in range(ndim)]
+        rng = np.random.default_rng(params.intparams["randseed"])
+        n_sn = max(int(tend / t_sn) + 1, 1)
+        events = []
+        for k in range(n_sn):
+            pos = tuple(lo[d] + rng.random() * (hi[d] - lo[d])
+                        for d in range(ndim))
+            events.append(SupernovaEvent(t=(k + 0.5) * t_sn, pos=pos))
+        return SupernovaDriver(events=events, mmean=mmean,
+                               seed=params.intparams["randseed"])
     raise ValueError(f"unknown supernova_feedback {mode!r}")

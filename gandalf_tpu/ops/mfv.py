@@ -554,6 +554,7 @@ class MfvConfig:
     static_particles: bool = False
     riemann: str = "hllc"            # hllc | exact
     slope_limiter: str = "gizmo"     # gizmo | scalar | null | zeroslope
+    time_scheme: str = "muscl"       # muscl (half-dt predict) | rk2 (Heun)
 
 
 def compute_godunov_fluxes(kern: SmoothingKernel, cfg: MfvConfig, ndim: int,
@@ -634,7 +635,8 @@ def compute_godunov_fluxes(kern: SmoothingKernel, cfg: MfvConfig, ndim: int,
     Wl = Wl.at[..., :ndim].add(-vface)
     Wdot_l = _primitive_time_derivative(Wl, gradW_i, sound[:, None], ndim)
     Wdot_l = Wdot_l.at[..., :ndim].add(a0[:, None, :])
-    Wl = Wl + 0.5 * Wdot_l * dt
+    if cfg.time_scheme == "muscl":
+        Wl = Wl + 0.5 * Wdot_l * dt
 
     # --- right state (neighbour j side): needs j's limited slopes ---------
     if cfg.slope_limiter == "zeroslope":
@@ -652,17 +654,31 @@ def compute_godunov_fluxes(kern: SmoothingKernel, cfg: MfvConfig, ndim: int,
     Wr = Wr.at[..., :ndim].add(-vface)
     Wdot_r = _primitive_time_derivative(Wr, gradW_j, nb["sound"], ndim)
     Wdot_r = Wdot_r.at[..., :ndim].add(nb["a0"])
-    Wr = Wr + 0.5 * Wdot_r * dt
+    if cfg.time_scheme == "muscl":
+        Wr = Wr + 0.5 * Wdot_r * dt
 
     tiny = 1e-15
-    Wl = Wl.at[..., irho].set(jnp.maximum(Wl[..., irho], tiny))
-    Wr = Wr.at[..., irho].set(jnp.maximum(Wr[..., irho], tiny))
-    Wl = Wl.at[..., iE].set(jnp.maximum(Wl[..., iE], tiny))
-    Wr = Wr.at[..., iE].set(jnp.maximum(Wr[..., iE], tiny))
+
+    def _sanitise(W):
+        W = W.at[..., irho].set(jnp.maximum(W[..., irho], tiny))
+        return W.at[..., iE].set(jnp.maximum(W[..., iE], tiny))
 
     flux_fn = exact_flux if cfg.riemann == "exact" else hllc_flux
-    flux_line = flux_fn(Wl, Wr, Aunit, vface, cfg.gamma,
-                        cfg.zero_mass_flux)
+
+    if cfg.time_scheme == "rk2":
+        # Heun / RK2 (MfvRungeKutta::ComputeGodunovFlux,
+        # src/MeshlessFV/MfvRungeKutta.cpp:140-205): half the flux from the
+        # un-extrapolated face states, half from states advanced a FULL dt
+        # with the primitive time derivative.
+        f1 = flux_fn(_sanitise(Wl), _sanitise(Wr), Aunit, vface,
+                     cfg.gamma, cfg.zero_mass_flux)
+        f2 = flux_fn(_sanitise(Wl + Wdot_l * dt),
+                     _sanitise(Wr + Wdot_r * dt), Aunit, vface,
+                     cfg.gamma, cfg.zero_mass_flux)
+        flux_line = 0.5 * (f1 + f2)
+    else:
+        flux_line = flux_fn(_sanitise(Wl), _sanitise(Wr), Aunit, vface,
+                            cfg.gamma, cfg.zero_mass_flux)
     # f_var = (flux_var * n) . Aij = flux_line_var * |Aij|
     f = flux_line * Amag[..., None]
     f = jnp.where(face_ok[..., None], f, 0.0)

@@ -564,8 +564,11 @@ def hydro_pass_grid27(kern, visc, box: DomainBox, spec: Grid27Spec, eos,
 
     dens = density_grid27(kern, spec, h_fac, h_converge,
                           r_d, m_d, h_d, fill, hmax)
+    eos_kw = {}
+    if getattr(eos, "needs_ionfrac", False):
+        eos_kw["ionfrac"] = d(s.ionfrac)
     u_d, pressure_d, sound_d = eos.thermal_update(
-        jnp.maximum(dens.rho, 1e-30), d(s.u))
+        jnp.maximum(dens.rho, 1e-30), d(s.u), **eos_kw)
 
     if hydro_forces:
         dense_fields = {

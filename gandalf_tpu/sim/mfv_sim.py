@@ -34,6 +34,8 @@ from .simulation import SimulationBase, Snapshot
 
 
 class MfvMusclSimulation(SimulationBase):
+    time_scheme = "muscl"
+
     def __init__(self, params: Parameters):
         super().__init__(params)
         self._step_fn = None
@@ -50,7 +52,8 @@ class MfvMusclSimulation(SimulationBase):
             zero_mass_flux=bool(p.intparams["zero_mass_flux"]),
             static_particles=bool(p.intparams["static_particles"]),
             riemann=p.stringparams["riemann_solver"],
-            slope_limiter=p.stringparams["slope_limiter"])
+            slope_limiter=p.stringparams["slope_limiter"],
+            time_scheme=self.time_scheme)
         self.h_fac = p.floatparams["h_fac"]
         self.h_converge = p.floatparams["h_converge"]
         self.hydro_forces = bool(p.intparams["hydro_forces"])
@@ -237,3 +240,13 @@ class MfvMusclSimulation(SimulationBase):
         self.snapshots.append(Snapshot(self.t, self._state_to_host(),
                                        self.ndim))
 
+
+
+class MfvRungeKuttaSimulation(MfvMusclSimulation):
+    """Heun (RK2) time integration of the meshless FV scheme
+    (reference MfvRungeKuttaSimulation, src/MeshlessFV/
+    MfvRungeKuttaSimulation.cpp + MfvRungeKutta.cpp:140-205): the flux pass
+    averages the Riemann flux of the un-extrapolated face states with that
+    of states advanced one full dt via the primitive time derivative."""
+
+    time_scheme = "rk2"

@@ -142,6 +142,9 @@ class SimulationBase:
         if sim in ("meshlessfv", "mfvmuscl"):
             from .mfv_sim import MfvMusclSimulation
             return MfvMusclSimulation(params)
+        if sim == "mfvrk":
+            from .mfv_sim import MfvRungeKuttaSimulation
+            return MfvRungeKuttaSimulation(params)
         raise ValueError(f"Unrecognised or not-yet-implemented sim: {sim!r}")
 
     # -- lifecycle ------------------------------------------------------------
@@ -330,7 +333,12 @@ class GradhSphSimulation(SimulationBase):
         self.self_gravity = bool(p.intparams["self_gravity"])
         self.ewald_table = None
         self.use_ewald = False
-        if self.self_gravity and self.box.periodic_dims():
+        if self.self_gravity and self.box.periodic_dims() \
+                and bool(p.intparams["ewald"]):
+            # ewald = 0 opts out of the periodic-image corrections and
+            # treats the box's mass as isolated (the reference always
+            # applies Ewald here, Simulation.cpp:1189, but exposes the
+            # same `ewald` switch in its defaults table)
             if len(self.box.periodic_dims()) != self.ndim or self.ndim != 3:
                 raise NotImplementedError(
                     "periodic self-gravity requires a fully-periodic 3D box "
@@ -344,6 +352,32 @@ class GradhSphSimulation(SimulationBase):
                 self.box.size, ngrid=max(p.intparams["nEwaldGrid"], 9),
                 ewald_mult=p.floatparams["ewald_mult"])
         self.h_converge = p.floatparams["h_converge"]
+        # radiation field (reference SphSimulation.cpp:75,672-679: updated
+        # every nradstep; sources are the sink/star particles with N_LyC
+        # from the stellar-properties table)
+        self.radiation = p.stringparams["radiation"]
+        self.nradstep = max(p.intparams["nradstep"], 1)
+        if self.radiation in ("ionisation", "monoionisation"):
+            import os as _os
+
+            from ..ops.ionisation import IonisationConfig
+            from ..ops.stellar import (default_stellar_table,
+                                       load_stellar_table)
+
+            self.ion_cfg = IonisationConfig(
+                temp_ion=p.floatparams["temp_ion"],
+                temp_neutral=p.floatparams["temp0"],
+                mu_ion=p.floatparams["mu_ion"],
+                mu_bar=p.floatparams["mu_bar"],
+                alphaB=p.floatparams["arecomb"],
+                Ndotmin=p.floatparams["Ndotmin"])
+            self.stellar_table = load_stellar_table("stellar.dat") \
+                if _os.path.exists("stellar.dat") else \
+                default_stellar_table()
+        elif self.radiation not in ("none", "null", ""):
+            raise NotImplementedError(
+                f"radiation scheme {self.radiation!r} not implemented "
+                "(available: ionisation, monoionisation)")
         # external analytic potentials (reference Simulation.cpp:1163-1181)
         self.extpot = p.stringparams["external_potential"]
         kgrav = p.intparams["kgrav"]
@@ -693,8 +727,10 @@ class GradhSphSimulation(SimulationBase):
                 hfactor=pick(dens.hfactor, dens_d.hfactor),
                 converged=dens.converged & dens_d.converged)
         sane = lambda x, v: jnp.where(alive, x, v)
+        eos_kw = {"ionfrac": s.ionfrac} \
+            if getattr(eos, "needs_ionfrac", False) else {}
         u, pressure, sound = eos.thermal_update(
-            jnp.maximum(dens.rho, 1e-30), s.u, r=eos_r)
+            jnp.maximum(dens.rho, 1e-30), s.u, r=eos_r, **eos_kw)
         if self.has_dust:
             # dust carries no thermal state (u/P/c set by the drag pass)
             u = jnp.where(is_dust, 0.0, u)
@@ -986,8 +1022,30 @@ class GradhSphSimulation(SimulationBase):
             return s.replace(alpha=alpha_new), dal
         return s, self._dalphadt(s)
 
+    def _radiation_update(self):
+        """Update the ionisation field from the sink/star sources
+        (radiation->UpdateRadiationField, SphSimulation.cpp:671-679;
+        sources' N_LyC from the stellar table, Nbody.cpp:186-224)."""
+        from ..ops.ionisation import apply_ionisation, ionisation_fractions
+        from ..ops.stellar import stellar_nlyc
+
+        s, sk = self.state, self.sinks
+        ndot = stellar_nlyc(self.stellar_table, sk.m)
+        ion = ionisation_fractions(self.ion_cfg, s.r, s.m, s.rho,
+                                   sk.r, ndot, sk.active)
+        u_new, _ = apply_ionisation(self.ion_cfg, self.eos.gammam1,
+                                    ion, s.u)
+        self.state = s.replace(u=u_new, u0=u_new,
+                               ionfrac=ion.astype(s.u.dtype))
+
     # -- host driver ------------------------------------------------------------
     def main_loop_step(self):
+        # radiation field update every nradstep steps
+        if self.radiation in ("ionisation", "monoionisation") \
+                and getattr(self, "has_sinks", False) \
+                and self.Nsteps % self.nradstep == 0:
+            with self.timing.block("RADIATION"):
+                self._radiation_update()
         # queued supernova events fire between steps (SphSimulation
         # MainLoop: snDriver->Update)
         if getattr(self, "sn_driver", None) is not None \

@@ -68,6 +68,7 @@ class SphState:
     dt_part: Array          # per-particle timestep (block scheme)
     ueq: Array              # radws equilibrium energy (EnergyRadws)
     dt_therm: Array         # radws thermalisation timescale
+    ionfrac: Array          # ionisation fraction (radiation schemes)
     # integer bookkeeping: shape (N,)
     ptype: Array
     flags: Array
@@ -122,6 +123,7 @@ def make_sph_state(r: np.ndarray, v: np.ndarray, m: np.ndarray,
         zeta=fz(), hfactor=fz(), div_v=fz(),
         alpha=jnp.ones((N,), dtype=dtype), gpot=fz(), dt_part=fz(),
         ueq=asdt(u), dt_therm=jnp.full((N,), 1e30, dtype=dtype),
+        ionfrac=fz(),
         ptype=iz() + GAS_TYPE, flags=iz(), level=iz(), levelneib=iz(),
         nlast=iz(), tlast=fz(), iorig=jnp.arange(N, dtype=jnp.int32),
         t=jnp.asarray(0.0, dtype=dtype), dt=jnp.asarray(0.0, dtype=dtype),

@@ -49,3 +49,27 @@ def test_sedov_test_driver_injects_energy_and_mass():
     vrad = (r * v).sum(-1) / np.maximum(rad, 1e-10)
     inner = rad < 0.25
     assert vrad[inner].mean() > 0.0
+
+
+def test_random_sedov_driver():
+    """RandomSedovTestDriver: SNe queued at (k+0.5) tsupernova at random
+    box positions (SupernovaDriver.cpp RandomSedovTestDriver::Update)."""
+    from gandalf_tpu.ops.feedback import driver_from_params
+    from gandalf_tpu.params import Parameters
+
+    p = Parameters()
+    for k, v in dict(ndim=3, supernova_feedback="random_sedov",
+                     tsupernova=0.1, tend=0.45, randseed=5).items():
+        p.set(k, v)
+    for k in range(3):
+        p.set(f"boxmin[{k}]", -1.0)
+        p.set(f"boxmax[{k}]", 1.0)
+    drv = driver_from_params(p, mmean=1e-3)
+    assert len(drv.events) == 5
+    times = [e.t for e in drv.events]
+    np.testing.assert_allclose(times, [0.05, 0.15, 0.25, 0.35, 0.45],
+                               rtol=1e-12)
+    pos = np.array([e.pos for e in drv.events])
+    assert (pos >= -1.0).all() and (pos <= 1.0).all()
+    # positions differ between events
+    assert len(np.unique(pos.round(6))) > 3

@@ -160,3 +160,19 @@ def test_slope_limiter_options(lim):
     assert np.isfinite(vx).all()
     # the shock plateau is developing in the right direction
     assert vx.max() > 0.3
+
+
+def test_mfv_rk2_adsod_l1():
+    """MfvRungeKutta (Heun) variant passes the same Sod gate
+    (reference MfvRungeKuttaSimulation)."""
+    facade.SimBuffer.reset()
+    p = make_mfv_adsod_params()
+    p.set("sim", "mfvrk")
+    p.set("run_id", "ADSOD_MFVRK")
+    sim = SimulationBase.factory(p)
+    facade.SimBuffer.add_sim(sim)
+    facade.run()
+    facade.snap(-1)
+    err = L1errornorm("shocktube", "x", "vx", -1.0, 1.0)
+    assert err < 7e-3, f"MFV-RK2 L1(vx) = {err}"
+    assert sim.t >= 0.5

@@ -168,3 +168,33 @@ class TestRadiativeFeedback:
         # ideal table: ueq = T_amb / (gamma-1)
         assert float(ueq[0]) == pytest.approx(15.0, rel=0.1)
         assert float(ueq[1]) == pytest.approx(150.0, rel=0.1)
+
+
+def test_disc_heating_profile():
+    """DiscHeating ambient T^4 = temp_au^4 (d_mid^2 + rsmooth^2)^(-2q)
+    around the central sink(s) (RadiativeFB.cpp:108-148), excluded from
+    sink heating in the combined field."""
+    import jax.numpy as jnp
+
+    from gandalf_tpu.ops.radiative_fb import (DiscHeatingConfig,
+                                              SinkHeatingConfig,
+                                              combined_ambient_temperature,
+                                              disc_ambient_t4)
+
+    disc = DiscHeatingConfig(temp_au=100.0, temp_q=0.75, rsmooth=0.1,
+                             n_central=1)
+    r = jnp.array([[0.5, 0.0, 0.0], [1.0, 0.0, 0.5], [2.0, 0.0, 0.0]])
+    r_sink = jnp.zeros((1, 3))
+    act = jnp.ones(1, bool)
+    t4 = np.asarray(disc_ambient_t4(disc, r, r_sink, act))
+    # midplane distance only: particle 1 at (1, 0, z) has d_mid = 1
+    expect1 = 100.0 ** 4 * (1.0 + 0.01) ** -1.5
+    assert t4[1] == pytest.approx(expect1, rel=1e-6)
+    assert t4[0] > t4[1] > t4[2]
+
+    sink = SinkHeatingConfig(temp_inf=5.0)
+    T = np.asarray(combined_ambient_temperature(
+        sink, disc, r, r_sink, jnp.array([1.0]), jnp.array([0.0]),
+        jnp.array([0.01]), act))
+    assert (T ** 4 >= 5.0 ** 4).all()
+    assert T[0] > T[2]
