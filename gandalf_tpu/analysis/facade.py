@@ -94,22 +94,44 @@ def run(time: Optional[float] = None) -> None:
     SimBuffer.current_snap_index = len(s.snapshots) - 1
 
 
-class _SyncProcess:
-    """Stand-in for facade.run_async's process handle: the TPU build runs
-    in-process (single-controller JAX), so wait() just runs to completion."""
+class _AsyncRun:
+    """Process-handle analogue of the reference facade.run_async
+    (facade.py:714-758, which MPI-spawns a gandalf binary): the run
+    executes on a background thread (single-controller JAX stays
+    in-process); wait() joins and re-raises any failure."""
 
     def __init__(self, sim: SimulationBase):
+        import threading
+
         self.sim = sim
+        self._exc = None
+
+        def target():
+            try:
+                sim.Run()
+            except BaseException as e:      # noqa: BLE001
+                self._exc = e
+
+        self._thread = threading.Thread(target=target, daemon=True)
+        self._thread.start()
+
+    def poll(self):
+        return None if self._thread.is_alive() else 0
 
     def wait(self) -> None:
-        run()
+        self._thread.join()
+        if self._exc is not None:
+            raise self._exc
+        SimBuffer.current_snap_index = len(self.sim.snapshots) - 1
 
 
-def run_async(time: Optional[float] = None) -> _SyncProcess:
+def run_async(time: Optional[float] = None) -> _AsyncRun:
     s = SimBuffer.get_sim()
     if time is not None and not s.setup_complete:
         s.SetParam("tend", time)
-    return _SyncProcess(s)
+    if not s.setup_complete:
+        s.SetupSimulation()
+    return _AsyncRun(s)
 
 
 def loadsim(run_id: str, fileformat: str = None) -> SimulationBase:
@@ -172,8 +194,23 @@ def previous():
 
 
 def get_data(quantity: str, snap_no="current", sim="current") -> np.ndarray:
+    """Fetch a quantity: direct arrays, derived quantities, or registered
+    user formulas (reference facade.get_data -> data_fetcher)."""
+    from .fetchers import fetch_quantity
+
     snapshot, _ = SimBuffer.get_snapshot_and_sim(snap_no, sim)
-    return snapshot.extract_array(quantity)
+    return fetch_quantity(snapshot, quantity)
+
+
+def CreateUserQuantity(name: str, formula: str, unitlabel: str = "",
+                       unitname: str = "", scaling_factor: float = 1.0,
+                       label: str = ""):
+    """Register a formula quantity usable in get_data/plot
+    (reference facade.CreateUserQuantity -> data_fetcher.py:55)."""
+    from .fetchers import CreateUserQuantity as _create
+
+    return _create(name, formula, unitlabel, unitname, scaling_factor,
+                   label)
 
 
 def get_time(snap_no="current", sim="current") -> float:
@@ -220,6 +257,77 @@ def render(x: str = "x", y: str = "y", render_quantity: str = "rho",
 renderslice = render
 
 
+# -- plot windows / limits / unit rescaling (reference facade.py:525-940) ----
+
+_PLOT_LIMITS: dict = {}
+_PLOT_SCALES: dict = {}
+
+
+def window(no=None):
+    """Switch to (or create) a numbered plot window
+    (reference facade.window :626)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure(no)
+    return fig
+
+
+def subfigure(nx: int, ny: int, current: int):
+    """Select subplot `current` of an nx x ny grid in the active window
+    (reference facade.subfigure :641)."""
+    import matplotlib.pyplot as plt
+
+    return plt.gcf().add_subplot(nx, ny, current)
+
+
+def limit(quantity: str, min=None, max=None, auto: bool = False,
+          window="current", subfigure="current"):
+    """Set (or with auto=True clear) the plotted range of a quantity;
+    applies to the current axes and is remembered for later plots
+    (reference facade.limit :525)."""
+    import matplotlib.pyplot as plt
+
+    if auto:
+        _PLOT_LIMITS.pop(quantity, None)
+    else:
+        _PLOT_LIMITS[quantity] = (min, max)
+    ax = plt.gca() if plt.get_fignums() else None
+    if ax is not None and not auto:
+        if ax.get_xlabel() == quantity:
+            ax.set_xlim(min, max)
+        if ax.get_ylabel() == quantity:
+            ax.set_ylim(min, max)
+
+
+def rescale(quantity: str, unitname: str, window="current"):
+    """Change the display unit of a quantity for subsequent plots
+    (reference facade.rescale :865); uses the current sim's unit system."""
+    s = SimBuffer.get_sim()
+    units = getattr(s, "units", None)
+    if units is None:
+        raise ValueError("current simulation has no unit system "
+                         "(dimensionless run)")
+    unit = getattr(units, _UNIT_OF.get(quantity, quantity), None)
+    if unit is None:
+        raise ValueError(f"no unit dimension known for {quantity!r}")
+    _PLOT_SCALES[quantity] = unit.outscale_to(unitname)
+
+
+_UNIT_OF = {
+    "x": "r", "y": "r", "z": "r", "vx": "v", "vy": "v", "vz": "v",
+    "m": "m", "h": "r", "rho": "rho", "u": "u", "t": "t",
+    "pressure": "press",
+}
+
+
+def _apply_scale(name, arr):
+    s = _PLOT_SCALES.get(name)
+    return arr if s is None else arr * s
+
+
 def plot(x: str, y: str, snap="current", sim="current", **kw):
     """Scatter plot of two particle quantities (facade.plot).
 
@@ -230,12 +338,16 @@ def plot(x: str, y: str, snap="current", sim="current", **kw):
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    xs = get_data(x, snap, sim)
-    ys = get_data(y, snap, sim)
+    xs = _apply_scale(x, get_data(x, snap, sim))
+    ys = _apply_scale(y, get_data(y, snap, sim))
     fig, axis = plt.subplots()
     axis.plot(xs, ys, ".", ms=2)
     axis.set_xlabel(x)
     axis.set_ylabel(y)
+    if x in _PLOT_LIMITS:
+        axis.set_xlim(*_PLOT_LIMITS[x])
+    if y in _PLOT_LIMITS:
+        axis.set_ylim(*_PLOT_LIMITS[y])
     return fig
 
 

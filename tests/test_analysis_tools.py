@@ -1,0 +1,177 @@
+"""Analysis long-tail: user formula quantities, statistics, disc
+extraction, facade window/limit/rescale, async runs (reference
+analysis/{data_fetcher,statistics,disc,facade}.py)."""
+
+import numpy as np
+import pytest
+
+from gandalf_tpu.analysis import facade
+from gandalf_tpu.sim.simulation import Snapshot
+
+
+def make_snap(N=64, seed=0, ndim=3, star=None):
+    rng = np.random.default_rng(seed)
+    data = {
+        "r": rng.random((N, ndim)) - 0.5,
+        "v": rng.standard_normal((N, ndim)) * 0.1,
+        "m": np.full(N, 1.0 / N),
+        "rho": rng.random(N) + 0.5,
+        "h": np.full(N, 0.1),
+        "u": np.ones(N),
+        "pressure": np.ones(N),
+        "a": np.zeros((N, ndim)),
+        "dudt": np.zeros(N),
+        "sound": np.ones(N),
+        "div_v": np.zeros(N),
+    }
+    if star is not None:
+        data["star"] = star
+    return Snapshot(0.0, data, ndim)
+
+
+class TestFetchers:
+    def setup_method(self):
+        from gandalf_tpu.analysis.fetchers import clear_user_quantities
+
+        clear_user_quantities()
+
+    def test_formula_quantity(self):
+        from gandalf_tpu.analysis.fetchers import (CreateUserQuantity,
+                                                   fetch_quantity)
+
+        snap = make_snap()
+        CreateUserQuantity("R2", "x^2 + y^2")
+        out = fetch_quantity(snap, "R2")
+        x, y = snap.extract_array("x"), snap.extract_array("y")
+        np.testing.assert_allclose(out, x * x + y * y)
+
+    def test_nested_formula_and_funcs(self):
+        from gandalf_tpu.analysis.fetchers import (CreateUserQuantity,
+                                                   fetch_quantity)
+
+        snap = make_snap()
+        CreateUserQuantity("R2", "x^2 + y^2")
+        CreateUserQuantity("Rc", "sqrt(R2)", scaling_factor=2.0)
+        out = fetch_quantity(snap, "Rc")
+        x, y = snap.extract_array("x"), snap.extract_array("y")
+        np.testing.assert_allclose(out, 2.0 * np.hypot(x, y))
+
+    def test_derived_quantities(self):
+        from gandalf_tpu.analysis.fetchers import fetch_quantity
+
+        snap = make_snap()
+        r = fetch_quantity(snap, "r")
+        x = snap.extract_array("x")
+        y = snap.extract_array("y")
+        z = snap.extract_array("z")
+        np.testing.assert_allclose(r, np.sqrt(x * x + y * y + z * z))
+        ke = fetch_quantity(snap, "ke")
+        assert (ke >= 0).all()
+
+    def test_formula_rejects_unsafe(self):
+        from gandalf_tpu.analysis.fetchers import (CreateUserQuantity,
+                                                   fetch_quantity)
+
+        snap = make_snap()
+        CreateUserQuantity("bad", "__import__('os').system('true')")
+        with pytest.raises(ValueError):
+            fetch_quantity(snap, "bad")
+
+
+class TestStatistics:
+    def test_density_pdf_normalised(self):
+        from gandalf_tpu.analysis.statistics import density_pdf
+
+        snap = make_snap(N=512, seed=1)
+        centres, pdf = density_pdf(snap, nbin=16)
+        rho = snap.extract_array("rho")
+        edges = np.geomspace(rho.min(), rho.max() * (1 + 1e-12), 17)
+        integral = np.sum(pdf * np.diff(np.log(edges)))
+        assert integral == pytest.approx(1.0, rel=1e-10)
+
+    def test_structure_function_scaling(self):
+        """A linear shear flow v = (S y, 0, 0) has S2(l) ~ l^2."""
+        from gandalf_tpu.analysis.statistics import structure_function
+
+        snap = make_snap(N=1000, seed=2)
+        v = np.zeros_like(snap.data["v"])
+        v[:, 0] = 3.0 * snap.data["r"][:, 1]
+        snap.data["v"] = v
+        l, s2 = structure_function(snap, nbin=6, npoints=400)
+        good = s2 > 0
+        slope = np.polyfit(np.log(l[good]), np.log(s2[good]), 1)[0]
+        assert 1.2 < slope < 2.7
+
+
+class TestDisc:
+    def test_extract_disc_bound_gas(self):
+        """Gas on circular orbits around a star is assigned to its disc;
+        unbound distant gas stays ambient."""
+        from gandalf_tpu.analysis.disc import extract_discs
+
+        N = 100
+        rng = np.random.default_rng(3)
+        # circular orbits at radii 0.1-0.4 around a star of m=1 at origin
+        rad = 0.1 + 0.3 * rng.random(N)
+        phi = 2 * np.pi * rng.random(N)
+        r = np.stack([rad * np.cos(phi), rad * np.sin(phi),
+                      np.zeros(N)], 1)
+        vc = 1.0 / np.sqrt(rad)
+        v = np.stack([-vc * np.sin(phi), vc * np.cos(phi),
+                      np.zeros(N)], 1)
+        # plus 20 unbound particles far away
+        r_far = 10.0 + rng.random((20, 3))
+        v_far = 5.0 * np.ones((20, 3))
+        data_r = np.concatenate([r, r_far])
+        data_v = np.concatenate([v, v_far])
+        snap = make_snap(N=120)
+        snap.data["r"] = data_r
+        snap.data["v"] = data_v
+        snap.data["m"] = np.full(120, 1e-8)
+        snap.data["star"] = {"r": np.zeros((1, 3)), "v": np.zeros((1, 3)),
+                             "m": np.array([1.0]), "h": np.array([0.01]),
+                             "a": np.zeros((1, 3))}
+        facade.SimBuffer.reset()
+
+        class FakeSim:
+            snapshots = [snap]
+
+        facade.SimBuffer.add_sim(FakeSim())
+        facade.SimBuffer.current_snap_index = 0
+        ambient, discs = extract_discs(distancelimit=1.0)
+        assert len(discs) == 1
+        assert discs[0].n_particles == 100
+        assert ambient.n_particles == 20
+        axis = discs[0].rotation_axis()
+        np.testing.assert_allclose(axis, [0, 0, 1], atol=1e-10)
+        assert 0.1 < discs[0].radius(0.5) < 0.4
+        R, sig = discs[0].surface_density(nbin=8)
+        assert sig.sum() > 0
+
+    def test_facade_window_limit(self):
+        facade.window(1)
+        facade.subfigure(1, 1, 1)
+        facade.limit("x", -1.0, 1.0)
+        assert facade._PLOT_LIMITS["x"] == (-1.0, 1.0)
+        facade.limit("x", auto=True)
+        assert "x" not in facade._PLOT_LIMITS
+
+
+def test_run_async_wait():
+    """run_async runs the sim on a background thread; wait() joins
+    (reference facade.run_async(...).wait() test pattern)."""
+    from tests.test_adsod import make_adsod_params
+    from gandalf_tpu.sim.simulation import SimulationBase
+
+    facade.SimBuffer.reset()
+    p = make_adsod_params()
+    p.set("run_id", "")
+    p.set("Nlattice1[0]", 128)
+    p.set("Nlattice2[0]", 32)
+    p.set("tend", 0.05)
+    sim = SimulationBase.factory(p)
+    facade.SimBuffer.add_sim(sim)
+    handle = facade.run_async()
+    handle.wait()
+    assert handle.poll() == 0
+    assert sim.t >= 0.05
