@@ -67,10 +67,11 @@ def plan_tree(N: int, leaf_size: int = 32, frontier: int = None,
     n_leaves = max(1, -(-N // leaf_size))
     n_leaves = 1 << int(np.ceil(np.log2(n_leaves)))
     if near_cap is None:
-        # measured law on jittered lattices: worst-group near-field leaf
-        # count ~= leaf_size / theta^3 (Morton-bucket boxes overlap, so the
-        # count grows with L, not just with 1/theta^3)
-        near_cap = int(1.3 * leaf_size / max(theta_sqd, 1e-3) ** 1.5) + 32
+        # measured law for balanced KD buckets on jittered lattices:
+        # worst-group near-field leaf count ~ 13 L at theta^2 = 0.1,
+        # N-independent, scaling as 1/theta^3
+        near_cap = int(13.0 * leaf_size
+                       * (0.1 / max(theta_sqd, 1e-3)) ** 1.5) + 48
         near_cap = min(near_cap, n_leaves)
     if frontier is None:
         frontier = min(max(2 * near_cap, 64), 2 * n_leaves)

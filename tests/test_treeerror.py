@@ -1,0 +1,87 @@
+"""Tree force-accuracy gates (analogues of the reference paper tests
+tests/paper_tests/treeerror.py — RMS force error vs MAC theta — and
+treescaling.py — tree vs brute-force cost scaling)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gandalf_tpu.kernels.smoothing import kernel_factory
+from gandalf_tpu.ops.gravity import direct_nbody
+from gandalf_tpu.ops.tree import (plan_buckets_kd, plan_tree_for_buckets,
+                                  tree_gravity_grouped)
+
+
+def _cloud(N=4096, seed=2):
+    rng = np.random.default_rng(seed)
+    n_side = round(N ** (1 / 3))
+    g = np.stack(np.meshgrid(*[np.arange(n_side)] * 3, indexing="ij"),
+                 -1).reshape(-1, 3) / n_side
+    r = g + 0.25 / n_side * rng.standard_normal(g.shape)
+    m = np.full(len(r), 1.0 / len(r))
+    return np.asarray(r), m
+
+
+def _rms_err(theta_sqd, quadrupole, fast=False, N=4096):
+    r, m = _cloud(N)
+    a_ref = np.asarray(direct_nbody(jnp.asarray(r), jnp.zeros_like(r),
+                                    jnp.asarray(m), compute_jerk=False).a)
+    gmap = plan_buckets_kd(r, leaf_size=16)
+    spec = plan_tree_for_buckets(gmap, theta_sqd=theta_sqd,
+                                 quadrupole=quadrupole, fast=fast)
+    a_t, _, ov = tree_gravity_grouped(spec, jnp.asarray(gmap),
+                                      jnp.asarray(r), jnp.asarray(m))
+    assert not bool(ov), "tree overflow"
+    err = np.linalg.norm(np.asarray(a_t) - a_ref, axis=1)
+    scale = np.linalg.norm(a_ref, axis=1)
+    return float(np.sqrt(np.mean((err / np.maximum(scale, 1e-30)) ** 2)))
+
+
+class TestTreeError:
+    """Reference figure: error decreases with theta and multipole order."""
+
+    def test_error_decreases_with_theta(self):
+        errs = [_rms_err(t, quadrupole=True) for t in (0.5, 0.2, 0.05)]
+        assert errs[0] > errs[1] > errs[2]
+
+    def test_quadrupole_beats_monopole(self):
+        e_mono = _rms_err(0.3, quadrupole=False)
+        e_quad = _rms_err(0.3, quadrupole=True)
+        assert e_quad < e_mono
+
+    def test_absolute_gates(self):
+        # geometric MAC at the default theta^2 = 0.1 with quadrupoles:
+        # sub-0.1% RMS force error (reference treeerror.py figure level)
+        assert _rms_err(0.1, quadrupole=True) < 1e-3
+        assert _rms_err(0.1, quadrupole=False) < 1e-2
+
+    def test_fast_multipole_close_to_exact(self):
+        e_fast = _rms_err(0.1, quadrupole=True, fast=True)
+        # the cell-centred Taylor far field trades accuracy for speed: the
+        # group-level expansion truncates at the acceleration Jacobian, so
+        # the error is set by the group size, not theta (reference fast
+        # multipole shows the same behaviour) — gate the absolute level
+        assert e_fast < 5e-3
+
+
+def test_tree_scaling_vs_bruteforce():
+    """treescaling.py analogue: the tree's pair-interaction count per
+    particle stays bounded as N grows (O(N log N) total), while brute
+    force is O(N) per particle."""
+    counts = {}
+    for N in (4096, 32768):
+        r, m = _cloud(N)
+        gmap = plan_buckets_kd(r, leaf_size=16)
+        spec = plan_tree_for_buckets(gmap, theta_sqd=0.1, quadrupole=True)
+        # near-field pair work per particle ~ near_cap * leaf_size, which
+        # plan keeps N-independent; depth grows logarithmically
+        counts[N] = (spec.near_cap * spec.leaf_size, spec.depth)
+    (pairs_small, depth_small), (pairs_big, depth_big) = \
+        counts[4096], counts[32768]
+    assert pairs_big <= 1.5 * pairs_small          # near work ~ constant
+    assert depth_big - depth_small == 3            # log2(8x particles)
+    # brute-force would be 8x: the tree's per-particle near work is far
+    # below N at the larger size
+    assert pairs_big < 0.25 * 32768
