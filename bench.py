@@ -1,17 +1,24 @@
-"""Benchmark: grad-h SPH particle-steps/sec on one TPU chip.
+"""Benchmark: SELF-GRAVITATING grad-h SPH particle-steps/sec on one TPU
+chip (the BASELINE.json north-star workload: density + hydro forces +
+BH-tree gravity per step).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Flagship configuration: 3D periodic jittered box, grad-h SPH density +
-hydro forces + leapfrog KDK, global timestep, structured-grid (27-shift)
-neighbour path, float32.
+hydro forces + KD-bucket Barnes-Hut tree gravity (quadrupole,
+theta^2 = 0.1, isolated-box model: ewald = 0) + leapfrog KDK, global
+timestep, structured-grid (27-shift) neighbour path, float32.
+
+The baseline denominator is the measured reference (GANDALF C++,
+single-core -O2, this host) running the SAME self-gravitating step on an
+open-boundary box (its periodic+gravity mode forces Ewald corrections,
+which ours deliberately omits for this comparison; the tree/force work is
+identical) — see BASELINE_MEASURED.json `sphgrav3d_particle_steps_per_sec`.
 
 Robustness: the axon TPU tunnel on this host can kill the worker on large
 fused programs (and a crashed worker wedges subsequent attempts), so each
 size is measured in its OWN subprocess, smallest size first, and the
-largest successful measurement is reported.  The baseline denominator is
-the measured reference (GANDALF C++, single-core -O2, this host) from
-BASELINE_MEASURED.json.
+largest successful measurement is reported.
 """
 
 from __future__ import annotations
@@ -25,7 +32,7 @@ import time
 import numpy as np
 
 
-def build_sim(n_side: int):
+def build_sim(n_side: int, self_gravity: int = 1):
     from gandalf_tpu.params import Parameters
     from gandalf_tpu.sim.simulation import GradhSphSimulation
 
@@ -34,7 +41,7 @@ def build_sim(n_side: int):
         "run_id": "BENCH", "sim": "gradhsph", "ic": "box", "ndim": 3,
         "dimensionless": 1, "gas_eos": "energy_eqn", "gamma_eos": 1.4,
         "rhofluid1": 1.0, "press1": 1.0, "tend": 1.0e30,
-        "tsnapfirst": 1.0e30,
+        "tsnapfirst": 1.0e30, "self_gravity": self_gravity, "ewald": 0,
     }
     for k in range(3):
         updates[f"boxmin[{k}]"] = 0.0
@@ -49,7 +56,8 @@ def build_sim(n_side: int):
     return sim
 
 
-def measure(n_side: int, n_steps: int, neib: str = "kdtree") -> dict:
+def measure(n_side: int, n_steps: int, neib: str = "kdtree",
+            self_gravity: int = 1) -> dict:
     """Measure one configuration; raises on any failure."""
     import jax
 
@@ -61,7 +69,7 @@ def measure(n_side: int, n_steps: int, neib: str = "kdtree") -> dict:
     from gandalf_tpu.sim.ic import generate_ic
     from gandalf_tpu.state import make_sph_state
 
-    sim = build_sim(n_side)
+    sim = build_sim(n_side, self_gravity)
     if neib == "bruteforce":
         sim.use_celllist = False
     ic = generate_ic(sim.params, sim.eos)
@@ -73,18 +81,28 @@ def measure(n_side: int, n_steps: int, neib: str = "kdtree") -> dict:
     ic["v"] = 0.05 * rng.standard_normal(ic["v"].shape)
     state = make_sph_state(ic["r"], ic["v"], ic["m"], ic["h"], ic["u"])
     N = state.N
+    sim.state = state
     if sim.use_celllist:
-        sim._plan_grid(ic["r"], ic["h"], growth=1.15)
+        # growth 1.3: the converged-h tail sits ~10% above the lattice
+        # estimate; a tighter margin trips the overflow-replan path
+        sim._plan_grid(ic["r"], ic["h"], growth=1.3)
+        if sim.self_gravity:
+            sim._plan_tree_buckets(np.asarray(ic["r"]))
         print(f"bench: N={N} ncells={sim.gridspec.ncells} "
-              f"K={sim.gridspec.k_cell}", file=sys.stderr)
+              f"K={sim.gridspec.k_cell} tree={sim.treespec}",
+              file=sys.stderr)
 
+    sim._compile()
     bootstrap = jax.jit(sim._build_bootstrap())
-    step = jax.jit(sim._build_step())
+    step = sim._step_fn if sim.use_celllist else jax.jit(sim._build_step())
+    state = sim.state               # includes the planned bucket_map
     state = bootstrap(state)
     state = step(state)                 # compile + warm
     # On the axon tunnel, block_until_ready does NOT surface device faults;
     # only host value reads do — sync through scalars and validate.
     assert np.isfinite(float(state.rho.min())), "non-finite density"
+    if bool(state.neib_overflow):
+        raise RuntimeError("neighbour overflow in warmup")
 
     t0 = time.perf_counter()
     for _ in range(n_steps):
@@ -105,20 +123,30 @@ def _child() -> int:
     n_side = int(os.environ["BENCH_NSIDE"])
     n_steps = int(os.environ.get("BENCH_NSTEPS", "10"))
     neib = os.environ.get("BENCH_NEIB", "kdtree")
-    out = measure(n_side, n_steps, neib)
+    grav = int(os.environ.get("BENCH_GRAVITY", "1"))
+    out = measure(n_side, n_steps, neib, grav)
     print("BENCH_RESULT " + json.dumps(out))
     return 0
 
 
-def _load_baseline(N: int):
+def _load_baseline(N: int, gravity: bool = True):
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BASELINE_MEASURED.json")
     if not os.path.exists(path):
         return None
     with open(path) as f:
         baseline = json.load(f)
-    table = baseline.get("sph3d_particle_steps_per_sec", {})
-    ref = table.get(str(N)) or baseline.get("sph3d_particle_steps_per_sec_any")
+    key = "sphgrav3d_particle_steps_per_sec" if gravity \
+        else "sph3d_particle_steps_per_sec"
+    table = baseline.get(key, {})
+    ref = table.get(str(N))
+    if ref is None and table:
+        # nearest measured size (reference cost/particle is ~flat in N)
+        sizes = sorted(int(k) for k in table)
+        nearest = min(sizes, key=lambda s: abs(np.log(s / N)))
+        ref = table[str(nearest)]
+    if ref is None:
+        ref = baseline.get(key + "_any")
     return float(ref) if ref else None
 
 
@@ -136,7 +164,7 @@ def main() -> None:
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
-                env=env, capture_output=True, text=True, timeout=560)
+                env=env, capture_output=True, text=True, timeout=1500)
         except subprocess.TimeoutExpired:
             print(f"bench: n_side={n_side} timed out; keeping last good",
                   file=sys.stderr)
@@ -151,16 +179,18 @@ def main() -> None:
                   file=sys.stderr)
             break
 
+    gravity = int(os.environ.get("BENCH_GRAVITY", "1"))
+    name = "sphgrav3d" if gravity else "sph3d"
     if best is None:
-        print(json.dumps({"metric": "sph3d_particle_steps_per_sec",
+        print(json.dumps({"metric": f"{name}_particle_steps_per_sec",
                           "value": 0.0, "unit": "particle-steps/s/chip",
                           "vs_baseline": 0.0}))
         return
     N = best["N"]
     val = best["particle_steps_per_sec"]
-    ref = _load_baseline(N)
+    ref = _load_baseline(N, gravity=bool(gravity))
     print(json.dumps({
-        "metric": f"sph3d_particle_steps_per_sec_N{N}",
+        "metric": f"{name}_particle_steps_per_sec_N{N}",
         "value": round(val, 1),
         "unit": "particle-steps/s/chip",
         "vs_baseline": round(val / ref, 3) if ref else 0.0,

@@ -97,7 +97,12 @@ def plan_grid27(box: DomainBox, r: np.ndarray, h_max: float,
     if z_multiple > 1:
         # shard-friendly z extent: round DOWN to a mesh multiple (larger
         # cells stay a superset of the kernel support)
-        ncells[0] = max((ncells[0] // z_multiple) * z_multiple, z_multiple)
+        if ncells[0] < z_multiple:
+            raise ValueError(
+                f"cannot shard over {z_multiple} z-slabs: the kernel "
+                f"support only allows {ncells[0]} z cells (need more "
+                "particles or fewer shards)")
+        ncells[0] = (ncells[0] // z_multiple) * z_multiple
     ncells = tuple(ncells)
     extents = tuple(hi[k] - lo[k] for k in range(ndim))
     # occupancy
@@ -119,9 +124,14 @@ class GridBinning(NamedTuple):
     overflow: Array     # () bool
 
 
-def bin_particles(spec: Grid27Spec, r: Array) -> GridBinning:
+def bin_particles(spec: Grid27Spec, r: Array,
+                  discard: Array = None) -> GridBinning:
     """Assign (cell, slot) to each particle — no sort needed: slots come
-    from a stable segment-cumsum over cell ids."""
+    from a stable segment-cumsum over cell ids.
+
+    `discard` (optional bool mask) routes particles to a virtual overflow
+    cell so they consume no slots (the distributed mode's padding slots;
+    they scatter/gather as drop/fill-zero)."""
     N = r.shape[0]
     cid = jnp.zeros((N,), dtype=jnp.int32)
     for k in range(spec.ndim):
@@ -129,6 +139,8 @@ def bin_particles(spec: Grid27Spec, r: Array) -> GridBinning:
                        * spec.ncells[k]).astype(jnp.int32)
         ck = jnp.clip(ck, 0, spec.ncells[k] - 1)
         cid = cid * spec.ncells[k] + ck
+    if discard is not None:
+        cid = jnp.where(discard, spec.total_cells, cid)
     # slot = rank of the particle among same-cell particles (stable):
     # sort by cid, rank within runs, scatter back.
     order = jnp.argsort(cid, stable=True)
@@ -140,7 +152,8 @@ def bin_particles(spec: Grid27Spec, r: Array) -> GridBinning:
     run_start = jax.lax.associative_scan(jnp.maximum, run_start)
     slot_sorted = idx - run_start
     slot = jnp.zeros((N,), dtype=jnp.int32).at[order].set(slot_sorted)
-    overflow = jnp.any(slot >= spec.k_cell)
+    valid = jnp.ones((N,), bool) if discard is None else ~discard
+    overflow = jnp.any(valid & (slot >= spec.k_cell))
     return GridBinning(cell_of=cid, slot_of=jnp.minimum(slot,
                                                         spec.k_cell - 1),
                        overflow=overflow)

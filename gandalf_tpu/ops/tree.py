@@ -54,6 +54,7 @@ class TreeSpec:
     fast: bool = False  # cell-centred Taylor far field (fast_* multipole)
     near_cap: int = 0   # max direct-interaction leaf cells per group (Wn)
     group_chunk: int = 32
+    support_cap: int = 64   # max kernel-support cells per group (Ws)
 
     @property
     def n_leaves(self) -> int:
@@ -76,9 +77,10 @@ def plan_tree(N: int, leaf_size: int = 32, frontier: int = None,
     if frontier is None:
         frontier = min(max(2 * near_cap, 64), 2 * n_leaves)
     if group_chunk is None:
-        # bound the (Gc, L, Wn*L) near-field pair block to ~4M lanes
-        group_chunk = int(np.clip(2 ** 22 // max(leaf_size * leaf_size
-                                                 * near_cap, 1), 1, 64))
+        # bound the (Gc, L, Wn*L) near-field pair block to ~32M lanes
+        # (TPU-measured optimum at leaf 32 / near 464 is Gc ~ 64-128)
+        group_chunk = int(np.clip(2 ** 25 // max(leaf_size * leaf_size
+                                                 * near_cap, 1), 8, 128))
     return TreeSpec(n_pad=n_leaves * leaf_size, leaf_size=leaf_size,
                     depth=int(np.log2(n_leaves)), frontier=frontier,
                     theta_sqd=theta_sqd, quadrupole=quadrupole, fast=fast,
@@ -91,7 +93,9 @@ def grow_tree_caps(spec: TreeSpec, factor: float = 1.6) -> TreeSpec:
     return dataclasses.replace(
         spec,
         near_cap=min(int(spec.near_cap * factor) + 8, spec.n_leaves),
-        frontier=min(int(spec.frontier * factor) + 16, 2 * spec.n_leaves))
+        frontier=min(int(spec.frontier * factor) + 16, 2 * spec.n_leaves),
+        support_cap=min(int(spec.support_cap * factor) + 8,
+                        spec.n_leaves))
 
 
 def morton_codes(r: Array, lo: Array, extent: Array, bits: int = 10) -> Array:
@@ -249,7 +253,8 @@ class TreeGravityResult(NamedTuple):
 
 def tree_gravity(spec: TreeSpec, tree: TreeLevels,
                  r_s: Array, m_s: Array, alive: Array,
-                 h_s: Array = None, kern=None, zh_s: Array = None):
+                 h_s: Array = None, kern=None, zh_s: Array = None,
+                 group_range=None):
     """Frontier-walk gravity for every particle (sorted order).
 
     Near-field (unopened leaf pairs) uses the reference's SYMMETRIC grad-h
@@ -276,6 +281,53 @@ def tree_gravity(spec: TreeSpec, tree: TreeLevels,
     leaf_centre = tree.centre[-1]
     leaf_half = tree.half[-1]
 
+    # The walk is GATHER-bound on TPU, so all per-cell data is packed into
+    # ONE table per level (m | com | half | upper-triangle quadrupole) and
+    # the leaf particles into one (n_leaves, L, ndim+3) table — a single
+    # coalesced gather per level / near list instead of 4-5 separate ones
+    # (measured ~2x on the whole walk at 262k).
+    tri = [(i, j) for i in range(ndim) for j in range(i, ndim)]
+    nq = len(tri) if spec.quadrupole else 0
+    levels_tab = []
+    for ell in range(spec.depth + 1):
+        cols = [tree.m[ell][:, None], tree.com[ell], tree.half[ell]]
+        if spec.quadrupole:
+            q = tree.quad[ell]
+            cols.append(jnp.stack([q[:, i, j] for i, j in tri], -1))
+        levels_tab.append(jnp.concatenate(cols, -1))
+    pcols = [r_leaf, m_leaf[..., None]]
+    pcols.append(h_leaf[..., None] if h_leaf is not None
+                 else jnp.ones_like(m_leaf)[..., None])
+    pcols.append(zh_leaf[..., None] if zh_leaf is not None
+                 else jnp.zeros_like(m_leaf)[..., None])
+    leaf_tab = jnp.concatenate(pcols, -1)        # (n_leaves, L, ndim+3)
+
+    def _quad_terms(q6, dr):
+        """qdr = Q.dr and dr.Q.dr from upper-triangle components."""
+        qdr = []
+        for i in range(ndim):
+            acc = 0.0
+            for j in range(ndim):
+                a, b = (i, j) if i <= j else (j, i)
+                acc = acc + q6[..., tri.index((a, b))] * dr[..., j]
+            qdr.append(acc)
+        qdr = jnp.stack(qdr, -1)
+        return qdr, jnp.sum(qdr * dr, axis=-1)
+
+    def _mp_accel(dr, m, q6):
+        drsqd = jnp.sum(dr * dr, axis=-1)
+        inv_r = _safe_invr(drsqd)
+        inv_r3 = inv_r * inv_r * inv_r
+        a = m[..., None] * dr * inv_r3[..., None]
+        pot = m * inv_r
+        if spec.quadrupole:
+            inv_r5 = inv_r3 * inv_r * inv_r
+            qdr, drqdr = _quad_terms(q6, dr)
+            a = a - inv_r5[..., None] * qdr \
+                + 2.5 * (drqdr * inv_r5 * inv_r * inv_r)[..., None] * dr
+            pot = pot + 0.5 * drqdr * inv_r5
+        return a, pot
+
     def walk_group(g):
         """Interaction list + far field for the L particles of leaf g."""
         rt = r_leaf[g]                                    # (L, ndim)
@@ -297,12 +349,13 @@ def tree_gravity(spec: TreeSpec, tree: TreeLevels,
         for ell in range(spec.depth + 1):
             # a level holds at most 2^ell cells — sizing every level's
             # frontier at W would waste most of the upper-level compute
-            W_ell = front.shape[0]
             valid = front >= 0
             idx = jnp.maximum(front, 0)
-            m_c = jnp.where(valid, tree.m[ell][idx], 0.0)
-            com_c = tree.com[ell][idx]
-            half_c = tree.half[ell][idx]
+            tab = levels_tab[ell][idx]                    # (W_ell, 1+2nd+nq)
+            m_c = jnp.where(valid, tab[:, 0], 0.0)
+            com_c = tab[:, 1:1 + ndim]
+            half_c = tab[:, 1 + ndim:1 + 2 * ndim]
+            q6 = tab[:, 1 + 2 * ndim:] if spec.quadrupole else None
 
             # geometric MAC (reference KDTree.cpp:824-843: open if
             # drsqd < rmax^2/theta^2).  Gap = worst-case distance from any
@@ -315,14 +368,12 @@ def tree_gravity(spec: TreeSpec, tree: TreeLevels,
             accept = valid & nonzero & (dsqd * theta_sqd > rmax_sqd)
             open_ = valid & nonzero & ~accept
 
-            quad_c = jnp.where(accept[:, None, None], tree.quad[ell][idx],
-                               0.0) if spec.quadrupole else \
-                jnp.zeros((W_ell, ndim, ndim), dtype)
             m_a = jnp.where(accept, m_c, 0.0)
+            if spec.quadrupole:
+                q6 = jnp.where(accept[:, None], q6, 0.0)
             if spec.fast:
                 dr = com_c - gc[None, :]                  # (W, ndim)
-                a_f, p_f = _multipole_accel(dr, m_a, quad_c,
-                                            spec.quadrupole)
+                a_f, p_f = _mp_accel(dr, m_a, q6)
                 a0 = a0 + jnp.sum(a_f, axis=0)
                 pot0 = pot0 + jnp.sum(p_f, axis=0)
                 # monopole acceleration Jacobian: d a_i / d x_j =
@@ -340,8 +391,8 @@ def tree_gravity(spec: TreeSpec, tree: TreeLevels,
                     axis=0)
             else:
                 dr = com_c[None, :, :] - rt[:, None, :]   # (L, W, ndim)
-                a_f, p_f = _multipole_accel(dr, m_a, quad_c,
-                                            spec.quadrupole)
+                a_f, p_f = _mp_accel(dr, m_a[None, :],
+                                     q6[None] if q6 is not None else None)
                 a_acc = a_acc + jnp.sum(a_f, axis=1)
                 pot_acc = pot_acc + jnp.sum(p_f, axis=1)
 
@@ -363,21 +414,76 @@ def tree_gravity(spec: TreeSpec, tree: TreeLevels,
                                             jnp.asarray(-1, jnp.int32))
                 overflow = overflow | (n_near > Wn)
 
-        # near field: one dense (L, Wn*L) pair block
+        # near field, two tiers: Newtonian over the FULL (L, Wn*L) block
+        # (cheap: one rsqrt per pair), kernel-softening CORRECTION only
+        # over the few cells within kernel support — beyond support the
+        # symmetric grad-h formula IS Newtonian, so the correction is
+        # exactly zero there and a conservative support selection loses
+        # nothing (measured ~2x on the near field)
         nvalid = near_ids >= 0
         nidx = jnp.maximum(near_ids, 0)
-        r_nb = r_leaf[nidx]                               # (Wn, L, ndim)
-        m_nb = jnp.where(nvalid[:, None], m_leaf[nidx], 0.0)
-        drn = r_nb[None, :, :, :] - rt[:, None, None, :]  # (L, Wn, L, nd)
-        dsq = jnp.sum(drn * drn, axis=-1)
+        ntab = leaf_tab[nidx]                             # (Wn, L, nd+3)
+        r_nb = ntab[..., :ndim].reshape(-1, ndim)         # (Wn*L, nd)
+        m_nb = jnp.where(nvalid[:, None], ntab[..., ndim],
+                         0.0).reshape(-1)
+        # MXU formulation: dsq from the dot-product expansion and the
+        # force sum as a weight-matrix @ positions matmul — avoids ever
+        # materialising the (L, Wn*L, ndim) displacement tensor
+        #   a_i = sum_j w_ij r_j  -  r_i sum_j w_ij,   w_ij = m_j / d^3
+        # Group-centred coordinates keep the expansion's cancellation
+        # error at the near-field scale (not the domain scale), and
+        # HIGHEST matmul precision forces true-f32 MXU passes.
+        hi = jax.lax.Precision.HIGHEST
+        ct = rt - gc[None, :]                             # (L, nd)
+        cn = r_nb - gc[None, :]                           # (Wn*L, nd)
+        rr_t = jnp.sum(ct * ct, axis=-1)                  # (L,)
+        rr_n = jnp.sum(cn * cn, axis=-1)                  # (Wn*L,)
+        cross = jnp.matmul(ct, cn.T, precision=hi)        # (L, Wn*L) MXU
+        dsq = jnp.maximum(rr_t[:, None] + rr_n[None, :] - 2.0 * cross,
+                          0.0)
         self_pair = dsq <= 0.0
+        inv_d = jnp.where(self_pair, 0.0, _safe_invr(dsq))
+        w_n = m_nb[None, :] * (inv_d * inv_d * inv_d)     # (L, Wn*L)
+        a_n = jnp.matmul(w_n, cn, precision=hi) \
+            - ct * jnp.sum(w_n, axis=1)[:, None]
+        p_n = jnp.matmul(inv_d, m_nb, precision=hi)
+
         if h_leaf is not None and kern is not None:
+            # support-cell selection: cells whose box gap to the group box
+            # could put any pair within kernrange * max(h_i, h_j).
+            # h maxima use LIVE slots only — empty bucket slots carry the
+            # h = 1.0 pad value, which would blow the support radius up to
+            # the domain scale for any partially-filled bucket
+            Ws = min(spec.support_cap, Wn)
+            alive_g = alive.reshape(n_leaves, L)
+            hg_max = jnp.max(jnp.where(alive_g[g], h_leaf[g], 0.0))
+            hc_max = jnp.max(jnp.where(nvalid[:, None]
+                                       & (ntab[..., ndim] > 0.0),
+                                       ntab[..., ndim + 1], 0.0), axis=1)
+            cc = leaf_centre[nidx]
+            ch = leaf_half[nidx]
+            gapv = jnp.maximum(jnp.abs(cc - gc) - ch - gh, 0.0)
+            gap2 = jnp.sum(gapv * gapv, axis=-1)
+            rad = kern.kernrange * jnp.maximum(hg_max, hc_max)
+            in_support = nvalid & (gap2 < rad * rad)
+            sup_ids, n_sup = _compact(in_support, nidx, Ws,
+                                      jnp.asarray(-1, jnp.int32))
+            sup_overflow = n_sup > Ws
+
+            svalid = sup_ids >= 0
+            sidx = jnp.maximum(sup_ids, 0)
+            stab = leaf_tab[sidx]                          # (Ws, L, nd+3)
+            r_sb = stab[..., :ndim]
+            m_sb = jnp.where(svalid[:, None], stab[..., ndim], 0.0)
+            drs = r_sb[None, :, :, :] - rt[:, None, None, :]
+            dsqs = jnp.sum(drs * drs, axis=-1)
+            selfp = dsqs <= 0.0
             # symmetric grad-h smoothed gravity (GradhSph.cpp:598-640):
             # paux = 0.5*[wgrav(s_i)/h_i^2 + zh_i*w1(s_i)
             #           + wgrav(s_j)/h_j^2 + zh_j*w1(s_j)]
             invh_t = (1.0 / h_leaf[g])[:, None, None]
-            invh_nb = (1.0 / h_leaf[nidx])[None, :, :]
-            dmag = jnp.sqrt(jnp.maximum(dsq, 1e-300))
+            invh_nb = (1.0 / stab[..., ndim + 1])[None, :, :]
+            dmag = jnp.sqrt(jnp.maximum(dsqs, 1e-300))
             s_t = dmag * invh_t
             s_nb = dmag * invh_nb
             paux = 0.5 * (invh_t * invh_t * kern.wgrav(s_t)
@@ -385,19 +491,19 @@ def tree_gravity(spec: TreeSpec, tree: TreeLevels,
             if zh_leaf is not None:
                 paux = paux + 0.5 * (
                     zh_leaf[g][:, None, None] * kern.w1(s_t)
-                    + zh_leaf[nidx][None, :, :] * kern.w1(s_nb))
+                    + stab[..., ndim + 2][None, :, :] * kern.w1(s_nb))
             gaux = 0.5 * (invh_t * kern.wpot(s_t)
                           + invh_nb * kern.wpot(s_nb))
-            coef = jnp.where(self_pair, 0.0, m_nb[None] * paux / dmag)
-            a_n = jnp.sum(coef[..., None] * drn, axis=(1, 2))
-            p_n = jnp.sum(jnp.where(self_pair, 0.0, m_nb[None] * gaux),
-                          axis=(1, 2))
-        else:
-            inv_d = jnp.where(self_pair, 0.0, _safe_invr(dsq))
-            inv_d3 = inv_d * inv_d * inv_d
-            a_n = jnp.sum((m_nb[None] * inv_d3)[..., None] * drn,
-                          axis=(1, 2))
-            p_n = jnp.sum(m_nb[None] * inv_d, axis=(1, 2))
+            # subtract the Newtonian part already accumulated
+            inv_ds = jnp.where(selfp, 0.0, _safe_invr(dsqs))
+            coef = jnp.where(selfp, 0.0,
+                             m_sb[None] * (paux / dmag
+                                           - inv_ds ** 3))
+            a_n = a_n + jnp.sum(coef[..., None] * drs, axis=(1, 2))
+            p_n = p_n + jnp.sum(
+                jnp.where(selfp, 0.0, m_sb[None] * (gaux - inv_ds)),
+                axis=(1, 2))
+            overflow = overflow | sup_overflow
 
         if spec.fast:
             # Taylor expansion of the far field at each particle
@@ -408,15 +514,23 @@ def tree_gravity(spec: TreeSpec, tree: TreeLevels,
             return a_far + a_n, pot_far + p_n, overflow
         return a_acc + a_n, pot_acc + p_n, overflow
 
-    group_chunk = min(spec.group_chunk, n_leaves)
-    n_chunks = -(-n_leaves // group_chunk)
-    gids = jnp.arange(n_chunks * group_chunk, dtype=jnp.int32) % n_leaves
+    # group_range=(start, count) walks only a contiguous slice of groups
+    # (the distributed mode's per-shard share; start may be traced)
+    if group_range is None:
+        g_start, g_count = 0, n_leaves
+    else:
+        g_start, g_count = group_range
+    group_chunk = min(spec.group_chunk, g_count)
+    n_chunks = -(-g_count // group_chunk)
+    gids = jnp.arange(n_chunks * group_chunk, dtype=jnp.int32) % g_count \
+        + jnp.asarray(g_start, jnp.int32)
     gids = gids.reshape(n_chunks, group_chunk)
     a, pot, overflow = jax.lax.map(jax.vmap(walk_group), gids)
-    a = a.reshape(-1, L, ndim)[:n_leaves]
-    pot = pot.reshape(-1, L)[:n_leaves]
-    return TreeGravityResult(a=a.reshape(spec.n_pad, ndim),
-                             gpot=pot.reshape(spec.n_pad)), jnp.any(overflow)
+    a = a.reshape(-1, L, ndim)[:g_count]
+    pot = pot.reshape(-1, L)[:g_count]
+    return TreeGravityResult(a=a.reshape(g_count * L, ndim),
+                             gpot=pot.reshape(g_count * L)), \
+        jnp.any(overflow)
 
 
 def _morton_codes_np(r: np.ndarray, bits: int) -> np.ndarray:
@@ -651,9 +765,36 @@ def plan_tree_for_buckets(gmap: np.ndarray, theta_sqd: float = 0.1,
     return spec
 
 
+def unwrap_to_buckets(spec: TreeSpec, r_s: Array, in_map: Array,
+                      periodic_extent) -> Array:
+    """Per-bucket min-image unwrapping for periodic domains: a particle
+    that wrapped across the box seam since the buckets were planned would
+    otherwise inflate its bucket's bounding box to the whole domain (the
+    walk then opens every cell and overflows).  Each bucket's first slot
+    anchors the images; the bucket cloud stays contiguous at the cost of
+    evaluating seam particles at a neighbouring image — consistent with
+    the isolated-box (ewald = 0) gravity model."""
+    L = spec.leaf_size
+    n_leaves = spec.n_leaves
+    ndim = r_s.shape[1]
+    ext = jnp.asarray(periodic_extent, r_s.dtype)       # (ndim,), 0 = open
+    r_g = r_s.reshape(n_leaves, L, ndim)
+    # anchor on the first REAL slot: pad slots sit at the 1e15 sentinel,
+    # where float spacing (~0.125) would quantise the whole bucket
+    in_g = in_map.reshape(n_leaves, L)
+    first = jnp.argmax(in_g, axis=1)                    # 0 if none real
+    anchor = jnp.take_along_axis(r_g, first[:, None, None]
+                                 .repeat(ndim, axis=2), axis=1)
+    delta = r_g - anchor
+    wrapped = delta - ext * jnp.round(
+        jnp.where(ext > 0, delta / jnp.where(ext > 0, ext, 1.0), 0.0))
+    out = (anchor + wrapped).reshape(-1, ndim)
+    return jnp.where(in_map[:, None], out, r_s)
+
+
 def tree_gravity_grouped(spec: TreeSpec, gmap: Array, r: Array, m: Array,
                          h: Array = None, kern=None, alive: Array = None,
-                         zh: Array = None):
+                         zh: Array = None, periodic_extent=None):
     """Gravity with host-planned buckets: gather into bucket order (static
     map, no in-jit sort), stock boxes from CURRENT positions, walk, scatter
     back.  Returns (a, gpot, overflow) in ORIGINAL particle order."""
@@ -662,6 +803,8 @@ def tree_gravity_grouped(spec: TreeSpec, gmap: Array, r: Array, m: Array,
     safe = jnp.maximum(flat, 0)
     in_map = flat >= 0
     r_s = jnp.where(in_map[:, None], r[safe], 1e15)
+    if periodic_extent is not None:
+        r_s = unwrap_to_buckets(spec, r_s, in_map, periodic_extent)
     m_s = jnp.where(in_map, m[safe], 0.0)
     alive_s = in_map if alive is None else in_map & alive[safe]
     h_s = zh_s = None

@@ -1,0 +1,287 @@
+"""Distributed (multi-chip) simulation runtime.
+
+TPU-native replacement for the reference's MPI layer (SURVEY.md §2.6;
+MpiKDTreeDecomposition::CreateInitialDomainDecomposition
+src/Mpi/MpiKDTreeDecomposition.cpp:56-280, ghost exchange
+src/Hydrodynamics/Ghosts.cpp:161-202, dt Allreduce
+src/Common/Simulation.cpp:1736-1747):
+
+- **Domain decomposition**: particles are assigned to shards by z-slab of
+  the structured grid (the analogue of the KD domain ownership; slabs give
+  a 1-D ring topology so halo exchange is a single ppermute each way).
+  The host-side planner sorts particles into per-shard contiguous blocks
+  padded to a common capacity — the sharded state lives in this layout,
+  with dead padding slots masked by `alive`.
+- **Load balancing / migration**: re-planned every rebuild cadence (the
+  reference migrates at tree rebuilds too); between rebuilds a drifting
+  particle is clamp-binned into its shard's edge cells, which stays
+  correct while per-step drift << cell size (CFL guarantees this).
+- **Halo exchange**: one boundary cell layer via lax.ppermute over the
+  mesh ring (parallel/halo.py machinery).
+- **Distributed gravity**: positions/masses are all_gathered (the tree's
+  cell summaries are cheap reductions), every shard builds the same
+  implicit KD-bucket tree and walks ONLY ITS OWN group range; the
+  per-shard partial accelerations are summed with psum.  Compute scales
+  with the mesh; the O(N) tree build is replicated (the walk dominates).
+- **Reductions**: dt via pmin, diagnostics via psum, all inside the one
+  jitted step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import sph_grid27 as g
+from ..state import SphState
+from .halo import make_halo_ghost_fn
+
+Array = jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class DistPlan:
+    """Host-side decomposition plan (rebuilt every ntreebuildstep)."""
+
+    n_shards: int
+    cap: int                 # per-shard particle capacity (padded)
+    perm: np.ndarray         # (n_shards*cap,) global slot -> original id, -1 pad
+    local_spec: object       # per-shard Grid27Spec (z rows / n_shards)
+    global_spec: object      # full-domain Grid27Spec
+
+
+def plan_decomposition(spec, r: np.ndarray, n_shards: int,
+                       slack: float = 1.25) -> DistPlan:
+    """Assign particles to z-slab shards and build the padded layout.
+
+    The z-slab of shard s covers grid rows [s*nz_loc, (s+1)*nz_loc).
+    """
+    nz = spec.ncells[0]
+    assert nz % n_shards == 0, (nz, n_shards)
+    nz_loc = nz // n_shards
+    cell0 = spec.extents[0] / nz
+    iz = np.clip(((r[:, 0] - spec.lo[0]) / cell0).astype(np.int64),
+                 0, nz - 1)
+    shard = iz // nz_loc
+    counts = np.bincount(shard, minlength=n_shards)
+    cap = int(counts.max() * slack) + 8
+    # round the capacity up so dense tiles stay lane-friendly
+    cap = -(-cap // 64) * 64
+    order = np.argsort(shard, kind="stable")
+    perm = np.full(n_shards * cap, -1, np.int64)
+    start = 0
+    for s in range(n_shards):
+        n_s = counts[s]
+        perm[s * cap: s * cap + n_s] = order[start: start + n_s]
+        start += n_s
+    # the local slab grid keeps the GLOBAL cell size: z extent shrinks with
+    # the row count (otherwise binning would collapse the slab's rows into
+    # one domain-sized cell)
+    local_spec = dataclasses.replace(
+        spec, ncells=(nz_loc,) + spec.ncells[1:],
+        extents=(nz_loc * cell0,) + spec.extents[1:])
+    return DistPlan(n_shards=n_shards, cap=cap, perm=perm,
+                    local_spec=local_spec, global_spec=spec)
+
+
+def shard_state(plan: DistPlan, s: SphState) -> SphState:
+    """Re-layout the particle state into the padded shard-major order.
+    Padding slots are dead (alive=False via FLAG_DEAD) with benign values."""
+    from ..state import FLAG_DEAD
+
+    idx = jnp.asarray(np.maximum(plan.perm, 0))
+    pad = jnp.asarray(plan.perm < 0)
+
+    def pick(x, fill):
+        if not hasattr(x, "ndim") or x.ndim == 0 or x.shape[0] != s.N:
+            return x
+        out = x[idx]
+        mask = pad[(...,) + (None,) * (out.ndim - 1)] if out.ndim > 1 \
+            else pad
+        return jnp.where(mask, jnp.asarray(fill, out.dtype), out)
+
+    far = plan.global_spec.lo[0] + 0.5 * plan.global_spec.extents[0]
+    kw = {}
+    for f in dataclasses.fields(s):
+        v = getattr(s, f.name)
+        if f.name == "flags":
+            kw[f.name] = jnp.where(pad, v[idx] | FLAG_DEAD, v[idx])
+        elif f.name == "r":
+            # pads at the domain centre of their own shard row region is
+            # unnecessary — any in-domain point works since m=0, dead
+            kw[f.name] = pick(v, far)
+        elif f.name in ("m", "rho", "u", "u0", "pressure", "sound",
+                        "dudt", "dudt0", "gpot", "zeta", "hfactor",
+                        "div_v", "alpha", "ionfrac", "dt_part", "ueq"):
+            kw[f.name] = pick(v, 0.0)
+        elif f.name == "h":
+            kw[f.name] = pick(v, 1.0)
+        elif f.name == "bucket_map":
+            kw[f.name] = v
+        else:
+            kw[f.name] = pick(v, 0)
+    kw["h"] = jnp.where(pad, 1.0, kw["h"])
+    return dataclasses.replace(s, **kw)
+
+
+def unshard_state(plan: DistPlan, s: SphState, n_orig: int) -> SphState:
+    """Back to the original particle order (for snapshots/restart)."""
+    inv = np.full(n_orig, 0, np.int64)
+    src = plan.perm >= 0
+    inv[plan.perm[src]] = np.nonzero(src)[0]
+    idx = jnp.asarray(inv)
+
+    def pick(x):
+        if not hasattr(x, "ndim") or x.ndim == 0 \
+                or x.shape[0] != len(plan.perm):
+            return x
+        return x[idx]
+
+    kw = {f.name: pick(getattr(s, f.name)) for f in dataclasses.fields(s)}
+    return dataclasses.replace(s, **kw)
+
+
+def make_mesh(n_devices: Optional[int] = None) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), axis_names=("dp",))
+
+
+def state_shardings(mesh: Mesh, s: SphState):
+    """Shard every (n_shards*cap, ...) array along its leading axis."""
+    N = s.N
+
+    def rule(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == N:
+            return NamedSharding(mesh, P("dp", *([None] * (x.ndim - 1))))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(rule, s)
+
+
+def dist_hydro_pass(mesh: Mesh, plan: DistPlan, kern, visc, box, eos,
+                    h_fac: float, h_converge: float, hydro_forces: bool,
+                    s: SphState, alive: Array):
+    """Sharded density+EOS+hydro-forces pass: per-shard binning/scatter
+    into the local z-slab grid, ppermute halo layers, shard-local pair
+    kernels.  Runs INSIDE shard_map (applied by the caller)."""
+    spec = plan.global_spec
+    local = plan.local_spec
+    nd = s.ndim
+    cell0 = spec.extents[0] / spec.ncells[0]
+    nz_loc = local.ncells[0]
+
+    idx = lax.axis_index("dp")
+    z0 = spec.lo[0] + idx * nz_loc * cell0
+    # local spec shifted to this shard's slab (binning clamps to the slab:
+    # between replans a drifted particle sticks to the edge row)
+    loc = dataclasses.replace(local, lo=(z0,) + local.lo[1:])
+
+    # padding slots are routed to the virtual overflow cell — they must
+    # not consume fill capacity (a cap's worth of pads share one position)
+    b = g.bin_particles(loc, s.r, discard=~alive)
+    hmax = min(spec.extents[k] / spec.ncells[k] for k in range(nd)) \
+        / kern.kernrange
+    d = lambda x: g.to_dense(loc, b, x)
+    fill = g.dense_fill_mask(loc, b) & d(alive)
+    r_d, v_d, m_d, h_d = d(s.r), d(s.v), d(s.m), d(s.h)
+
+    ghost = make_halo_ghost_fn("dp", spec, local)
+    dens = g.density_grid27(kern, local, h_fac, h_converge,
+                            r_d, m_d, h_d, fill, hmax, ghost_fn=ghost)
+    u_d, press_d, sound_d = eos.thermal_update(
+        jnp.maximum(dens.rho, 1e-30), d(s.u))
+    if hydro_forces:
+        fields = {"r": r_d, "v": v_d, "m": m_d, "h": dens.h,
+                  "rho": dens.rho, "u": u_d, "pressure": press_d,
+                  "sound": sound_d, "invomega": dens.invomega,
+                  "hfactor": dens.hfactor, "alpha": d(s.alpha)}
+        a_d, dudt_d, div_v_d, _ = g.forces_grid27(
+            kern, visc, local, fields, fill, ghost_fn=ghost)
+    else:
+        a_d = jnp.zeros_like(r_d)
+        dudt_d = jnp.zeros_like(m_d)
+        div_v_d = jnp.zeros_like(m_d)
+
+    back = lambda x: g.from_dense(loc, b, x)
+    live = alive
+    sane = lambda x_d, v0: jnp.where(live, back(x_d), v0)
+    overflow = lax.pmax((dens.overflow | b.overflow).astype(jnp.int32),
+                        "dp") > 0
+    return s.replace(
+        h=sane(dens.h, 1.0), rho=sane(dens.rho, 1.0),
+        invomega=sane(dens.invomega, 1.0), zeta=sane(dens.zeta, 0.0),
+        hfactor=sane(dens.hfactor, 0.0), u=sane(u_d, 1e-30),
+        pressure=sane(press_d, 0.0), sound=sane(sound_d, 0.0),
+        a=jnp.where(live[:, None], back(a_d), 0.0),
+        dudt=sane(dudt_d, 0.0), div_v=sane(div_v_d, 0.0),
+        neib_overflow=overflow)
+
+
+def dist_tree_gravity(treespec, bucket_map: Array, s: SphState,
+                      kern, alive: Array, n_shards: int,
+                      periodic_extent=None):
+    """Distributed Barnes-Hut gravity inside shard_map: all_gather the
+    (r, m, h, zh) source arrays, build the replicated implicit tree, walk
+    only this shard's contiguous group range, and psum the partial
+    accelerations (the TPU analogue of the reference's pruned-tree remote
+    multipoles + export/return force sums, HydroTree.cpp:777-1238)."""
+    from ..ops.tree import build_tree, tree_gravity
+
+    # gather the full particle set (tiled over shards)
+    r_all = lax.all_gather(s.r, "dp", tiled=True)
+    m_all = lax.all_gather(jnp.where(alive, s.m, 0.0), "dp", tiled=True)
+    h_all = lax.all_gather(s.h, "dp", tiled=True)
+    zh_all = lax.all_gather(s.zeta * s.hfactor, "dp", tiled=True)
+    alive_all = lax.all_gather(alive, "dp", tiled=True)
+
+    flat = bucket_map.reshape(-1)
+    safe = jnp.maximum(flat, 0)
+    in_map = flat >= 0
+    r_s = jnp.where(in_map[:, None], r_all[safe], 1e15)
+    if periodic_extent is not None:
+        from ..ops.tree import unwrap_to_buckets
+
+        r_s = unwrap_to_buckets(treespec, r_s, in_map, periodic_extent)
+    m_s = jnp.where(in_map, m_all[safe], 0.0)
+    alive_s = in_map & alive_all[safe]
+    h_s = jnp.where(in_map, h_all[safe], 1.0)
+    zh_s = jnp.where(in_map, zh_all[safe], 0.0)
+    tree = build_tree(treespec, r_s, m_s, alive_s)
+
+    # walk only this shard's group range
+    G = treespec.n_leaves
+    G_loc = G // n_shards
+    idx = lax.axis_index("dp")
+    g0 = idx * G_loc
+    res, overflow = tree_gravity(
+        treespec, tree, r_s, m_s, alive_s, h_s, kern, zh_s,
+        group_range=(g0, G_loc))
+
+    # scatter local groups' results into the global array and sum
+    N_tot = r_all.shape[0]
+    ids = lax.dynamic_slice_in_dim(flat, g0 * treespec.leaf_size,
+                                   G_loc * treespec.leaf_size)
+    ok = ids >= 0
+    sids = jnp.maximum(ids, 0)
+    a_glob = jnp.zeros((N_tot, r_all.shape[1]), r_all.dtype)
+    a_glob = a_glob.at[sids].add(jnp.where(ok[:, None], res.a, 0.0))
+    gp_glob = jnp.zeros((N_tot,), r_all.dtype)
+    gp_glob = gp_glob.at[sids].add(jnp.where(ok, res.gpot, 0.0))
+    a_glob = lax.psum(a_glob, "dp")
+    gp_glob = lax.psum(gp_glob, "dp")
+    overflow = lax.pmax(overflow.astype(jnp.int32), "dp") > 0
+
+    # slice out this shard's particles (leading-axis shard layout)
+    cap = s.N  # inside shard_map, s.N is the LOCAL block length
+    p0 = idx * cap
+    a_loc = lax.dynamic_slice_in_dim(a_glob, p0, cap)
+    gp_loc = lax.dynamic_slice_in_dim(gp_glob, p0, cap)
+    return a_loc, gp_loc, overflow

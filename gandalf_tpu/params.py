@@ -49,6 +49,9 @@ _INT_DEFAULTS: Dict[str, int] = {
     # (boxes are re-stocked in-jit every step) — 8 is the TPU-tuned default
     "ntreebuildstep": 8,
     "ntreestockstep": 1,
+    # device shards for the distributed (multi-chip) controller; 0 = single
+    # device, 1+ = shard over that many devices (reference: mpirun ranks)
+    "Nmpi": 0,
     "sub_systems": 0,
     "Npec": 1,
     "nbody_softening": 1,

@@ -133,6 +133,9 @@ class SimulationBase:
         (SimulationBase::SimulationFactory, src/Common/Simulation.cpp:63-145)."""
         sim = params.stringparams["sim"]
         if sim in ("sph", "gradhsph", "gradsph"):
+            if params.intparams["Nmpi"] > 1:
+                from .dist_sim import DistributedGradhSphSimulation
+                return DistributedGradhSphSimulation(params)
             return GradhSphSimulation(params)
         if sim == "sm2012sph":
             return SM2012SphSimulation(params)
@@ -476,7 +479,10 @@ class GradhSphSimulation(SimulationBase):
         mp = p.stringparams["multipole"]
         theta_sqd = p.floatparams["thetamaxsqd"]
         old = self.treespec
-        L = 16
+        # TPU-measured sweet spot: leaf 32 beats 16/8/64 (the walk is
+        # gather/logistics-bound, so fewer groups win until the near-field
+        # pair block's quadratic growth in L catches up)
+        L = 32
         gmap = plan_buckets_kd(r_np, leaf_size=L)
         # Cap sizing: measured law for balanced KD buckets on jittered
         # lattices is worst-group near ~ 150 at L=16, theta^2=0.1, stable
@@ -484,7 +490,7 @@ class GradhSphSimulation(SimulationBase):
         # overflow flag + grow_tree_caps as the backstop for clustered
         # distributions.  (A sampled host-side walk would be exact but
         # this host's numpy is ~100x too slow for plan-time use.)
-        near_cap = int(10.0 * L * (0.1 / max(theta_sqd, 1e-3)) ** 1.5) + 32
+        near_cap = int(13.0 * L * (0.1 / max(theta_sqd, 1e-3)) ** 1.5) + 48
         near_cap = min(near_cap, gmap.shape[0])
         frontier = 2 * near_cap + 64
         if old is not None:
@@ -655,9 +661,13 @@ class GradhSphSimulation(SimulationBase):
                 # zeta*hfactor correction terms (GradhSph.cpp:598-656)
                 from ..ops.tree import tree_gravity_grouped
 
+                pdims = self.box.periodic_dims()
+                pext = [self.box.size[k] if k in pdims else 0.0
+                        for k in range(self.ndim)] if pdims else None
                 a_g, gpot, overflow = tree_gravity_grouped(
                     self.treespec, s.bucket_map, s.r, s.m, s.h, self.kern,
-                    alive=s.alive, zh=s.zeta * s.hfactor)
+                    alive=s.alive, zh=s.zeta * s.hfactor,
+                    periodic_extent=pext)
                 s = s.replace(a=s.a + a_g, gpot=gpot,
                               neib_overflow=s.neib_overflow | overflow)
             else:

@@ -1,0 +1,133 @@
+"""Distributed (multi-chip) controller tests on the 8-virtual-device CPU
+mesh (reference: MPI runs exercised via run_async(maxprocs=N), parity with
+serial results; MpiKDTreeDecomposition + Ghosts + dt Allreduce)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+
+from gandalf_tpu.params import Parameters
+from gandalf_tpu.sim.simulation import SimulationBase
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 4, reason="needs a multi-device (CPU) mesh")
+
+
+def box_params(n_side=16, nmpi=0, grav=0, **over):
+    p = Parameters()
+    updates = {
+        "run_id": "", "sim": "gradhsph", "ic": "box", "ndim": 3,
+        "dimensionless": 1, "gas_eos": "energy_eqn", "gamma_eos": 1.4,
+        "rhofluid1": 1.0, "press1": 1.0, "tend": 1e30, "tsnapfirst": 1e30,
+        "self_gravity": grav, "ewald": 0, "Nmpi": nmpi,
+        "neib_search": "kdtree",
+    }
+    for k in range(3):
+        updates[f"boxmin[{k}]"] = 0.0
+        updates[f"boxmax[{k}]"] = 1.0
+        updates[f"boundary_lhs[{k}]"] = "periodic"
+        updates[f"boundary_rhs[{k}]"] = "periodic"
+        updates[f"Nlattice1[{k}]"] = n_side
+    updates.update(over)
+    for k, v in updates.items():
+        p.set(k, v)
+    return p
+
+
+def _jitter_ic(sim, seed=11):
+    """Perturbed ICs so the run does real work (deterministic)."""
+    from gandalf_tpu.sim.ic import generate_ic
+    from gandalf_tpu.state import make_sph_state
+
+    ic = generate_ic(sim.params, sim.eos)
+    rng = np.random.default_rng(seed)
+    n_side = round(len(ic["r"]) ** (1 / 3))
+    ic["r"] = np.mod(ic["r"] + 0.2 / n_side
+                     * rng.standard_normal(ic["r"].shape), 1.0)
+    ic["v"] = 0.05 * rng.standard_normal(ic["v"].shape)
+    return ic
+
+
+def _run(nmpi, grav, n_steps=3, n_side=16, **over):
+    sim = SimulationBase.factory(box_params(n_side=n_side, nmpi=nmpi,
+                                            grav=grav, **over))
+    sim.process_parameters()
+    ic = _jitter_ic(sim)
+    # inject the jittered ICs through the normal setup path (patch both
+    # the ic module and simulation.py's module-level import of the name)
+    import gandalf_tpu.sim.ic as ic_mod
+    import gandalf_tpu.sim.simulation as sim_mod
+
+    orig = ic_mod.generate_ic
+    fake = lambda *a, **k: {k2: np.array(v) for k2, v in ic.items()}
+    ic_mod.generate_ic = fake
+    sim_mod.generate_ic = fake
+    try:
+        sim.SetupSimulation()
+    finally:
+        ic_mod.generate_ic = orig
+        sim_mod.generate_ic = orig
+    for _ in range(n_steps):
+        sim.main_loop_step()
+    return sim
+
+
+def _sorted_state(sim):
+    d = sim._state_to_host()
+    order = np.lexsort((d["r"][:, 2], d["r"][:, 1], d["r"][:, 0]))
+    return {k: v[order] for k, v in d.items()}
+
+
+class TestDistributedHydro:
+    def test_matches_single_device(self):
+        """3 steps of jittered-box hydro: distributed == single-chip to
+        roundoff (same physics, reduction order differs)."""
+        s1 = _sorted_state(_run(0, grav=0))
+        s8 = _sorted_state(_run(4, grav=0))
+        for k in ("r", "v", "rho", "u", "h"):
+            np.testing.assert_allclose(s8[k], s1[k], rtol=2e-11, atol=1e-12,
+                                       err_msg=k)
+
+    def test_gravity_matches_direct_oracle(self):
+        """Distributed tree gravity (all_gather + per-shard walk + psum
+        force return) must reproduce the direct-sum oracle to multipole
+        truncation accuracy.  (Exact single-chip parity is not expected:
+        the two layouts plan different KD buckets, like the reference's
+        MPI domain trees vs serial.)"""
+        import jax.numpy as jnp
+
+        from gandalf_tpu.ops.sph_gravity import direct_sph_gravity
+
+        sim = _run(4, grav=1, n_side=16, n_steps=1)
+        from gandalf_tpu.parallel import dist as dist_mod
+
+        host = dist_mod.unshard_state(sim.distplan, sim.state,
+                                      sim._n_orig)
+        # gpot is the pure-gravity field; compare against the direct sum
+        # (isolated-box model matching ewald = 0).  p99 gate: the rare
+        # particle that wrapped across the periodic seam since bucket
+        # planning is legitimately evaluated at a neighbouring image.
+        g = direct_sph_gravity(sim.kern, host.r, host.m, host.h,
+                               host.zeta, host.hfactor)
+        gp_ref = np.asarray(g.gpot)
+        gp = np.asarray(host.gpot)
+        err = np.abs(gp - gp_ref) / np.abs(gp_ref)
+        assert np.median(err) < 2e-3, f"median gpot err {np.median(err)}"
+        assert np.percentile(err, 99) < 3e-2, \
+            f"p99 gpot err {np.percentile(err, 99)}"
+
+    def test_replan_migration(self):
+        """Re-decomposition at the rebuild cadence keeps the run going and
+        conserves mass/energy bookkeeping."""
+        sim = _run(4, grav=0, n_steps=1)
+        m0 = sim._state_to_host()["m"].sum()
+        sim.params.intparams["ntreebuildstep"] = 2
+        for _ in range(4):
+            sim.main_loop_step()
+        d = sim._state_to_host()
+        assert d["m"].sum() == pytest.approx(m0, rel=1e-12)
+        assert np.isfinite(d["rho"]).all()
+        assert sim.t > 0
