@@ -128,13 +128,19 @@ def _derived(snap, name: str) -> Optional[np.ndarray]:
     return None
 
 
-def fetch_quantity(snap, name: str) -> np.ndarray:
+def fetch_quantity(snap, name: str, _resolving=None) -> np.ndarray:
     """Resolve a quantity: user formulas > direct arrays > derived
     (UserQuantity, reference data_fetcher.py:40-52)."""
     if name in _USER_QUANTITIES:
+        resolving = _resolving or set()
+        if name in resolving:
+            raise ValueError(
+                f"cyclic formula quantity: {name!r} references itself "
+                f"(resolution chain: {sorted(resolving)})")
+        resolving = resolving | {name}
         q = _USER_QUANTITIES[name]
         return q.scaling_factor * evaluate_formula(
-            q.formula, lambda n: fetch_quantity(snap, n))
+            q.formula, lambda n: fetch_quantity(snap, n, resolving))
     if name in ("r", "R"):
         # radius quantities shadow the raw (N, ndim) position array that
         # snapshots store under the same key

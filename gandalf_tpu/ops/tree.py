@@ -441,7 +441,16 @@ def tree_gravity(spec: TreeSpec, tree: TreeLevels,
         cross = jnp.matmul(ct, cn.T, precision=hi)        # (L, Wn*L) MXU
         dsq = jnp.maximum(rr_t[:, None] + rr_n[None, :] - 2.0 * cross,
                           0.0)
-        self_pair = dsq <= 0.0
+        # Self-pair mask by IDENTITY, not dsq <= 0: the dot-product
+        # expansion is not guaranteed to cancel exactly for i == j (MXU
+        # reduction order can leave a residual ~eps*|c|^2 above
+        # _safe_invr's clamp, injecting a huge spurious self-force).
+        # Column (w, l) is particle l of leaf near_ids[w]; row i is
+        # particle i of leaf g — equal global slots means the same slot.
+        col_gid = (nidx[:, None] * L
+                   + jnp.arange(L, dtype=nidx.dtype)).reshape(-1)
+        row_gid = g * L + jnp.arange(L, dtype=nidx.dtype)
+        self_pair = col_gid[None, :] == row_gid[:, None]
         inv_d = jnp.where(self_pair, 0.0, _safe_invr(dsq))
         w_n = m_nb[None, :] * (inv_d * inv_d * inv_d)     # (L, Wn*L)
         a_n = jnp.matmul(w_n, cn, precision=hi) \

@@ -154,12 +154,13 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
     return Mesh(np.array(devs[:n]), axis_names=("dp",))
 
 
-def state_shardings(mesh: Mesh, s: SphState):
-    """Shard every (n_shards*cap, ...) array along its leading axis."""
-    N = s.N
+def state_shardings(mesh: Mesh, s: SphState, lead_dims=None):
+    """Shard every array whose leading axis is in `lead_dims` (defaults
+    to the padded particle count; the LET bucket map adds its own)."""
+    dims = lead_dims or {s.N}
 
     def rule(x):
-        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == N:
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] in dims:
             return NamedSharding(mesh, P("dp", *([None] * (x.ndim - 1))))
         return NamedSharding(mesh, P())
 
@@ -184,14 +185,28 @@ def dist_hydro_pass(mesh: Mesh, plan: DistPlan, kern, visc, box, eos,
     # between replans a drifted particle sticks to the edge row)
     loc = dataclasses.replace(local, lo=(z0,) + local.lo[1:])
 
+    # A particle that wraps across the periodic z seam between replans
+    # would otherwise be clamp-binned to the WRONG end of this slab (its
+    # wrapped z sits a whole domain away).  Min-image-unwrap z about the
+    # slab centre so seam-crossers land on the correct edge row with
+    # coordinates consistent with their neighbours' (pair kernels use
+    # relative positions only, so a z slightly outside [lo, hi) is fine).
+    r_loc = s.r
+    if 0 in box.periodic_dims():
+        Lz = spec.extents[0]
+        zc = z0 + 0.5 * nz_loc * cell0
+        dz = r_loc[:, 0] - zc
+        dz = dz - Lz * jnp.round(dz / Lz)
+        r_loc = r_loc.at[:, 0].set(zc + dz)
+
     # padding slots are routed to the virtual overflow cell — they must
     # not consume fill capacity (a cap's worth of pads share one position)
-    b = g.bin_particles(loc, s.r, discard=~alive)
+    b = g.bin_particles(loc, r_loc, discard=~alive)
     hmax = min(spec.extents[k] / spec.ncells[k] for k in range(nd)) \
         / kern.kernrange
     d = lambda x: g.to_dense(loc, b, x)
     fill = g.dense_fill_mask(loc, b) & d(alive)
-    r_d, v_d, m_d, h_d = d(s.r), d(s.v), d(s.m), d(s.h)
+    r_d, v_d, m_d, h_d = d(r_loc), d(s.v), d(s.m), d(s.h)
 
     ghost = make_halo_ghost_fn("dp", spec, local)
     dens = g.density_grid27(kern, local, h_fac, h_converge,

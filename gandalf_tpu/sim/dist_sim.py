@@ -45,6 +45,7 @@ class DistributedGradhSphSimulation(GradhSphSimulation):
         super().process_parameters()
         p = self.params
         self.n_shards = p.intparams["Nmpi"]
+        self.letplan = None
         n_dev = len(jax.devices())
         if self.n_shards <= 1:
             self.n_shards = n_dev
@@ -84,16 +85,41 @@ class DistributedGradhSphSimulation(GradhSphSimulation):
                                                 self.n_shards)
 
     def _plan_dist_tree(self, r_sharded: np.ndarray):
+        """Plan distributed gravity.  Preferred: the memory-scalable LET
+        decomposition (parallel/let.py — per-shard local trees + pruned
+        interior summaries + ring halo bands, the analogue of the
+        reference's pruned trees, HydroTree.cpp:1044-1238).  Fallback
+        when the geometry can't support it (tiny slabs): the replicated
+        all_gather path below."""
+        from ..parallel import let as let_mod
+
+        p = self.params
+        mp = p.stringparams["multipole"]
+        theta_sqd = p.floatparams["thetamaxsqd"]
+        h_max = float(np.asarray(self.state.h).max()) \
+            if self.state is not None else 0.0
+        prev_let = getattr(self, "letplan", None)
+        self.letplan = let_mod.plan_let(
+            np.asarray(r_sharded, np.float64), self.distplan.perm,
+            self.n_shards, self.distplan.cap,
+            z_lo=self.gridspec.lo[0], z_extent=self.gridspec.extents[0],
+            leaf_size=32, theta_sqd=theta_sqd,
+            quadrupole=mp in ("quadrupole", "fast_quadrupole"),
+            h_support=self.kern.kernrange * h_max, prev=prev_let)
+        if self.letplan is not None:
+            self.treespec = None
+            self.state = self.state.replace(
+                bucket_map=jnp.asarray(self.letplan.gmap))
+            return
+        self._plan_replicated_tree(r_sharded, mp, theta_sqd)
+
+    def _plan_replicated_tree(self, r_sharded, mp, theta_sqd):
         """Bucket plan over the REAL slots of the sharded layout only;
         bucket entries are then remapped to sharded-slot indices.  (Pads
         must not enter the KD planner: a far-sentinel pad cluster hijacks
         the longest-axis choice and produces domain-spanning slab buckets
         that break the min-image unwrap.)"""
         from ..ops.tree import plan_buckets_kd, plan_tree_for_buckets
-
-        p = self.params
-        mp = p.stringparams["multipole"]
-        theta_sqd = p.floatparams["thetamaxsqd"]
         real_idx = np.nonzero(self.distplan.perm >= 0)[0]
         L = 32
         gmap_r = plan_buckets_kd(np.asarray(r_sharded, np.float64)
@@ -120,10 +146,17 @@ class DistributedGradhSphSimulation(GradhSphSimulation):
         self.state = self.state.replace(bucket_map=jnp.asarray(gmap))
 
     # -- jitted step -------------------------------------------------------
+    def _sharded_lead_dims(self):
+        dims = {self.state.N}
+        if getattr(self, "letplan", None) is not None:
+            dims.add(self.letplan.gmap.shape[0])   # per-shard bucket maps
+        return dims
+
     def _dist_specs(self):
+        dims = self._sharded_lead_dims()
+
         def rule(x):
-            if hasattr(x, "ndim") and x.ndim >= 1 \
-                    and x.shape[0] == self.state.N:
+            if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] in dims:
                 return P("dp", *([None] * (x.ndim - 1)))
             return P()
 
@@ -149,9 +182,17 @@ class DistributedGradhSphSimulation(GradhSphSimulation):
                 pdims = box.periodic_dims()
                 pext = [box.size[k] if k in pdims else 0.0
                         for k in range(s.ndim)] if pdims else None
-                a_g, gpot, ovg = dist.dist_tree_gravity(
-                    sim.treespec, s.bucket_map, s, sim.kern, alive,
-                    plan.n_shards, periodic_extent=pext)
+                if sim.letplan is not None:
+                    from ..parallel.let import let_gravity
+
+                    a_g, gpot, ovg = let_gravity(
+                        sim.letplan, s.bucket_map, s.r, s.m, s.h,
+                        s.zeta * s.hfactor, alive, sim.kern,
+                        periodic_extent=pext)
+                else:
+                    a_g, gpot, ovg = dist.dist_tree_gravity(
+                        sim.treespec, s.bucket_map, s, sim.kern, alive,
+                        plan.n_shards, periodic_extent=pext)
                 s = s.replace(a=s.a + a_g, gpot=gpot,
                               neib_overflow=s.neib_overflow | ovg)
             if sim.extpot != "none":
@@ -216,12 +257,15 @@ class DistributedGradhSphSimulation(GradhSphSimulation):
         self._init_output_cadence()
 
     def _place(self):
-        shardings = dist.state_shardings(self.mesh, self.state)
+        shardings = dist.state_shardings(self.mesh, self.state,
+                                         self._sharded_lead_dims())
         self.state = jax.tree_util.tree_map(
             lambda x, sh: jax.device_put(x, sh), self.state, shardings)
 
-    def _replan(self, growth: float = 1.3):
+    def _replan(self, growth: float = 1.3, grow_caps: bool = False):
         """Gather, re-decompose (migration + load balance), re-shard."""
+        from ..parallel.let import grow_let_caps
+
         host = dist.unshard_state(self.distplan, self.state, self._n_orig)
         alive = np.asarray(host.alive)
         r_np = np.asarray(host.r)[alive]
@@ -230,6 +274,8 @@ class DistributedGradhSphSimulation(GradhSphSimulation):
         host = host.replace(neib_overflow=jnp.asarray(False))
         self.state = dist.shard_state(self.distplan, host)
         if self.self_gravity:
+            if grow_caps and self.letplan is not None:
+                self.letplan = grow_let_caps(self.letplan)
             self._plan_dist_tree(np.asarray(self.state.r))
         self._place()
         self._compile()
@@ -245,7 +291,7 @@ class DistributedGradhSphSimulation(GradhSphSimulation):
             if bool(self.state.neib_overflow):
                 with self.timing.block("GRID_REPLAN"):
                     self.state = prev
-                    self._replan(growth=1.3)
+                    self._replan(growth=1.3, grow_caps=True)
                     self.state = self._step_fn(self.state)
         self.Nsteps += 1
         self.t = float(self.state.t)

@@ -1087,23 +1087,33 @@ class GradhSphSimulation(SimulationBase):
             # tree caps) and redo the step from the pre-step state
             # (reference analogue: Nneibmax doubling, GradhSphTree.cpp:172).
             if self.use_celllist and bool(self.state.neib_overflow):
+                # Replan/retry until the overflow clears (bounded): a
+                # single retry could silently proceed with truncated
+                # neighbour sums if the regrown caps were still too small.
+                # Plan from the PRE-step state — the overflowed state's h
+                # was produced from clamped (truncated) sums.
                 with self.timing.block("GRID_REPLAN"):
-                    self._plan_grid(self.state.r, self.state.h,
-                                alive=self.state.alive)
-                    self.state = prev
-                    if self.treespec is not None:
-                        self._plan_tree_buckets(np.asarray(prev.r),
-                                                grow_caps=True)
-                    self._compile()
-                    prev = self.state
-                    if self.use_block:
-                        self.state, self._blocksched = self._step_fn(
-                            prev, self._blocksched)
-                    elif self.has_sinks:
-                        self.state, self.sinks = self._step_fn(prev,
-                                                               self.sinks)
+                    for attempt in range(4):
+                        self.state = prev
+                        self._plan_grid(prev.r, prev.h, alive=prev.alive,
+                                        growth=1.3 * (1.2 ** attempt))
+                        if self.treespec is not None:
+                            self._plan_tree_buckets(np.asarray(prev.r),
+                                                    grow_caps=True)
+                        self._compile()
+                        if self.use_block:
+                            self.state, self._blocksched = self._step_fn(
+                                prev, self._blocksched)
+                        elif self.has_sinks:
+                            self.state, self.sinks = self._step_fn(
+                                prev, self.sinks)
+                        else:
+                            self.state = self._step_fn(prev)
+                        if not bool(self.state.neib_overflow):
+                            break
                     else:
-                        self.state = self._step_fn(prev)
+                        raise RuntimeError(
+                            "neighbour overflow persists after 4 replans")
         self.Nsteps += 1
         self.t = float(self.state.t)
 
