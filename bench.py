@@ -43,6 +43,8 @@ def build_sim(n_side: int, self_gravity: int = 1):
         "rhofluid1": 1.0, "press1": 1.0, "tend": 1.0e30,
         "tsnapfirst": 1.0e30, "self_gravity": self_gravity, "ewald": 0,
     }
+    if os.environ.get("BENCH_MULTIPOLE"):
+        updates["multipole"] = os.environ["BENCH_MULTIPOLE"]
     for k in range(3):
         updates[f"boxmin[{k}]"] = 0.0
         updates[f"boxmax[{k}]"] = 1.0
