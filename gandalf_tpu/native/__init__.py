@@ -75,6 +75,13 @@ def load():
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_void_p, ctypes.c_int64,
     ]
+    lib.tree_walk_stats.restype = ctypes.c_int64
+    lib.tree_walk_stats.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_double, ctypes.c_double, ctypes.c_int64,
+        ctypes.c_void_p,
+    ]
     lib.grid_cell_ids.restype = None
     lib.grid_cell_ids.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,

@@ -694,6 +694,39 @@ def sample_walk_stats(r: np.ndarray, gmap: np.ndarray, theta_sqd: float,
     return near_max, max_front
 
 
+def walk_stats_native(r: np.ndarray, gmap: np.ndarray, theta_sqd: float,
+                      m: np.ndarray = None, h: np.ndarray = None,
+                      kernrange: float = 2.0, sample: int = 2048):
+    """Measured walk statistics via the C++ planner: the worst frontier
+    width, near-field leaf count and kernel-support leaf count the CURRENT
+    particle distribution actually needs (same MAC as the device walk).
+
+    Returns (near_max, front_max, sup_max) or None when the native library
+    is unavailable (callers fall back to the worst-case cap law)."""
+    from ..native import load as _load_native
+
+    lib = _load_native()
+    if lib is None:
+        return None
+    G_pad, L = gmap.shape
+    r_c = np.ascontiguousarray(r, dtype=np.float64)
+    g_c = np.ascontiguousarray(gmap, dtype=np.int32)
+    m_c = (np.ascontiguousarray(m, dtype=np.float64)
+           if m is not None else None)
+    h_c = (np.ascontiguousarray(h, dtype=np.float64)
+           if h is not None else None)
+    out = np.zeros(3, dtype=np.int32)
+    rc = lib.tree_walk_stats(
+        r_c.ctypes.data,
+        m_c.ctypes.data if m_c is not None else None,
+        h_c.ctypes.data if h_c is not None else None,
+        r_c.shape[0], r_c.shape[1], g_c.ctypes.data, G_pad, L,
+        float(theta_sqd), float(kernrange), int(sample), out.ctypes.data)
+    if rc != 0:
+        return None
+    return int(out[0]), int(out[1]), int(out[2])
+
+
 def plan_buckets_kd(r: np.ndarray, leaf_size: int) -> np.ndarray:
     """Host-side balanced KD bucket planner (the reference KDTree's
     longest-axis median split, KDTree.cpp:442-595, done level-synchronously

@@ -11,6 +11,7 @@ the next global timestep all fuse into a single XLA program.
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import time
 from typing import Dict, List, Optional
@@ -473,7 +474,7 @@ class GradhSphSimulation(SimulationBase):
         stays conservative as particles drift.  Returns True when the step
         must be recompiled (padded shape or caps changed)."""
         from ..ops.tree import (grow_tree_caps, plan_buckets_kd,
-                                plan_tree_for_buckets)
+                                plan_tree_for_buckets, walk_stats_native)
 
         p = self.params
         mp = p.stringparams["multipole"]
@@ -484,28 +485,54 @@ class GradhSphSimulation(SimulationBase):
         # pair block's quadratic growth in L catches up)
         L = 32
         gmap = plan_buckets_kd(r_np, leaf_size=L)
-        # Cap sizing: measured law for balanced KD buckets on jittered
-        # lattices is worst-group near ~ 150 at L=16, theta^2=0.1, stable
-        # in N; scale linearly in L and in 1/theta^1.5 and keep the in-jit
-        # overflow flag + grow_tree_caps as the backstop for clustered
-        # distributions.  (A sampled host-side walk would be exact but
-        # this host's numpy is ~100x too slow for plan-time use.)
-        near_cap = int(13.0 * L * (0.1 / max(theta_sqd, 1e-3)) ** 1.5) + 48
+        # Cap sizing: MEASURED per distribution — the native walk-stats
+        # pass replays the device MAC over a sample of groups and reports
+        # the worst frontier/near/support demand (the reference sizes its
+        # neighbour buffers from observed demand the same way,
+        # GradhSphTree.cpp:172-185).  The margins cover particle drift
+        # over ntreebuildstep steps between replans; the in-jit overflow
+        # flag + grow_tree_caps remain the backstop.  Falls back to the
+        # conservative worst-case law when the native library is absent.
+        h_np = None
+        try:
+            if self.state is not None and self.state.h.shape[0] == len(r_np):
+                h_np = np.asarray(self.state.h)
+        except AttributeError:
+            pass
+        stats = walk_stats_native(
+            r_np, gmap, theta_sqd, h=h_np,
+            kernrange=getattr(self.kern, "kernrange", 2.0), sample=4096)
+        support_cap = None
+        if stats is not None:
+            near_max, front_max, sup_max = stats
+            near_cap = int(1.25 * near_max) + 16
+            frontier = int(1.25 * front_max) + 32
+            if h_np is not None:
+                support_cap = min(int(1.5 * sup_max) + 8, near_cap)
+        else:
+            near_cap = int(13.0 * L
+                           * (0.1 / max(theta_sqd, 1e-3)) ** 1.5) + 48
         near_cap = min(near_cap, gmap.shape[0])
-        frontier = 2 * near_cap + 64
+        if stats is None:
+            frontier = 2 * near_cap + 64
         if old is not None:
             # keep caps monotone between replans unless they shrank a lot
             # (every cap change costs a recompile); overflow-grown caps are
             # remembered this way
-            if near_cap < old.near_cap <= 4 * near_cap:
+            if near_cap < old.near_cap <= 2 * near_cap:
                 near_cap = old.near_cap
-            if frontier < old.frontier <= 4 * frontier:
+            if frontier < old.frontier <= 2 * frontier:
                 frontier = old.frontier
+            if support_cap is not None \
+                    and support_cap < old.support_cap <= 2 * support_cap:
+                support_cap = old.support_cap
         spec = plan_tree_for_buckets(
             gmap, theta_sqd=theta_sqd,
             quadrupole=mp in ("quadrupole", "fast_quadrupole"),
             fast=mp.startswith("fast"),
             near_cap=near_cap, frontier=frontier)
+        if support_cap is not None:
+            spec = dataclasses.replace(spec, support_cap=support_cap)
         if grow_caps:
             spec = grow_tree_caps(spec)
         self.treespec = spec
