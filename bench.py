@@ -182,10 +182,11 @@ def _emit(best, gravity: bool) -> None:
         pass
 
 
-# Per-size child timeouts (seconds), smallest first.  Worst-case total
-# ~19 min — below the driver's budget; with a warm persistent compile
-# cache (/tmp/jax_bench_cache) a full rerun takes ~3 min.
-CHILD_TIMEOUTS = {16: 120, 32: 180, 64: 360, 100: 480}
+# Per-size child timeouts (seconds), smallest first.  Sized for a COLD
+# compile cache (each size's first compile is 2-6 min on this host's
+# remote-compile tunnel); with a warm /tmp/jax_bench_cache a full rerun
+# takes ~3 min.  The total is still clipped by BENCH_BUDGET.
+CHILD_TIMEOUTS = {16: 240, 32: 300, 64: 420, 100: 600}
 
 
 def main() -> None:
@@ -193,7 +194,7 @@ def main() -> None:
         sys.exit(_child())
 
     sizes = [int(s) for s in os.environ.get(
-        "BENCH_SIZES", "16,32,64,100").split(",")]
+        "BENCH_SIZES", "16,64,100").split(",")]
     n_steps = os.environ.get("BENCH_NSTEPS", "10")
     gravity = bool(int(os.environ.get("BENCH_GRAVITY", "1")))
     t_start = time.perf_counter()
@@ -214,9 +215,12 @@ def main() -> None:
                 [sys.executable, os.path.abspath(__file__)],
                 env=env, capture_output=True, text=True, timeout=child_t)
         except subprocess.TimeoutExpired:
+            # a timeout at a small size is usually a cold compile, which
+            # does not predict failure at the next size — keep going (the
+            # remaining budget still bounds total wall time)
             print(f"bench: n_side={n_side} timed out; keeping last good",
                   file=sys.stderr)
-            break
+            continue
         line = [ln for ln in proc.stdout.splitlines()
                 if ln.startswith("BENCH_RESULT ")]
         if proc.returncode == 0 and line:

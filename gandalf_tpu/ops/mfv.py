@@ -164,77 +164,113 @@ class GradientResult(NamedTuple):
     bad: Array          # (N,) bool: ill-conditioned E (SPH fallback used)
 
 
-def compute_gradients(kern: SmoothingKernel, ndim: int,
-                      r: Array, h: Array, ndens: Array, hfactor: Array,
-                      Wprim: Array, sound: Array,
-                      dr: Array, W_j: Array, sound_j: Array,
-                      v_j: Array, mask: Optional[Array]) -> GradientResult:
-    """B-matrix least-squares gradients + cell limiter
-    (MfvCommon::ComputeGradients).
+class GradAccum(NamedTuple):
+    """Per-particle running sums for the gradient pass, accumulable over
+    any partition of the neighbour set (the structured-grid path feeds 27
+    shifted cell blocks; the all-pairs oracle feeds one dense view)."""
 
-    dr:   (N, K, ndim) displacements r_j - r_i (min-imaged),
-    W_j:  (N, K, nvar) neighbour primitive vectors,
-    v_j:  (N, K, ndim) neighbour velocities (for vsig).
-    """
+    E: Array          # (N, ndim, ndim) least-squares moment matrix
+    grad_tmp: Array   # (N, nvar, ndim)
+    grad_sph: Array   # (N, nvar, ndim) SPH-gradient fallback sum
+    vsig_max: Array   # (N,)
+    Wmax: Array       # (N, nvar) over kernel-range neighbours
+    Wmin: Array       # (N, nvar)
+    drmax_sqd: Array  # (N,)
+
+
+def gradient_init(N: int, ndim: int, dtype) -> GradAccum:
     nvar = ndim + 2
+    big = 1e30
+    return GradAccum(
+        E=jnp.zeros((N, ndim, ndim), dtype),
+        grad_tmp=jnp.zeros((N, nvar, ndim), dtype),
+        grad_sph=jnp.zeros((N, nvar, ndim), dtype),
+        vsig_max=jnp.zeros((N,), dtype),
+        Wmax=jnp.full((N, nvar), -big, dtype),
+        Wmin=jnp.full((N, nvar), big, dtype),
+        drmax_sqd=jnp.zeros((N,), dtype))
+
+
+def gradient_accumulate(kern: SmoothingKernel, ndim: int, acc: GradAccum,
+                        h: Array, ndens: Array, Wprim: Array, sound: Array,
+                        dr: Array, W_j: Array, sound_j: Array, v_j: Array,
+                        mask: Optional[Array]) -> GradAccum:
+    """Accumulate one block of neighbours into the gradient sums
+    (MfvCommon::ComputeGradients inner loop)."""
     drsqd = jnp.sum(dr * dr, axis=-1)
     valid = drsqd > 0.0
     if mask is not None:
         valid = valid & mask
     invh = 1.0 / h
     invhsqd = invh * invh
-    w = hfactor[:, None] * invh[:, None] ** (-1) * 0.0  # placeholder
     # w = hfactor_density * w0(s^2) / ndens, with hfactor_density = invh^ndim
     w = (invh[:, None] ** ndim) * kern.w0_s2(drsqd * invhsqd[:, None]) \
         / jnp.maximum(ndens, 1e-300)[:, None]
     w = jnp.where(valid, w, 0.0)
 
-    E = jnp.einsum("nk,nki,nkj->nij", w, dr, dr)
+    E = acc.E + jnp.einsum("nk,nki,nkj->nij", w, dr, dr)
+    dW = W_j - Wprim[:, None, :]
+    dW = jnp.where(valid[..., None], dW, 0.0)
+    grad_tmp = acc.grad_tmp + jnp.einsum("nk,nki,nkv->nvi", w, dr, dW)
+
+    drmag = jnp.sqrt(jnp.where(valid, drsqd, 1.0))
+    w1 = (invh[:, None] ** (ndim + 1)) * kern.w1(drmag * invh[:, None]) \
+        / jnp.maximum(ndens, 1e-300)[:, None]
+    w1 = jnp.where(valid, w1, 0.0)
+    unit = dr / drmag[..., None]
+    grad_sph = acc.grad_sph - jnp.einsum("nk,nki,nkv->nvi", w1, unit, dW)
+
+    # signal velocity and limiter statistics use the KERNEL-RANGE
+    # neighbour set (the reference's gather list), not the whole view:
+    # box-wide Wmax/drmax would drive the cell alphas to ~0 and make
+    # the scheme first-order everywhere.
+    near = valid & (drsqd <= (kern.kernrange * h[:, None]) ** 2)
+
+    # signal velocity (ComputeGradients:294) over the kernel-range gather
+    # set — the same set on the all-pairs and grid paths, so both compute
+    # identical timesteps (a box-wide max would differ between the two
+    # neighbour views and break path parity).
+    dv = v_j - Wprim[:, None, :ndim]
+    dvdr = jnp.sum(dv * dr, axis=-1)
+    vsig = sound[:, None] + sound_j - jnp.minimum(
+        0.0, dvdr / (jnp.sqrt(jnp.where(valid, drsqd, 1.0)) + 1e-30))
+    vsig_max = jnp.maximum(acc.vsig_max,
+                           jnp.max(jnp.where(near, vsig, 0.0), axis=-1))
+
+    big = 1e30
+    Wmax = jnp.maximum(acc.Wmax,
+                       jnp.max(jnp.where(near[..., None], W_j, -big), 1))
+    Wmin = jnp.minimum(acc.Wmin,
+                       jnp.min(jnp.where(near[..., None], W_j, big), 1))
+    drmax_sqd = jnp.maximum(acc.drmax_sqd,
+                            jnp.max(jnp.where(near, drsqd, 0.0), axis=-1))
+    return GradAccum(E=E, grad_tmp=grad_tmp, grad_sph=grad_sph,
+                     vsig_max=vsig_max, Wmax=Wmax, Wmin=Wmin,
+                     drmax_sqd=drmax_sqd)
+
+
+def gradient_finalize(ndim: int, acc: GradAccum, h: Array, Wprim: Array,
+                      sound: Array) -> GradientResult:
+    """Invert the moment matrix, apply the condition-number fallback and
+    the cell limiter (MfvCommon::ComputeGradients tail +
+    ScalarLimiter::CellLimiter)."""
+    E = acc.E
     B = _invert_small(E, ndim) if ndim > 1 else None
     if ndim == 1:
         B = _invert_small(E[..., 0, 0], 1)[..., None, None]
-
-    dW = W_j - Wprim[:, None, :]
-    dW = jnp.where(valid[..., None], dW, 0.0)
-    grad_tmp = jnp.einsum("nk,nki,nkv->nvi", w, dr, dW)
-    grad_ls = jnp.einsum("nij,nvj->nvi", B, grad_tmp)
+    grad_ls = jnp.einsum("nij,nvj->nvi", B, acc.grad_tmp)
 
     # condition-number guard -> SPH-gradient fallback (ComputeGradients:305)
     modE = jnp.sum(E * E, axis=(-2, -1))
     modB = jnp.sum(B * B, axis=(-2, -1))
     bad = (modE * modB / (ndim * ndim)) >= 1e4
+    grad = jnp.where(bad[:, None, None], acc.grad_sph, grad_ls)
 
-    drmag = jnp.sqrt(jnp.where(valid, drsqd, 1.0))
-    w1 = (hfactor * invh ** 0)[:, None] * kern.w1(drmag * invh[:, None]) \
-        / jnp.maximum(ndens, 1e-300)[:, None]
-    w1 = jnp.where(valid, w1, 0.0)
-    unit = dr / drmag[..., None]
-    grad_sph = -jnp.einsum("nk,nki,nkv->nvi", w1, unit, dW)
-    grad = jnp.where(bad[:, None, None], grad_sph, grad_ls)
+    vsig_max = jnp.maximum(acc.vsig_max, sound)
 
-    # signal velocity and limiter statistics use the KERNEL-RANGE
-    # neighbour set (the reference's gather list), not the whole all-pairs
-    # view: box-wide Wmax/drmax would drive the cell alphas to ~0 and make
-    # the scheme first-order everywhere.
-    near = valid & (drsqd <= (kern.kernrange * h[:, None]) ** 2)
-
-    # signal velocity (ComputeGradients:294).  Kept over the full valid
-    # view: a conservative CFL bound (the kernel-range-only variant let the
-    # timestep grow through the cold-collapse bounce and blew up).
-    dv = v_j - Wprim[:, None, :ndim]
-    dvdr = jnp.sum(dv * dr, axis=-1)
-    vsig = sound[:, None] + sound_j - jnp.minimum(
-        0.0, dvdr / (jnp.sqrt(jnp.where(valid, drsqd, 1.0)) + 1e-30))
-    vsig_max = jnp.max(jnp.where(valid, vsig, 0.0), axis=-1)
-    vsig_max = jnp.maximum(vsig_max, sound)
-
-    # cell limiter alphas (ScalarLimiter::CellLimiter)
-    big = 1e30
-    Wmax = jnp.max(jnp.where(near[..., None], W_j, -big), axis=1)
-    Wmin = jnp.min(jnp.where(near[..., None], W_j, big), axis=1)
-    Wmax = jnp.maximum(Wmax, Wprim)
-    Wmin = jnp.minimum(Wmin, Wprim)
-    drmax = jnp.sqrt(jnp.max(jnp.where(near, drsqd, 0.0), axis=-1))
+    Wmax = jnp.maximum(acc.Wmax, Wprim)
+    Wmin = jnp.minimum(acc.Wmin, Wprim)
+    drmax = jnp.sqrt(acc.drmax_sqd)
     drmax = jnp.maximum(drmax, 2.0 * h) * 0.51
     gradmag = jnp.sqrt(jnp.sum(grad * grad, axis=-1))       # (N, nvar)
     dWlim = drmax[:, None] * gradmag
@@ -247,6 +283,24 @@ def compute_gradients(kern: SmoothingKernel, ndim: int,
         1.0)
     return GradientResult(B=B, grad=grad, alpha_slope=alpha,
                           vsig_max=vsig_max, bad=bad)
+
+
+def compute_gradients(kern: SmoothingKernel, ndim: int,
+                      r: Array, h: Array, ndens: Array, hfactor: Array,
+                      Wprim: Array, sound: Array,
+                      dr: Array, W_j: Array, sound_j: Array,
+                      v_j: Array, mask: Optional[Array]) -> GradientResult:
+    """B-matrix least-squares gradients + cell limiter
+    (MfvCommon::ComputeGradients) over ONE dense neighbour view.
+
+    dr:   (N, K, ndim) displacements r_j - r_i (min-imaged),
+    W_j:  (N, K, nvar) neighbour primitive vectors,
+    v_j:  (N, K, ndim) neighbour velocities (for vsig).
+    """
+    acc = gradient_init(h.shape[0], ndim, h.dtype)
+    acc = gradient_accumulate(kern, ndim, acc, h, ndens, Wprim, sound,
+                              dr, W_j, sound_j, v_j, mask)
+    return gradient_finalize(ndim, acc, h, Wprim, sound)
 
 
 # ---------------------------------------------------------------------------

@@ -60,9 +60,19 @@ class MfvMusclSimulation(SimulationBase):
         self.courant_mult = p.floatparams["courant_mult"]
         self.accel_mult = p.floatparams["accel_mult"]
         self.self_gravity = bool(p.intparams["self_gravity"])
-        if self.self_gravity and self.box.periodic_dims():
-            raise NotImplementedError("periodic MFV self-gravity (Ewald) "
-                                      "not wired yet")
+        if self.self_gravity and self.box.periodic_dims() \
+                and bool(p.intparams["ewald"]):
+            raise NotImplementedError("periodic MFV self-gravity with "
+                                      "Ewald corrections not wired yet")
+        # neighbour-search strategy (mirrors the SPH controller): anything
+        # but "bruteforce" maps to the structured-grid production path
+        # (ops/mfv_grid27.py, the MeshlessFVTree analogue); mirror walls
+        # need the image-based all-pairs path.
+        self.neib_search = p.stringparams["neib_search"]
+        self.use_celllist = (self.neib_search != "bruteforce"
+                             and not self.box.mirror_walls())
+        self.gridspec = None
+        self.treespec = None
 
     # -- neighbour views (all-pairs with images) ----------------------------
     def _neighbor_view(self, s: MfvState, fields: Dict[str, jnp.ndarray]):
@@ -145,6 +155,63 @@ class MfvMusclSimulation(SimulationBase):
             s.r, s.h, s.ndens, s.hfactor, s.Wprim, s.sound, s.a0,
             s.B, s.grad, s.alpha_slope, s.bad_grad, dr, nb, None)
 
+    # -- neighbour passes (structured grid, ops/mfv_grid27.py) --------------
+    def _grid_binning(self, s: MfvState, r):
+        from ..ops import sph_grid27 as g27
+
+        spec = self.gridspec
+        b = g27.bin_particles(spec, r)
+        fill = g27.dense_fill_mask(spec, b)
+        d = lambda x: g27.to_dense(spec, b, x)
+        back = lambda x: g27.from_dense(spec, b, x)
+        return spec, b, fill, d, back
+
+    def _density_pass_grid(self, s: MfvState) -> MfvState:
+        from ..ops.mfv_grid27 import density_mfv_grid27
+
+        spec, b, fill, d, back = self._grid_binning(s, s.r)
+        hmax = min(spec.extents[k] / spec.ncells[k]
+                   for k in range(s.ndim)) / self.kern.kernrange
+        dens = density_mfv_grid27(self.kern, spec, self.h_fac,
+                                  self.h_converge, d(s.r), d(s.m), d(s.h),
+                                  fill, hmax)
+        rho = back(dens.rho)
+        u, pressure, sound = self.eos.thermal_update(
+            jnp.maximum(rho, 1e-30), s.u)
+        return s.replace(
+            h=back(dens.h), ndens=back(dens.ndens), rho=rho,
+            invomega=back(dens.invomega), zeta=back(dens.zeta),
+            hfactor=back(dens.hfactor), u=u, pressure=pressure, sound=sound,
+            neib_overflow=s.neib_overflow | dens.overflow | b.overflow)
+
+    def _gradient_pass_grid(self, s: MfvState) -> MfvState:
+        from ..ops.mfv_grid27 import gradients_mfv_grid27
+
+        spec, b, fill, d, back = self._grid_binning(s, s.r)
+        dense = {"r": d(s.r), "h": d(s.h), "ndens": d(s.ndens),
+                 "Wprim": d(s.Wprim), "sound": d(s.sound)}
+        res = gradients_mfv_grid27(self.kern, spec, dense, fill)
+        return s.replace(B=back(res.B), grad=back(res.grad),
+                         alpha_slope=back(res.alpha_slope),
+                         vsig_max=back(res.vsig_max),
+                         bad_grad=back(res.bad).astype(s.h.dtype),
+                         neib_overflow=s.neib_overflow | b.overflow)
+
+    def _flux_pass_grid(self, s: MfvState, dt):
+        from ..ops.mfv_grid27 import fluxes_mfv_grid27
+
+        spec, b, fill, d, back = self._grid_binning(s, s.r)
+        dense = {"r": d(s.r), "h": d(s.h), "ndens": d(s.ndens),
+                 "hfactor": d(s.hfactor), "Wprim": d(s.Wprim),
+                 "sound": d(s.sound), "a0": d(s.a0), "B": d(s.B),
+                 "grad": d(s.grad), "alpha_slope": d(s.alpha_slope),
+                 "bad": d(s.bad_grad.astype(s.h.dtype))}
+        res = fluxes_mfv_grid27(self.kern, self.mfv_cfg, spec, dt,
+                                dense, fill)
+        from ..ops.mfv import FluxResult
+
+        return FluxResult(dQdt=back(res.dQdt), rdmdt_dot=back(res.rdmdt_dot))
+
     # -- jitted step ---------------------------------------------------------
     def _gravity_pass(self, s: MfvState):
         """Smoothed self-gravity acceleration (zeta-corrected)."""
@@ -162,6 +229,11 @@ class MfvMusclSimulation(SimulationBase):
         return jnp.min(dt)
 
     def _build_bootstrap(self):
+        if self.use_celllist:
+            self._density_pass = self._density_pass_grid
+            self._gradient_pass = self._gradient_pass_grid
+            self._flux_pass = self._flux_pass_grid
+
         def bootstrap(s: MfvState) -> MfvState:
             s = self._density_pass(s)
             Q0 = mfv_ops.qcons_from_state(s.ndim, s.m, s.v, s.u)
@@ -210,6 +282,10 @@ class MfvMusclSimulation(SimulationBase):
         return step
 
     # -- host lifecycle -------------------------------------------------------
+    def _compile(self):
+        self._step_fn = jax.jit(self._build_step())
+        self._bootstrap_fn = jax.jit(self._build_bootstrap())
+
     def SetupSimulation(self):
         with self.timing.block("SETUP"):
             self.process_parameters()
@@ -219,14 +295,38 @@ class MfvMusclSimulation(SimulationBase):
             ic = generate_ic(self.params, self.eos)
             self.state = make_mfv_state(ic["r"], ic["v"], ic["m"],
                                         ic["h"], ic["u"])
-            self._step_fn = jax.jit(self._build_step())
-            self._bootstrap_fn = jax.jit(self._build_bootstrap())
+            if self.use_celllist:
+                self._plan_grid(ic["r"], ic["h"])
+            self._compile()
             self.state = self._bootstrap_fn(self.state)
+            while self.use_celllist and bool(self.state.neib_overflow):
+                self._plan_grid(self.state.r, self.state.h)
+                self.state = self.state.replace(
+                    neib_overflow=jnp.asarray(False))
+                self._compile()
+                self.state = self._bootstrap_fn(self.state)
         self._init_output_cadence()
 
     def main_loop_step(self):
         with self.timing.block("MAIN_LOOP"):
-            self.state = self._step_fn(self.state)
+            prev = self.state
+            self.state = self._step_fn(prev)
+            # neighbour-capacity overflow: replan the grid and redo the step
+            # from the pre-step state (mirrors GradhSphSimulation; reference
+            # analogue Nneibmax doubling, GradhSphTree.cpp:172)
+            if self.use_celllist and bool(self.state.neib_overflow):
+                with self.timing.block("GRID_REPLAN"):
+                    for attempt in range(4):
+                        self.state = prev
+                        self._plan_grid(prev.r, prev.h,
+                                        growth=1.3 * (1.2 ** attempt))
+                        self._compile()
+                        self.state = self._step_fn(prev)
+                        if not bool(self.state.neib_overflow):
+                            break
+                    else:
+                        raise RuntimeError(
+                            "neighbour overflow persists after 4 replans")
         self.Nsteps += 1
         self.t = float(self.state.t)
 

@@ -128,6 +128,31 @@ class SimulationBase:
     def GetParam(self, key):
         return self.params.get(key)
 
+    def _plan_grid(self, r, h, growth: float = 1.3, alive=None):
+        """(Re)plan the structured grid from current positions/h (host-side;
+        the TPU analogue of the tree rebuild, HydroTree::BuildTree).
+
+        Above ~500k particles the cell size is grown until the slot count
+        pins to full 128-lane tiles (k_target=128): measured 794k vs 508k
+        particle-steps/s at 1M on one chip, where the K=43 minor-dim lane
+        padding otherwise wastes 3.3x memory bandwidth."""
+        from ..ops.sph_grid27 import plan_grid27
+
+        h_arr = np.asarray(h)
+        if alive is not None:
+            # dead slots (accreted corpses, unfired SN spares) carry benign
+            # pad values like h = 1 that must not blow up the cell size
+            h_arr = h_arr[np.asarray(alive)]
+        h_max = float(h_arr.max()) * growth
+        k_target = 128 if len(np.asarray(r)) >= 500_000 else None
+        try:
+            self.gridspec = plan_grid27(self.box, np.asarray(r), h_max,
+                                        self.kern.kernrange,
+                                        k_target=k_target)
+        except ValueError:
+            self.gridspec = plan_grid27(self.box, np.asarray(r), h_max,
+                                        self.kern.kernrange)
+
     @staticmethod
     def factory(params: Parameters) -> "SimulationBase":
         """Build a controller by `sim` string + ndim
@@ -434,31 +459,6 @@ class GradhSphSimulation(SimulationBase):
         self.gridspec = None
         self.chunk = 4096        # particle chunk (gather pipeline)
         self.cell_chunk = 256    # cell chunk (dense pipeline)
-
-    def _plan_grid(self, r, h, growth: float = 1.3, alive=None):
-        """(Re)plan the structured grid from current positions/h (host-side;
-        the TPU analogue of the tree rebuild, HydroTree::BuildTree).
-
-        Above ~500k particles the cell size is grown until the slot count
-        pins to full 128-lane tiles (k_target=128): measured 794k vs 508k
-        particle-steps/s at 1M on one chip, where the K=43 minor-dim lane
-        padding otherwise wastes 3.3x memory bandwidth."""
-        from ..ops.sph_grid27 import plan_grid27
-
-        h_arr = np.asarray(h)
-        if alive is not None:
-            # dead slots (accreted corpses, unfired SN spares) carry benign
-            # pad values like h = 1 that must not blow up the cell size
-            h_arr = h_arr[np.asarray(alive)]
-        h_max = float(h_arr.max()) * growth
-        k_target = 128 if len(np.asarray(r)) >= 500_000 else None
-        try:
-            self.gridspec = plan_grid27(self.box, np.asarray(r), h_max,
-                                        self.kern.kernrange,
-                                        k_target=k_target)
-        except ValueError:
-            self.gridspec = plan_grid27(self.box, np.asarray(r), h_max,
-                                        self.kern.kernrange)
 
     def _compile(self):
         self._step_fn = jax.jit(self._build_step())
