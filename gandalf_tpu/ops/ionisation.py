@@ -64,6 +64,64 @@ def ionisation_fractions(cfg: IonisationConfig,
     return jnp.any(ion_per_src, axis=0)
 
 
+def multi_source_ionisation(cfg: IonisationConfig,
+                            r: Array, m: Array, rho: Array,
+                            r_src: Array, ndot_src: Array,
+                            active_src: Array, n_iter: int = 8) -> Array:
+    """Iterated COUPLED multi-source ionisation balance
+    (MultipleSourceIonisation.cpp:55-769).
+
+    Where HII regions overlap, a particle's recombination must not be
+    charged in full to every source (the independent per-source balance
+    under-ionises merged regions).  The reference iterates a probabilistic
+    assignment; here each particle's recombination is split between the
+    sources currently reaching it in proportion to the delivered flux
+    Ndot_s / (4 pi d_ps^2), and the per-source Stromgren prefixes are
+    re-solved until the assignment is self-consistent:
+
+        w_ps = F_ps / sum_s' F_ps'        (over sources reaching p)
+        R(<r)_s = cumsum_d [w_ps rec_p] <= Ndot_s  ->  new reach set
+
+    Single isolated source: converges to the radial Stromgren balance in
+    one pass (identical to ionisation_fractions).
+    """
+    import jax
+
+    n_H = rho / cfg.mu_bar
+    rec = cfg.alphaB * n_H * n_H * (m / jnp.maximum(rho, 1e-30))
+    src_on = active_src & (ndot_src > cfg.Ndotmin)
+
+    d = jnp.sqrt(jnp.sum(
+        (r[None, :, :] - r_src[:, None, :]) ** 2, axis=-1))   # (S, N)
+    order = jnp.argsort(d, axis=1)                            # static sorts
+    rank = jnp.zeros_like(order).at[
+        jnp.arange(order.shape[0])[:, None], order].set(
+        jnp.broadcast_to(jnp.arange(order.shape[1]), order.shape))
+
+    def solve(weights):
+        """Per-source ionised sets from weighted recombination prefixes."""
+        w_rec = weights * rec[None, :]                        # (S, N)
+        w_sorted = jnp.take_along_axis(w_rec, order, axis=1)
+        cum = jnp.cumsum(w_sorted, axis=1)
+        ion_sorted = cum <= ndot_src[:, None]
+        reach = jnp.take_along_axis(ion_sorted, rank, axis=1)
+        return reach & src_on[:, None]
+
+    # start from the independent (full-charge) solution
+    reach = solve(jnp.ones_like(d))
+
+    def body(_, reach):
+        flux = jnp.where(reach, ndot_src[:, None]
+                         / jnp.maximum(d * d, 1e-30), 0.0)
+        tot = jnp.sum(flux, axis=0)                           # (N,)
+        w = jnp.where(tot[None, :] > 0.0,
+                      flux / jnp.maximum(tot[None, :], 1e-300), 1.0)
+        return solve(w)
+
+    reach = jax.lax.fori_loop(0, n_iter, body, reach)
+    return jnp.any(reach, axis=0)
+
+
 def apply_ionisation(cfg: IonisationConfig, gammam1: float,
                      ionised: Array, u: Array) -> Tuple[Array, Array]:
     """Internal energies for ionised/neutral gas

@@ -55,8 +55,10 @@ def _slab_plumbing(spec: Grid27Spec, slab_chunk=None):
         widths = [(0, pad0)] + [(0, 0)] * (x.ndim - 1)
         return jnp.pad(x, widths, constant_values=fill_val)
 
+    qz = spec.qz
+
     def slab_view(x_p, s, c):
-        return jax.lax.dynamic_slice_in_dim(x_p, s * c, c + 2, axis=0)
+        return jax.lax.dynamic_slice_in_dim(x_p, s * c, c + 2 * qz, axis=0)
 
     def centre_view(x, s, c):
         return jax.lax.dynamic_slice_in_dim(pad_first(x), s * c, c, axis=0)
@@ -86,7 +88,7 @@ def density_mfv_grid27(kern: SmoothingKernel, spec: Grid27Spec,
     mp_full = pad_first(mp_full)
     fp_full = pad_first(fp_full)
 
-    shifts = _shifts(nd)
+    shifts = _shifts(nd, spec.qz)
 
     def slab_fn(s):
         c = c0
@@ -209,7 +211,7 @@ def gradients_mfv_grid27(kern: SmoothingKernel, spec: Grid27Spec,
     pkp_full = pad_first(pkp_full)
     fp_full = pad_first(fp_full)
     K = spec.k_cell
-    shifts = _shifts(nd)
+    shifts = _shifts(nd, spec.qz)
 
     def slab_fn(s):
         c = c0
@@ -317,7 +319,7 @@ def fluxes_mfv_grid27(kern: SmoothingKernel, cfg: mfv_ops.MfvConfig,
     rp_full = pad_first(rp_full)
     pkp_full = pad_first(pkp_full)
     fp_full = pad_first(fp_full)
-    shifts = _shifts(nd)
+    shifts = _shifts(nd, spec.qz)
 
     def slab_fn(s):
         c = c0

@@ -78,40 +78,60 @@ def create_sinks(cfg: SinkConfig, sinks: SinkState,
     """Convert the densest eligible gas particle into a sink (at most one
     per call, like the reference's per-step search).  Returns the updated
     sinks and the updated gas alive mask."""
-    eligible = alive & (rho > cfg.rho_sink)
-    any_eligible = jnp.any(eligible)
-    free = ~sinks.active
-    any_free = jnp.any(free)
-    do_create = any_eligible & any_free
-
-    # densest eligible particle; deepest potential used as tie-breaker via
-    # lexicographic score
-    score = jnp.where(eligible, rho, -jnp.inf)
-    gi = jnp.argmax(score)
-    slot = jnp.argmax(free)
-
-    put = lambda field, val: field.at[slot].set(
-        jnp.where(do_create, val, field[slot]))
-    zed = jnp.zeros_like(sinks.a[0])
-    new_sinks = sinks._replace(
-        r=put(sinks.r, r[gi]), r0=put(sinks.r0, r[gi]),
-        v=put(sinks.v, v[gi]), v0=put(sinks.v0, v[gi]),
-        a=put(sinks.a, zed), a0=put(sinks.a0, zed),
-        m=put(sinks.m, m[gi]), h=put(sinks.h, h[gi]),
-        active=sinks.active.at[slot].set(
-            jnp.where(do_create, True, sinks.active[slot])))
-    alive_new = alive.at[gi].set(jnp.where(do_create, False, alive[gi]))
+    cand, gi = sink_candidate(cfg, r, v, m, h, rho, alive)
+    ndim = r.shape[1]
+    new_sinks, created = apply_sink_creation(sinks, cand, ndim)
+    alive_new = alive.at[gi].set(jnp.where(created, False, alive[gi]))
     return new_sinks, alive_new
 
 
-def accrete_to_sinks(cfg: SinkConfig, sinks: SinkState,
-                     r: Array, v: Array, m: Array, alive: Array
-                     ) -> Tuple[SinkState, Array]:
-    """Accrete gas inside each sink's accretion radius
-    (radius = sink_radius * h_sink); mass/momentum conserving.
+def sink_candidate(cfg: SinkConfig, r: Array, v: Array, m: Array,
+                   h: Array, rho: Array, alive: Array):
+    """Best local sink-creation candidate as a packed row
+    [r, v, m, h, score], score = rho of the densest eligible particle
+    (-inf when none; the reference searches density/potential minima,
+    Sinks.cpp:118).  Shards each compute theirs, gather, and apply the
+    global best identically."""
+    eligible = alive & (rho > cfg.rho_sink)
+    score = jnp.where(eligible, rho, -jnp.inf)
+    gi = jnp.argmax(score)
+    cand = jnp.concatenate([r[gi], v[gi],
+                            jnp.stack([m[gi], h[gi], score[gi]])])
+    return cand, gi
 
-    Each gas particle is claimed by its NEAREST accreting sink.
-    """
+
+def apply_sink_creation(sinks: SinkState, cand: Array,
+                        ndim: int) -> Tuple[SinkState, Array]:
+    """Activate the next free slot from a packed candidate row.
+    Returns (sinks, created bool).  Deterministic given `cand`, so every
+    shard applies the identical update when the candidate was chosen
+    collectively."""
+    score = cand[2 * ndim + 2]
+    free = ~sinks.active
+    do_create = (score > -jnp.inf) & jnp.any(free)
+    slot = jnp.argmax(free)
+    put = lambda field, val: field.at[slot].set(
+        jnp.where(do_create, val, field[slot]))
+    zed = jnp.zeros_like(sinks.a[0])
+    r_c, v_c = cand[:ndim], cand[ndim:2 * ndim]
+    m_c, h_c = cand[2 * ndim], cand[2 * ndim + 1]
+    new_sinks = sinks._replace(
+        r=put(sinks.r, r_c), r0=put(sinks.r0, r_c),
+        v=put(sinks.v, v_c), v0=put(sinks.v0, v_c),
+        a=put(sinks.a, zed), a0=put(sinks.a0, zed),
+        m=put(sinks.m, m_c), h=put(sinks.h, h_c),
+        active=sinks.active.at[slot].set(
+            jnp.where(do_create, True, sinks.active[slot])))
+    return new_sinks, do_create
+
+
+def accretion_sums(cfg: SinkConfig, sinks: SinkState,
+                   r: Array, v: Array, m: Array, alive: Array):
+    """Per-sink accretion sums (dm, dmom, dmr) over the LOCAL gas plus the
+    local eaten mask.  Each gas particle is claimed by its NEAREST
+    accreting sink.  In distributed mode the sums are psum'd across shards
+    before apply_accretion (reference MpiControl::UpdateSinksAfterAccretion
+    src/Mpi/MpiControl.cpp:408-431)."""
     Ns = sinks.m.shape[0]
     dr = r[:, None, :] - sinks.r[None, :, :]          # (N, Ns, nd)
     dist = jnp.sqrt(jnp.sum(dr * dr, axis=-1))
@@ -125,16 +145,29 @@ def accrete_to_sinks(cfg: SinkConfig, sinks: SinkState,
     dm = jnp.zeros((Ns,), m.dtype).at[nearest].add(w)
     dmom = jnp.zeros_like(sinks.v).at[nearest].add(w[:, None] * v)
     dmr = jnp.zeros_like(sinks.r).at[nearest].add(w[:, None] * r)
+    return dm, dmom, dmr, eaten
 
+
+def apply_accretion(sinks: SinkState, dm: Array, dmom: Array,
+                    dmr: Array) -> SinkState:
+    """COM-conserving sink update from (possibly psum'd) accretion sums."""
     m_new = sinks.m + dm
     msafe = jnp.maximum(m_new, 1e-300)
     v_new = (sinks.m[:, None] * sinks.v + dmom) / msafe[:, None]
     r_new = (sinks.m[:, None] * sinks.r + dmr) / msafe[:, None]
     upd = sinks.active & (dm > 0)
-    new_sinks = sinks._replace(
+    return sinks._replace(
         r=jnp.where(upd[:, None], r_new, sinks.r),
         v=jnp.where(upd[:, None], v_new, sinks.v),
         r0=jnp.where(upd[:, None], r_new, sinks.r0),
         v0=jnp.where(upd[:, None], v_new, sinks.v0),
         m=jnp.where(upd, m_new, sinks.m))
-    return new_sinks, alive & ~eaten
+
+
+def accrete_to_sinks(cfg: SinkConfig, sinks: SinkState,
+                     r: Array, v: Array, m: Array, alive: Array
+                     ) -> Tuple[SinkState, Array]:
+    """Accrete gas inside each sink's accretion radius
+    (radius = sink_radius * h_sink); mass/momentum conserving."""
+    dm, dmom, dmr, eaten = accretion_sums(cfg, sinks, r, v, m, alive)
+    return apply_accretion(sinks, dm, dmom, dmr), alive & ~eaten

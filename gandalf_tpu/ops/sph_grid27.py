@@ -37,7 +37,13 @@ Array = jnp.ndarray
 
 @dataclasses.dataclass(frozen=True)
 class Grid27Spec:
-    """Static grid geometry. ncells excludes ghost layers."""
+    """Static grid geometry. ncells excludes ghost layers.
+
+    qz: shift radius along dim 0.  Normally 1 (cells >= kernel support,
+    27 shifts).  The distributed z-slab planner may choose z cells SMALLER
+    than the support (so every shard owns >= 1 row); then qz =
+    ceil(support / cell_z) and the neighbour search scans (2*qz+1)*3^(nd-1)
+    shifts with qz ghost layers on dim 0."""
 
     ndim: int
     ncells: Tuple[int, ...]        # (nz, ny, nx) order = (dim0, dim1, ...)
@@ -45,10 +51,19 @@ class Grid27Spec:
     extents: Tuple[float, ...]
     k_cell: int
     periodic: Tuple[bool, ...]
+    qz: int = 1
 
     @property
     def total_cells(self) -> int:
         return int(np.prod(self.ncells))
+
+
+def hmax_of(spec: Grid27Spec, kernrange: float) -> float:
+    """Largest h whose kernel support the shift stencil still covers."""
+    reach = [spec.qz * spec.extents[0] / spec.ncells[0]]
+    reach += [spec.extents[k] / spec.ncells[k]
+              for k in range(1, spec.ndim)]
+    return min(reach) / kernrange
 
 
 def plan_grid27(box: DomainBox, r: np.ndarray, h_max: float,
@@ -94,15 +109,19 @@ def plan_grid27(box: DomainBox, r: np.ndarray, h_max: float,
         hi.append(hi_k)
     ncells = [max(int(np.floor((hi[k] - lo[k]) / support)), 1)
               for k in range(ndim)]
+    qz = 1
     if z_multiple > 1:
-        # shard-friendly z extent: round DOWN to a mesh multiple (larger
-        # cells stay a superset of the kernel support)
-        if ncells[0] < z_multiple:
-            raise ValueError(
-                f"cannot shard over {z_multiple} z-slabs: the kernel "
-                f"support only allows {ncells[0]} z cells (need more "
-                "particles or fewer shards)")
-        ncells[0] = (ncells[0] // z_multiple) * z_multiple
+        if ncells[0] >= z_multiple:
+            # shard-friendly z extent: round DOWN to a mesh multiple
+            # (larger cells stay a superset of the kernel support)
+            ncells[0] = (ncells[0] // z_multiple) * z_multiple
+        else:
+            # clustered distributions (large outer h) can demand z cells
+            # WIDER than a slab: use z_multiple sub-support rows and widen
+            # the shift stencil instead (qz rings cover the support)
+            ncells[0] = z_multiple
+            cell_z = (hi[0] - lo[0]) / z_multiple
+            qz = max(int(np.ceil(support / cell_z)), 1)
     ncells = tuple(ncells)
     extents = tuple(hi[k] - lo[k] for k in range(ndim))
     # occupancy
@@ -115,7 +134,7 @@ def plan_grid27(box: DomainBox, r: np.ndarray, h_max: float,
     k_cell = int(np.ceil(counts.max() * k_slack)) + 1
     return Grid27Spec(ndim=ndim, ncells=ncells, lo=tuple(lo),
                       extents=tuple(extents), k_cell=k_cell,
-                      periodic=tuple(periodic))
+                      periodic=tuple(periodic), qz=qz)
 
 
 class GridBinning(NamedTuple):
@@ -186,7 +205,8 @@ def from_dense(spec: Grid27Spec, b: GridBinning, x_d: Array) -> Array:
 
 def add_ghost_layers(spec: Grid27Spec, x_d: Array, shift_vec=None,
                      dims=None) -> Array:
-    """Pad the grid with one ghost layer per face.
+    """Pad the grid with ghost layers per face (qz layers on dim 0, one on
+    the others).
 
     Periodic dims wrap-copy (with optional coordinate shift ±L applied via
     shift_vec for position tensors); open dims pad with zeros (masked by the
@@ -197,9 +217,10 @@ def add_ghost_layers(spec: Grid27Spec, x_d: Array, shift_vec=None,
     out = x_d
     for k in (range(nd) if dims is None else dims):
         n = spec.ncells[k]
+        q = spec.qz if k == 0 else 1
         if spec.periodic[k]:
-            lo_slice = jax.lax.slice_in_dim(out, n - 1, n, axis=k)
-            hi_slice = jax.lax.slice_in_dim(out, 0, 1, axis=k)
+            lo_slice = jax.lax.slice_in_dim(out, n - q, n, axis=k)
+            hi_slice = jax.lax.slice_in_dim(out, 0, q, axis=k)
             if shift_vec is not None:
                 L = spec.extents[k]
                 lo_slice = lo_slice.at[..., k].add(-L)
@@ -207,13 +228,15 @@ def add_ghost_layers(spec: Grid27Spec, x_d: Array, shift_vec=None,
             out = jnp.concatenate([lo_slice, out, hi_slice], axis=k)
         else:
             pad = [(0, 0)] * out.ndim
-            pad[k] = (1, 1)
+            pad[k] = (q, q)
             out = jnp.pad(out, pad)
     return out
 
 
-def _shifts(ndim: int):
-    return list(itertools.product(*([(0, 1, 2)] * ndim)))
+def _shifts(ndim: int, qz: int = 1):
+    z_range = tuple(range(2 * qz + 1))
+    return list(itertools.product(z_range,
+                                  *([(0, 1, 2)] * (ndim - 1))))
 
 
 def _shift_view(spec: Grid27Spec, padded: Array, sh) -> Array:
@@ -275,12 +298,14 @@ def density_grid27(kern: SmoothingKernel, spec: Grid27Spec,
     rp_full = pad_first(rp_full)
     mp_full = pad_first(mp_full)
 
-    # overlapping ghosted slabs: slab s covers rows [s*c, s*c + c + 2) of
-    # the ghosted tensors
-    def slab_view(x_p, s, c):
-        return jax.lax.dynamic_slice_in_dim(x_p, s * c, c + 2, axis=0)
+    # overlapping ghosted slabs: slab s covers rows [s*c, s*c + c + 2*qz)
+    # of the ghosted tensors
+    qz = spec.qz
 
-    shifts = _shifts(nd)
+    def slab_view(x_p, s, c):
+        return jax.lax.dynamic_slice_in_dim(x_p, s * c, c + 2 * qz, axis=0)
+
+    shifts = _shifts(nd, qz)
 
     def slab_fn(s):
         """Converge one slab of slab_chunk rows along dim 0."""
@@ -434,8 +459,8 @@ def forces_grid27(kern: SmoothingKernel, visc: ArtificialViscosity,
 
     def slab_fn(s):
         c = slab_chunk
-        sl = lambda x_p: jax.lax.dynamic_slice_in_dim(x_p, s * c, c + 2,
-                                                      axis=0)
+        sl = lambda x_p: jax.lax.dynamic_slice_in_dim(
+            x_p, s * c, c + 2 * spec.qz, axis=0)
         ce = lambda x: jax.lax.dynamic_slice_in_dim(pad_first(x), s * c, c,
                                                     axis=0)
         rp, vp, pkp, fp_ = sl(rp_full), sl(vp_full), sl(pkp_full), \
@@ -489,8 +514,8 @@ def forces_grid27(kern: SmoothingKernel, visc: ArtificialViscosity,
 def _force_shifts(kern, visc, spec, nd, i_of, rp, vp, pkp, fp_, r_d, v_i,
                   h_i, invh_i, invrho_i, press_i, sound_i, invom_i, hfac_i,
                   alpha_i, u_i, a, dudt, div_v):
-    """Accumulate pair forces over the 3^ndim shifts for one slab."""
-    for sh in _shifts(nd):
+    """Accumulate pair forces over the shift stencil for one slab."""
+    for sh in _shifts(nd, spec.qz):
         r_nb = _shift_view(spec, rp, sh)
         v_nb = _shift_view(spec, vp, sh)
         pk_nb = _shift_view(spec, pkp, sh)
@@ -566,8 +591,7 @@ def hydro_pass_grid27(kern, visc, box: DomainBox, spec: Grid27Spec, eos,
     path's dead-slot sanitisation)."""
     nd = s.ndim
     b = bin_particles(spec, s.r)
-    hmax = min(spec.extents[k] / spec.ncells[k] for k in range(nd)) \
-        / kern.kernrange
+    hmax = hmax_of(spec, kern.kernrange)
 
     d = lambda x: to_dense(spec, b, x)
     fill = dense_fill_mask(spec, b)

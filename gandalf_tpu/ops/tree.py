@@ -254,7 +254,7 @@ class TreeGravityResult(NamedTuple):
 def tree_gravity(spec: TreeSpec, tree: TreeLevels,
                  r_s: Array, m_s: Array, alive: Array,
                  h_s: Array = None, kern=None, zh_s: Array = None,
-                 group_range=None):
+                 group_range=None, zeta_scaling: str = "sph"):
     """Frontier-walk gravity for every particle (sorted order).
 
     Near-field (unopened leaf pairs) uses the reference's SYMMETRIC grad-h
@@ -497,10 +497,22 @@ def tree_gravity(spec: TreeSpec, tree: TreeLevels,
             s_nb = dmag * invh_nb
             paux = 0.5 * (invh_t * invh_t * kern.wgrav(s_t)
                           + invh_nb * invh_nb * kern.wgrav(s_nb))
+            zcoef = None
             if zh_leaf is not None:
-                paux = paux + 0.5 * (
+                zterm = 0.5 * (
                     zh_leaf[g][:, None, None] * kern.w1(s_t)
                     + stab[..., ndim + 2][None, :, :] * kern.w1(s_nb))
+                if zeta_scaling == "sph":
+                    # m_j * (zh_i w1_i + zh_j w1_j) (GradhSph.cpp:616-621)
+                    paux = paux + zterm
+                else:
+                    # MFV: (1/m_i) * (zh_i w1_i + zh_j w1_j), NOT scaled by
+                    # m_j (MfvCommon::ComputeSmoothedGravForces,
+                    # MfvCommon.cpp:413-416) — applied outside the m_sb
+                    # factor below, masked to live neighbour slots.
+                    invm_t = 1.0 / jnp.maximum(m_leaf[g], 1e-30)
+                    zcoef = jnp.where(selfp | (m_sb[None] <= 0.0), 0.0,
+                                      invm_t[:, None, None] * zterm)
             gaux = 0.5 * (invh_t * kern.wpot(s_t)
                           + invh_nb * kern.wpot(s_nb))
             # subtract the Newtonian part already accumulated
@@ -508,6 +520,8 @@ def tree_gravity(spec: TreeSpec, tree: TreeLevels,
             coef = jnp.where(selfp, 0.0,
                              m_sb[None] * (paux / dmag
                                            - inv_ds ** 3))
+            if zcoef is not None:
+                coef = coef + zcoef / dmag
             a_n = a_n + jnp.sum(coef[..., None] * drs, axis=(1, 2))
             p_n = p_n + jnp.sum(
                 jnp.where(selfp, 0.0, m_sb[None] * (gaux - inv_ds)),
@@ -631,69 +645,6 @@ def plan_buckets(r: np.ndarray, leaf_size: int, bits: int = 10) -> np.ndarray:
         e = leaf_e[g_starts[gi + 1] - 1]
         gmap[gi, : e - s] = order[s:e]
     return gmap
-
-
-def sample_walk_stats(r: np.ndarray, gmap: np.ndarray, theta_sqd: float,
-                      sample: int = 256, seed: int = 0) -> tuple:
-    """Host-side estimate of (near-field leaf count, max frontier width) by
-    walking a random sample of occupied groups with the same conservative
-    group-box MAC the jitted walk uses.  Used at plan time to size
-    near_cap/frontier to the DISTRIBUTION instead of a worst-case formula
-    (the in-jit overflow flag + grow_tree_caps is the safety net for
-    unsampled stragglers)."""
-    G, L = gmap.shape
-    ndim = r.shape[1]
-    big, far = 1e30, 1e15
-    ok = gmap >= 0
-    pts = r[np.maximum(gmap, 0)]
-    lo = np.where(ok[..., None], pts, big).min(axis=1)
-    hi = np.where(ok[..., None], pts, -big).max(axis=1)
-    occ = ok.any(axis=1)
-    lo[~occ] = far
-    hi[~occ] = far
-    levels = [(lo, hi, occ)]
-    while len(lo) > 1:
-        occ2 = occ.reshape(-1, 2)
-        lo2 = np.where(occ2[..., None], lo.reshape(-1, 2, ndim), big).min(1)
-        hi2 = np.where(occ2[..., None], hi.reshape(-1, 2, ndim), -big).max(1)
-        occ = occ2.any(axis=1)
-        lo2[~occ] = far
-        hi2[~occ] = far
-        lo, hi = lo2, hi2
-        levels.insert(0, (lo, hi, occ))
-
-    rng = np.random.default_rng(seed)
-    occ_ids = np.nonzero(levels[-1][2])[0]
-    if len(occ_ids) == 0:
-        return 1, 1
-    sel = rng.choice(occ_ids, size=min(sample, len(occ_ids)), replace=False)
-    g_lo, g_hi = levels[-1][0][sel], levels[-1][1][sel]
-    gc = 0.5 * (g_lo + g_hi)
-    gh = 0.5 * (g_hi - g_lo)
-    S = len(sel)
-    opened = np.ones((S, 1), bool)
-    max_front, near_max = 1, 0
-    for ell, (lo, hi, occ) in enumerate(levels):
-        centre = 0.5 * (lo + hi)
-        half = 0.5 * (hi - lo)
-        gap = np.maximum(np.abs(centre[None] - gc[:, None]) - gh[:, None],
-                         0.0)
-        dsqd = np.sum(gap * gap, -1)
-        rmax_sqd = np.sum(half * half, -1)[None, :]
-        accept = opened & occ[None, :] & (dsqd * theta_sqd > rmax_sqd)
-        open_ = opened & occ[None, :] & ~accept
-        cnt = open_.sum(1)
-        if ell < len(levels) - 1:
-            nxt = np.zeros((S, 2 * open_.shape[1]), bool)
-            nxt[:, 0::2] = open_
-            nxt[:, 1::2] = open_
-            opened = nxt
-            max_front = max(max_front, 2 * int(cnt.max()))
-        else:
-            near_max = int(cnt.max())
-    return near_max, max_front
-
-
 def walk_stats_native(r: np.ndarray, gmap: np.ndarray, theta_sqd: float,
                       m: np.ndarray = None, h: np.ndarray = None,
                       kernrange: float = 2.0, sample: int = 2048):
@@ -836,7 +787,8 @@ def unwrap_to_buckets(spec: TreeSpec, r_s: Array, in_map: Array,
 
 def tree_gravity_grouped(spec: TreeSpec, gmap: Array, r: Array, m: Array,
                          h: Array = None, kern=None, alive: Array = None,
-                         zh: Array = None, periodic_extent=None):
+                         zh: Array = None, periodic_extent=None,
+                         zeta_scaling: str = "sph"):
     """Gravity with host-planned buckets: gather into bucket order (static
     map, no in-jit sort), stock boxes from CURRENT positions, walk, scatter
     back.  Returns (a, gpot, overflow) in ORIGINAL particle order."""
@@ -856,7 +808,7 @@ def tree_gravity_grouped(spec: TreeSpec, gmap: Array, r: Array, m: Array,
         zh_s = jnp.where(in_map, zh[safe], 0.0)
     tree = build_tree(spec, r_s, m_s, alive_s)
     res, overflow = tree_gravity(spec, tree, r_s, m_s, alive_s, h_s, kern,
-                                 zh_s)
+                                 zh_s, zeta_scaling=zeta_scaling)
     a = jnp.zeros((N, ndim), r.dtype).at[safe].add(
         jnp.where(in_map[:, None], res.a, 0.0))
     gpot = jnp.zeros((N,), r.dtype).at[safe].add(

@@ -202,8 +202,7 @@ def dist_hydro_pass(mesh: Mesh, plan: DistPlan, kern, visc, box, eos,
     # padding slots are routed to the virtual overflow cell — they must
     # not consume fill capacity (a cap's worth of pads share one position)
     b = g.bin_particles(loc, r_loc, discard=~alive)
-    hmax = min(spec.extents[k] / spec.ncells[k] for k in range(nd)) \
-        / kern.kernrange
+    hmax = g.hmax_of(spec, kern.kernrange)
     d = lambda x: g.to_dense(loc, b, x)
     fill = g.dense_fill_mask(loc, b) & d(alive)
     r_d, v_d, m_d, h_d = d(r_loc), d(s.v), d(s.m), d(s.h)

@@ -32,34 +32,58 @@ Array = jnp.ndarray
 
 def make_halo_ghost_fn(axis_name: str, global_spec, local_spec):
     """Returns a ghost_fn for density_grid27/forces_grid27 that supplies
-    the dim-0 ghost layer from the ring neighbours (lax.ppermute) and
-    ghosts the remaining dims locally."""
+    the dim-0 ghost layers from the ring neighbours (lax.ppermute) and
+    ghosts the remaining dims locally.
+
+    qz rows are exchanged per face.  When a slab is NARROWER than qz rows
+    (clustered distributions: z cells below the kernel support, one row
+    per shard), the halo spans several ring neighbours — each extra hop
+    ppermutes the whole slab one position further and contributes its
+    rows (the analogue of the reference's multi-rank ghost walks,
+    src/Hydrodynamics/Ghosts.cpp:161-202)."""
     nd = global_spec.ndim
+    qz = global_spec.qz
+    nz_loc = local_spec.ncells[0]
+    n_hops = -(-qz // nz_loc)            # ceil
 
     def ghost(spec_local, x, shift_vec=None):
         ndev = lax.axis_size(axis_name)
         idx = lax.axis_index(axis_name)
-        # one boundary layer to each ring neighbour
         up = [(i, (i + 1) % ndev) for i in range(ndev)]
         down = [(i, (i - 1) % ndev) for i in range(ndev)]
-        lo_halo = lax.ppermute(lax.slice_in_dim(x, x.shape[0] - 1,
-                                                x.shape[0], axis=0),
-                               axis_name, up)        # from the device below
-        hi_halo = lax.ppermute(lax.slice_in_dim(x, 0, 1, axis=0),
-                               axis_name, down)      # from the device above
-        if global_spec.periodic[0]:
-            if shift_vec is not None:
-                # the wrap-around halos carry a +-L coordinate shift
-                L = global_spec.extents[0]
-                lo_halo = jnp.where(idx == 0,
-                                    lo_halo.at[..., 0].add(-L), lo_halo)
-                hi_halo = jnp.where(idx == ndev - 1,
-                                    hi_halo.at[..., 0].add(L), hi_halo)
-        else:
-            # open boundary: zero the halos at the global edges
-            lo_halo = jnp.where(idx == 0, jnp.zeros_like(lo_halo), lo_halo)
-            hi_halo = jnp.where(idx == ndev - 1,
-                                jnp.zeros_like(hi_halo), hi_halo)
+        L = global_spec.extents[0]
+
+        def fix(block, src_idx):
+            """Apply seam wrap shift / open-edge zeroing for a block whose
+            source device index (unwrapped) is src_idx."""
+            wrapped_lo = src_idx < 0
+            wrapped_hi = src_idx > ndev - 1
+            if global_spec.periodic[0]:
+                if shift_vec is not None:
+                    block = jnp.where(wrapped_lo,
+                                      block.at[..., 0].add(-L), block)
+                    block = jnp.where(wrapped_hi,
+                                      block.at[..., 0].add(L), block)
+                return block
+            return jnp.where(wrapped_lo | wrapped_hi,
+                             jnp.zeros_like(block), block)
+
+        # hop k moves slabs k positions around the ring; collect enough
+        # rows below/above, then trim to exactly qz
+        lo_blocks, hi_blocks = [], []
+        cur_lo = cur_hi = x
+        for k in range(1, n_hops + 1):
+            cur_lo = lax.ppermute(cur_lo, axis_name, up)
+            cur_hi = lax.ppermute(cur_hi, axis_name, down)
+            lo_blocks.insert(0, fix(cur_lo, idx - k))
+            hi_blocks.append(fix(cur_hi, idx + k))
+        lo_halo = jnp.concatenate(lo_blocks, axis=0) if n_hops > 1 \
+            else lo_blocks[0]
+        hi_halo = jnp.concatenate(hi_blocks, axis=0) if n_hops > 1 \
+            else hi_blocks[0]
+        lo_halo = lax.slice_in_dim(lo_halo, lo_halo.shape[0] - qz,
+                                   lo_halo.shape[0], axis=0)
+        hi_halo = lax.slice_in_dim(hi_halo, 0, qz, axis=0)
         out = jnp.concatenate([lo_halo, x, hi_halo], axis=0)
         return g.add_ghost_layers(spec_local, out, shift_vec=shift_vec,
                                   dims=range(1, nd))
@@ -86,8 +110,7 @@ def hydro_pass_grid27_sharded(mesh: Mesh, axis_name: str,
         spec, ncells=(spec.ncells[0] // ndev,) + spec.ncells[1:])
 
     b = g.bin_particles(spec, s.r)
-    hmax = min(spec.extents[k] / spec.ncells[k] for k in range(nd)) \
-        / kern.kernrange
+    hmax = g.hmax_of(spec, kern.kernrange)
     d = lambda x: g.to_dense(spec, b, x)
     fill = g.dense_fill_mask(spec, b)
     dense_in = {

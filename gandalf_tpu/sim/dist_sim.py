@@ -54,9 +54,6 @@ class DistributedGradhSphSimulation(GradhSphSimulation):
         unsupported = []
         if self.use_block:
             unsupported.append("block timesteps (Nlevels > 1)")
-        if p.intparams["sink_particles"] or p.intparams["create_sinks"] \
-                or p.intparams["Nstar"] > 0:
-            unsupported.append("sinks/stars")
         if p.stringparams["dust_forces"] not in ("none", "null", ""):
             unsupported.append("dust")
         if self.use_ewald:
@@ -162,12 +159,83 @@ class DistributedGradhSphSimulation(GradhSphSimulation):
 
         return jax.tree_util.tree_map(rule, self.state)
 
+    def _dist_force_pass(self, s: SphState, sinks, alive):
+        """Shard-local hydro + distributed gravity + (replicated) sink
+        coupling.  Runs INSIDE shard_map; sinks are replicated, so star
+        sums over local gas are psum'd (reference star-gas Allreduce,
+        src/Mpi/MpiControl.cpp:365-381)."""
+        box, sim = self.box, self
+        plan = self.distplan
+        s = dist.dist_hydro_pass(
+            self.mesh, plan, sim.kern, sim.visc, box, sim.eos,
+            sim.h_fac, sim.h_converge, sim.hydro_forces, s, alive)
+        if sim.self_gravity:
+            pdims = box.periodic_dims()
+            pext = [box.size[k] if k in pdims else 0.0
+                    for k in range(s.ndim)] if pdims else None
+            if sim.letplan is not None:
+                from ..parallel.let import let_gravity
+
+                a_g, gpot, ovg = let_gravity(
+                    sim.letplan, s.bucket_map, s.r, s.m, s.h,
+                    s.zeta * s.hfactor, alive, sim.kern,
+                    periodic_extent=pext)
+            else:
+                a_g, gpot, ovg = dist.dist_tree_gravity(
+                    sim.treespec, s.bucket_map, s, sim.kern, alive,
+                    plan.n_shards, periodic_extent=pext)
+            s = s.replace(a=s.a + a_g, gpot=gpot,
+                          neib_overflow=s.neib_overflow | ovg)
+        if sim.extpot != "none":
+            from ..ops.gravity import external_potential
+
+            a_x, _, pot_x = external_potential(
+                sim.extpot, sim.extpot_cfg, s.r, s.v)
+            s = s.replace(a=s.a + a_x, gpot=s.gpot + pot_x)
+        if sinks is not None:
+            from ..ops.gravity import direct_softened
+            from ..ops.sph_gravity import star_gas_forces
+
+            m_live = jnp.where(alive, s.m, 0.0)
+            m_star = jnp.where(sinks.active, sinks.m, 0.0)
+            a_gs, gp_gs, a_st, gp_st = star_gas_forces(
+                sim.kern, s.r, m_live, s.h, sinks.r, m_star, sinks.h,
+                sinks.active)
+            # gas->star sums span all shards' local gas
+            a_st = lax.psum(a_st, "dp")
+            ss = direct_softened(sinks.r, sinks.v, m_star, sinks.h,
+                                 sim.kern)
+            a_star_tot = a_st + ss.a
+            if sim.extpot != "none":
+                a_x, _, _ = external_potential(
+                    sim.extpot, sim.extpot_cfg, sinks.r, sinks.v)
+                a_star_tot = a_star_tot + a_x
+            sinks = sinks._replace(
+                a=jnp.where(sinks.active[:, None], a_star_tot, 0.0))
+            s = s.replace(
+                a=jnp.where(alive[:, None], s.a + a_gs, 0.0),
+                dudt=jnp.where(alive, s.dudt, 0.0),
+                gpot=s.gpot + jnp.where(alive, gp_gs, 0.0))
+        return s, sinks
+
+    def _dist_dt(self, s: SphState, sinks, alive):
+        dt_part = jnp.where(alive,
+                            sph_timestep(self.integ, s, self.hydro_forces),
+                            1e30)
+        dt_next = lax.pmin(jnp.min(dt_part), "dp")
+        if sinks is not None:
+            amag = jnp.sqrt(jnp.sum(sinks.a * sinks.a, axis=-1))
+            dt_sink = self.integ.accel_mult * jnp.sqrt(
+                sinks.h / (amag + 1e-30))
+            dt_sink = jnp.where(sinks.active, dt_sink, 1e30)
+            dt_next = jnp.minimum(dt_next, jnp.min(dt_sink))
+        return dt_next
+
     def _build_dist_step(self, bootstrap: bool):
         integ, box = self.integ, self.box
-        plan = self.distplan
         sim = self
 
-        def local(s: SphState) -> SphState:
+        def local_gas(s: SphState) -> SphState:
             dt = s.dt
             if not bootstrap:
                 t = s.t + dt
@@ -175,52 +243,79 @@ class DistributedGradhSphSimulation(GradhSphSimulation):
                 r = box.wrap(s.r)
                 s = s.replace(r=r, r0=box.wrap(s.r0))
             alive = s.alive
-            s = dist.dist_hydro_pass(
-                self.mesh, plan, sim.kern, sim.visc, box, sim.eos,
-                sim.h_fac, sim.h_converge, sim.hydro_forces, s, alive)
-            if sim.self_gravity:
-                pdims = box.periodic_dims()
-                pext = [box.size[k] if k in pdims else 0.0
-                        for k in range(s.ndim)] if pdims else None
-                if sim.letplan is not None:
-                    from ..parallel.let import let_gravity
-
-                    a_g, gpot, ovg = let_gravity(
-                        sim.letplan, s.bucket_map, s.r, s.m, s.h,
-                        s.zeta * s.hfactor, alive, sim.kern,
-                        periodic_extent=pext)
-                else:
-                    a_g, gpot, ovg = dist.dist_tree_gravity(
-                        sim.treespec, s.bucket_map, s, sim.kern, alive,
-                        plan.n_shards, periodic_extent=pext)
-                s = s.replace(a=s.a + a_g, gpot=gpot,
-                              neib_overflow=s.neib_overflow | ovg)
-            if sim.extpot != "none":
-                from ..ops.gravity import external_potential
-
-                a_x, _, pot_x = external_potential(
-                    sim.extpot, sim.extpot_cfg, s.r, s.v)
-                s = s.replace(a=s.a + a_x, gpot=s.gpot + pot_x)
+            s, _ = self._dist_force_pass(s, None, alive)
             if bootstrap:
                 s = s.replace(a0=s.a, dudt0=s.dudt, u0=s.u, r0=s.r,
                               v0=s.v)
             else:
                 s = correct(integ, s, dt, self._dalphadt(s))
-            dt_part = jnp.where(alive,
-                                sph_timestep(integ, s, sim.hydro_forces),
-                                1e30)
-            dt_next = lax.pmin(jnp.min(dt_part), "dp")
+            dt_next = self._dist_dt(s, None, alive)
             if bootstrap:
                 return s.replace(dt=dt_next)
             return s.replace(t=t, dt=dt_next, nstep=s.nstep + 1)
 
+        def local_sinks(s: SphState, sinks):
+            from ..ops.sinks import (accretion_sums, apply_accretion,
+                                     apply_sink_creation, sink_candidate)
+
+            dt = s.dt
+            if not bootstrap:
+                t = s.t + dt
+                s = predict(integ, s, dt)
+                sinks = sinks._replace(
+                    r=sinks.r0 + sinks.v0 * dt + 0.5 * sinks.a0 * dt * dt,
+                    v=sinks.v0 + sinks.a0 * dt)
+                s = s.replace(r=box.wrap(s.r), r0=box.wrap(s.r0))
+            alive = s.alive
+            s, sinks = self._dist_force_pass(s, sinks, alive)
+            if bootstrap:
+                s = s.replace(a0=s.a, dudt0=s.dudt, u0=s.u, r0=s.r,
+                              v0=s.v)
+                sinks = sinks._replace(a0=sinks.a, r0=sinks.r, v0=sinks.v)
+                return (s.replace(dt=self._dist_dt(s, sinks, alive)),
+                        sinks)
+            s = correct(integ, s, dt, self._dalphadt(s))
+            v_c = sinks.v + 0.5 * dt * (sinks.a - sinks.a0)
+            sinks = sinks._replace(v=v_c, r0=sinks.r, v0=v_c, a0=sinks.a)
+            cfg = sim.sink_cfg
+            if cfg.create:
+                # global best candidate: gather every shard's local best
+                # and apply the winner identically on all shards
+                cand, gi = sink_candidate(cfg, s.r, s.v, s.m, s.h,
+                                          s.rho, alive)
+                cands = lax.all_gather(cand, "dp")     # (S, row)
+                win = jnp.argmax(cands[:, -1])
+                sinks, created = apply_sink_creation(sinks, cands[win],
+                                                     s.r.shape[1])
+                my_idx = lax.axis_index("dp")
+                kill = created & (win == my_idx)
+                alive = alive.at[gi].set(jnp.where(kill, False,
+                                                   alive[gi]))
+            if cfg.accrete:
+                dm, dmom, dmr, eaten = accretion_sums(
+                    cfg, sinks, s.r, s.v, s.m, alive)
+                dm = lax.psum(dm, "dp")
+                dmom = lax.psum(dmom, "dp")
+                dmr = lax.psum(dmr, "dp")
+                sinks = apply_accretion(sinks, dm, dmom, dmr)
+                alive = alive & ~eaten
+            s = self._kill_eaten(s, alive)
+            dt_next = self._dist_dt(s, sinks, alive)
+            return (s.replace(t=t, dt=dt_next, nstep=s.nstep + 1), sinks)
+
         specs = self._dist_specs()
+        if getattr(self, "has_sinks", False):
+            sink_specs = jax.tree_util.tree_map(lambda x: P(), self.sinks)
+            fn, in_specs, out_specs = (local_sinks, (specs, sink_specs),
+                                       (specs, sink_specs))
+        else:
+            fn, in_specs, out_specs = local_gas, (specs,), specs
         try:
-            sm = shard_map(local, mesh=self.mesh, in_specs=(specs,),
-                           out_specs=specs, check_vma=False)
+            sm = shard_map(fn, mesh=self.mesh, in_specs=in_specs,
+                           out_specs=out_specs, check_vma=False)
         except TypeError:  # older jax spells it check_rep
-            sm = shard_map(local, mesh=self.mesh, in_specs=(specs,),
-                           out_specs=specs, check_rep=False)
+            sm = shard_map(fn, mesh=self.mesh, in_specs=in_specs,
+                           out_specs=out_specs, check_rep=False)
         return jax.jit(sm)
 
     def _compile(self):
@@ -239,13 +334,28 @@ class DistributedGradhSphSimulation(GradhSphSimulation):
             state = make_sph_state(ic["r"], ic["v"], ic["m"], ic["h"],
                                    ic["u"])
             self._n_orig = state.N
+            # sinks/stars: replicated on every shard (they are few); the
+            # collective pieces live in the jitted step
+            from ..ops.sinks import empty_sinks, make_sinks
+
+            self.sinks = None
+            nfix = self.params.intparams["Nsinkfixed"]
+            n_extra = (nfix if nfix > 0 else 16) if self.create_sinks else 0
+            if "star" in ic:
+                st = ic["star"]
+                self.sinks = make_sinks(st["r"], st["v"], st["m"], st["h"],
+                                        n_extra=n_extra)
+            elif self.create_sinks:
+                self.sinks = empty_sinks(n_extra, self.ndim,
+                                         state.r.dtype)
+            self.has_sinks = self.sinks is not None
             self._plan_all(np.asarray(ic["r"]), np.asarray(ic["h"]))
             self.state = dist.shard_state(self.distplan, state)
             if self.self_gravity:
                 self._plan_dist_tree(np.asarray(self.state.r))
             self._place()
             self._compile()
-            self.state = self._bootstrap_fn(self.state)
+            self._run_dist(bootstrap=True)
             tries = 0
             while bool(self.state.neib_overflow):
                 tries += 1
@@ -253,8 +363,15 @@ class DistributedGradhSphSimulation(GradhSphSimulation):
                     raise RuntimeError("distributed setup keeps "
                                        "overflowing")
                 self._replan(growth=1.3)
-                self.state = self._bootstrap_fn(self.state)
+                self._run_dist(bootstrap=True)
         self._init_output_cadence()
+
+    def _run_dist(self, bootstrap: bool):
+        fn = self._bootstrap_fn if bootstrap else self._step_fn
+        if self.has_sinks:
+            self.state, self.sinks = fn(self.state, self.sinks)
+        else:
+            self.state = fn(self.state)
 
     def _place(self):
         shardings = dist.state_shardings(self.mesh, self.state,
@@ -287,17 +404,25 @@ class DistributedGradhSphSimulation(GradhSphSimulation):
                 self._replan()
         with self.timing.block("MAIN_LOOP"):
             prev = self.state
-            self.state = self._step_fn(prev)
+            prev_sinks = self.sinks
+            self._run_dist(bootstrap=False)
             if bool(self.state.neib_overflow):
                 with self.timing.block("GRID_REPLAN"):
                     self.state = prev
+                    self.sinks = prev_sinks
                     self._replan(growth=1.3, grow_caps=True)
-                    self.state = self._step_fn(self.state)
+                    self._run_dist(bootstrap=False)
         self.Nsteps += 1
         self.t = float(self.state.t)
 
     def _state_to_host(self):
         host = dist.unshard_state(self.distplan, self.state, self._n_orig)
-        return {k: np.asarray(getattr(host, k))
-                for k in ("r", "v", "a", "m", "h", "rho", "u", "dudt",
-                          "pressure", "sound", "div_v")}
+        out = {k: np.asarray(getattr(host, k))
+               for k in ("r", "v", "a", "m", "h", "rho", "u", "dudt",
+                         "pressure", "sound", "div_v")}
+        if getattr(self, "has_sinks", False):
+            out["alive"] = np.asarray(host.alive)
+            act = np.asarray(self.sinks.active)
+            out["star"] = {k: np.asarray(getattr(self.sinks, k))[act]
+                           for k in ("r", "v", "a", "m", "h")}
+        return out

@@ -73,6 +73,10 @@ class MfvMusclSimulation(SimulationBase):
                              and not self.box.mirror_walls())
         self.gridspec = None
         self.treespec = None
+        if self.self_gravity and self.box.periodic_dims() \
+                and not self.use_celllist:
+            raise NotImplementedError("periodic MFV self-gravity needs the "
+                                      "tree path (neib_search=kdtree)")
 
     # -- neighbour views (all-pairs with images) ----------------------------
     def _neighbor_view(self, s: MfvState, fields: Dict[str, jnp.ndarray]):
@@ -169,9 +173,10 @@ class MfvMusclSimulation(SimulationBase):
     def _density_pass_grid(self, s: MfvState) -> MfvState:
         from ..ops.mfv_grid27 import density_mfv_grid27
 
+        from ..ops.sph_grid27 import hmax_of
+
         spec, b, fill, d, back = self._grid_binning(s, s.r)
-        hmax = min(spec.extents[k] / spec.ncells[k]
-                   for k in range(s.ndim)) / self.kern.kernrange
+        hmax = hmax_of(spec, self.kern.kernrange)
         dens = density_mfv_grid27(self.kern, spec, self.h_fac,
                                   self.h_converge, d(s.r), d(s.m), d(s.h),
                                   fill, hmax)
@@ -214,11 +219,28 @@ class MfvMusclSimulation(SimulationBase):
 
     # -- jitted step ---------------------------------------------------------
     def _gravity_pass(self, s: MfvState):
-        """Smoothed self-gravity acceleration (zeta-corrected)."""
+        """Smoothed self-gravity acceleration (zeta-corrected).
+
+        Production path: the same Barnes-Hut bucket walk as SPH
+        (MeshlessFVTree::UpdateAllGravForces), with the MFV zeta scaling
+        (MfvCommon::ComputeSmoothedGravForces, MfvCommon.cpp:413-416);
+        oracle path: all-pairs."""
+        if self.treespec is not None:
+            from ..ops.tree import tree_gravity_grouped
+
+            pdims = self.box.periodic_dims()
+            pext = [self.box.size[k] if k in pdims else 0.0
+                    for k in range(self.ndim)] if pdims else None
+            a_g, gpot, overflow = tree_gravity_grouped(
+                self.treespec, s.bucket_map, s.r, s.m, s.h, self.kern,
+                alive=s.alive, zh=s.zeta * s.hfactor,
+                periodic_extent=pext, zeta_scaling="mfv")
+            return a_g, gpot, overflow
         from ..ops.mfv import mfv_smoothed_gravity
 
-        return mfv_smoothed_gravity(self.kern, self.box, s.r, s.m, s.h,
-                                    s.zeta, s.hfactor)
+        a, gpot = mfv_smoothed_gravity(self.kern, self.box, s.r, s.m, s.h,
+                                       s.zeta, s.hfactor)
+        return a, gpot, jnp.asarray(False)
 
     def _dt_criterion(self, s: MfvState):
         dt = 2.0 * self.courant_mult * s.h / s.vsig_max
@@ -239,8 +261,9 @@ class MfvMusclSimulation(SimulationBase):
             Q0 = mfv_ops.qcons_from_state(s.ndim, s.m, s.v, s.u)
             s = s.replace(Qcons0=Q0, r0=s.r, v0=s.v)
             if self.self_gravity:
-                a, gpot = self._gravity_pass(s)
-                s = s.replace(a=a, a0=a)
+                a, gpot, ovf = self._gravity_pass(s)
+                s = s.replace(a=a, a0=a,
+                              neib_overflow=s.neib_overflow | ovf)
             s = self._gradient_pass(s)
             return s.replace(dt=self._dt_criterion(s))
 
@@ -261,7 +284,8 @@ class MfvMusclSimulation(SimulationBase):
                 v_mid = Qcons[..., :ndim] / jnp.maximum(m_new, 1e-30)[:, None]
                 r = self.box.wrap(s.r0 + 0.5 * (s.v0 + v_mid) * dt)
                 s_mid = s.replace(r=r, m=m_new)
-                a, gpot = self._gravity_pass(s_mid)
+                a, gpot, ovf = self._gravity_pass(s_mid)
+                s = s.replace(neib_overflow=s.neib_overflow | ovf)
                 rdmdt = flux.rdmdt_dot * dt
                 Qcons = mfv_ops.gravity_source_terms(
                     ndim, dt, s.Qcons0, Qcons, s.a0, a, rdmdt)
@@ -297,10 +321,15 @@ class MfvMusclSimulation(SimulationBase):
                                         ic["h"], ic["u"])
             if self.use_celllist:
                 self._plan_grid(ic["r"], ic["h"])
+            if self.self_gravity and self.use_celllist:
+                self._plan_tree_buckets(np.asarray(self.state.r))
             self._compile()
             self.state = self._bootstrap_fn(self.state)
             while self.use_celllist and bool(self.state.neib_overflow):
                 self._plan_grid(self.state.r, self.state.h)
+                if self.treespec is not None:
+                    self._plan_tree_buckets(np.asarray(self.state.r),
+                                            grow_caps=True)
                 self.state = self.state.replace(
                     neib_overflow=jnp.asarray(False))
                 self._compile()
@@ -308,20 +337,33 @@ class MfvMusclSimulation(SimulationBase):
         self._init_output_cadence()
 
     def main_loop_step(self):
+        # gravity-tree bucket rebuild cadence (ntreebuildstep analogue)
+        if self.treespec is not None and self.Nsteps > 0:
+            ntb = max(self.params.intparams["ntreebuildstep"], 1)
+            if self.Nsteps % ntb == 0:
+                with self.timing.block("TREE_REBUILD"):
+                    if self._plan_tree_buckets(np.asarray(self.state.r)):
+                        self._compile()
         with self.timing.block("MAIN_LOOP"):
             prev = self.state
             self.state = self._step_fn(prev)
-            # neighbour-capacity overflow: replan the grid and redo the step
-            # from the pre-step state (mirrors GradhSphSimulation; reference
-            # analogue Nneibmax doubling, GradhSphTree.cpp:172)
+            # neighbour-capacity overflow: replan the grid (and regrow the
+            # tree caps) and redo the step from the pre-step state (mirrors
+            # GradhSphSimulation; reference analogue Nneibmax doubling,
+            # GradhSphTree.cpp:172)
             if self.use_celllist and bool(self.state.neib_overflow):
                 with self.timing.block("GRID_REPLAN"):
                     for attempt in range(4):
                         self.state = prev
                         self._plan_grid(prev.r, prev.h,
                                         growth=1.3 * (1.2 ** attempt))
+                        if self.treespec is not None:
+                            # updates self.state's bucket_map in place —
+                            # step from self.state, not the stale prev
+                            self._plan_tree_buckets(np.asarray(prev.r),
+                                                    grow_caps=True)
                         self._compile()
-                        self.state = self._step_fn(prev)
+                        self.state = self._step_fn(self.state)
                         if not bool(self.state.neib_overflow):
                             break
                     else:

@@ -153,6 +153,81 @@ class SimulationBase:
             self.gridspec = plan_grid27(self.box, np.asarray(r), h_max,
                                         self.kern.kernrange)
 
+    def _plan_tree_buckets(self, r_np: np.ndarray,
+                           grow_caps: bool = False) -> bool:
+        """(Re)plan the gravity-tree buckets from current positions — the
+        host-side analogue of KDTree::BuildTree every ntreebuildstep
+        (HydroTree.cpp:310).  Between replans the bucket STRUCTURE is fixed
+        (a static gather map baked into the jitted step) while the cell
+        boxes are re-stocked from live positions every step, so the MAC
+        stays conservative as particles drift.  Returns True when the step
+        must be recompiled (padded shape or caps changed)."""
+        from ..ops.tree import (grow_tree_caps, plan_buckets_kd,
+                                plan_tree_for_buckets, walk_stats_native)
+
+        p = self.params
+        mp = p.stringparams["multipole"]
+        theta_sqd = p.floatparams["thetamaxsqd"]
+        old = self.treespec
+        # TPU-measured sweet spot: leaf 32 beats 16/8/64 (the walk is
+        # gather/logistics-bound, so fewer groups win until the near-field
+        # pair block's quadratic growth in L catches up)
+        L = 32
+        gmap = plan_buckets_kd(r_np, leaf_size=L)
+        # Cap sizing: MEASURED per distribution — the native walk-stats
+        # pass replays the device MAC over a sample of groups and reports
+        # the worst frontier/near/support demand (the reference sizes its
+        # neighbour buffers from observed demand the same way,
+        # GradhSphTree.cpp:172-185).  The margins cover particle drift
+        # over ntreebuildstep steps between replans; the in-jit overflow
+        # flag + grow_tree_caps remain the backstop.  Falls back to the
+        # conservative worst-case law when the native library is absent.
+        h_np = None
+        try:
+            if self.state is not None and self.state.h.shape[0] == len(r_np):
+                h_np = np.asarray(self.state.h)
+        except AttributeError:
+            pass
+        stats = walk_stats_native(
+            r_np, gmap, theta_sqd, h=h_np,
+            kernrange=getattr(self.kern, "kernrange", 2.0), sample=4096)
+        support_cap = None
+        if stats is not None:
+            near_max, front_max, sup_max = stats
+            near_cap = int(1.25 * near_max) + 16
+            frontier = int(1.25 * front_max) + 32
+            if h_np is not None:
+                support_cap = min(int(1.5 * sup_max) + 8, near_cap)
+        else:
+            near_cap = int(13.0 * L
+                           * (0.1 / max(theta_sqd, 1e-3)) ** 1.5) + 48
+        near_cap = min(near_cap, gmap.shape[0])
+        if stats is None:
+            frontier = 2 * near_cap + 64
+        if old is not None:
+            # keep caps monotone between replans unless they shrank a lot
+            # (every cap change costs a recompile); overflow-grown caps are
+            # remembered this way
+            if near_cap < old.near_cap <= 2 * near_cap:
+                near_cap = old.near_cap
+            if frontier < old.frontier <= 2 * frontier:
+                frontier = old.frontier
+            if support_cap is not None \
+                    and support_cap < old.support_cap <= 2 * support_cap:
+                support_cap = old.support_cap
+        spec = plan_tree_for_buckets(
+            gmap, theta_sqd=theta_sqd,
+            quadrupole=mp in ("quadrupole", "fast_quadrupole"),
+            fast=mp.startswith("fast"),
+            near_cap=near_cap, frontier=frontier)
+        if support_cap is not None:
+            spec = dataclasses.replace(spec, support_cap=support_cap)
+        if grow_caps:
+            spec = grow_tree_caps(spec)
+        self.treespec = spec
+        self.state = self.state.replace(bucket_map=jnp.asarray(gmap))
+        return old != spec
+
     @staticmethod
     def factory(params: Parameters) -> "SimulationBase":
         """Build a controller by `sim` string + ndim
@@ -463,81 +538,6 @@ class GradhSphSimulation(SimulationBase):
     def _compile(self):
         self._step_fn = jax.jit(self._build_step())
         self._bootstrap_fn = jax.jit(self._build_bootstrap())
-
-    def _plan_tree_buckets(self, r_np: np.ndarray,
-                           grow_caps: bool = False) -> bool:
-        """(Re)plan the gravity-tree buckets from current positions — the
-        host-side analogue of KDTree::BuildTree every ntreebuildstep
-        (HydroTree.cpp:310).  Between replans the bucket STRUCTURE is fixed
-        (a static gather map baked into the jitted step) while the cell
-        boxes are re-stocked from live positions every step, so the MAC
-        stays conservative as particles drift.  Returns True when the step
-        must be recompiled (padded shape or caps changed)."""
-        from ..ops.tree import (grow_tree_caps, plan_buckets_kd,
-                                plan_tree_for_buckets, walk_stats_native)
-
-        p = self.params
-        mp = p.stringparams["multipole"]
-        theta_sqd = p.floatparams["thetamaxsqd"]
-        old = self.treespec
-        # TPU-measured sweet spot: leaf 32 beats 16/8/64 (the walk is
-        # gather/logistics-bound, so fewer groups win until the near-field
-        # pair block's quadratic growth in L catches up)
-        L = 32
-        gmap = plan_buckets_kd(r_np, leaf_size=L)
-        # Cap sizing: MEASURED per distribution — the native walk-stats
-        # pass replays the device MAC over a sample of groups and reports
-        # the worst frontier/near/support demand (the reference sizes its
-        # neighbour buffers from observed demand the same way,
-        # GradhSphTree.cpp:172-185).  The margins cover particle drift
-        # over ntreebuildstep steps between replans; the in-jit overflow
-        # flag + grow_tree_caps remain the backstop.  Falls back to the
-        # conservative worst-case law when the native library is absent.
-        h_np = None
-        try:
-            if self.state is not None and self.state.h.shape[0] == len(r_np):
-                h_np = np.asarray(self.state.h)
-        except AttributeError:
-            pass
-        stats = walk_stats_native(
-            r_np, gmap, theta_sqd, h=h_np,
-            kernrange=getattr(self.kern, "kernrange", 2.0), sample=4096)
-        support_cap = None
-        if stats is not None:
-            near_max, front_max, sup_max = stats
-            near_cap = int(1.25 * near_max) + 16
-            frontier = int(1.25 * front_max) + 32
-            if h_np is not None:
-                support_cap = min(int(1.5 * sup_max) + 8, near_cap)
-        else:
-            near_cap = int(13.0 * L
-                           * (0.1 / max(theta_sqd, 1e-3)) ** 1.5) + 48
-        near_cap = min(near_cap, gmap.shape[0])
-        if stats is None:
-            frontier = 2 * near_cap + 64
-        if old is not None:
-            # keep caps monotone between replans unless they shrank a lot
-            # (every cap change costs a recompile); overflow-grown caps are
-            # remembered this way
-            if near_cap < old.near_cap <= 2 * near_cap:
-                near_cap = old.near_cap
-            if frontier < old.frontier <= 2 * frontier:
-                frontier = old.frontier
-            if support_cap is not None \
-                    and support_cap < old.support_cap <= 2 * support_cap:
-                support_cap = old.support_cap
-        spec = plan_tree_for_buckets(
-            gmap, theta_sqd=theta_sqd,
-            quadrupole=mp in ("quadrupole", "fast_quadrupole"),
-            fast=mp.startswith("fast"),
-            near_cap=near_cap, frontier=frontier)
-        if support_cap is not None:
-            spec = dataclasses.replace(spec, support_cap=support_cap)
-        if grow_caps:
-            spec = grow_tree_caps(spec)
-        self.treespec = spec
-        self.state = self.state.replace(bucket_map=jnp.asarray(gmap))
-        return old != spec
 
     def SetupSimulation(self):
         """GenerateIC + PostInitialConditionsSetup
@@ -1063,13 +1063,14 @@ class GradhSphSimulation(SimulationBase):
         """Update the ionisation field from the sink/star sources
         (radiation->UpdateRadiationField, SphSimulation.cpp:671-679;
         sources' N_LyC from the stellar table, Nbody.cpp:186-224)."""
-        from ..ops.ionisation import apply_ionisation, ionisation_fractions
+        from ..ops.ionisation import (apply_ionisation,
+                                      multi_source_ionisation)
         from ..ops.stellar import stellar_nlyc
 
         s, sk = self.state, self.sinks
         ndot = stellar_nlyc(self.stellar_table, sk.m)
-        ion = ionisation_fractions(self.ion_cfg, s.r, s.m, s.rho,
-                                   sk.r, ndot, sk.active)
+        ion = multi_source_ionisation(self.ion_cfg, s.r, s.m, s.rho,
+                                      sk.r, ndot, sk.active)
         u_new, _ = apply_ionisation(self.ion_cfg, self.eos.gammam1,
                                     ion, s.u)
         self.state = s.replace(u=u_new, u0=u_new,
@@ -1128,14 +1129,18 @@ class GradhSphSimulation(SimulationBase):
                             self._plan_tree_buckets(np.asarray(prev.r),
                                                     grow_caps=True)
                         self._compile()
+                        # _plan_tree_buckets updated self.state's
+                        # bucket_map — step from self.state, not the
+                        # stale prev copy
+                        cur = self.state
                         if self.use_block:
                             self.state, self._blocksched = self._step_fn(
-                                prev, self._blocksched)
+                                cur, self._blocksched)
                         elif self.has_sinks:
                             self.state, self.sinks = self._step_fn(
-                                prev, self.sinks)
+                                cur, self.sinks)
                         else:
-                            self.state = self._step_fn(prev)
+                            self.state = self._step_fn(cur)
                         if not bool(self.state.neib_overflow):
                             break
                     else:

@@ -171,6 +171,7 @@ class MfvState:
     dt: Array
     nstep: Array
     neib_overflow: Array
+    bucket_map: Array = None    # (n_leaves, L) gravity-tree bucket plan
 
     @property
     def N(self) -> int:
@@ -183,6 +184,10 @@ class MfvState:
     @property
     def nvar(self) -> int:
         return self.ndim + 2
+
+    @property
+    def alive(self) -> Array:
+        return (self.flags & FLAG_DEAD) == 0
 
     @property
     def Wprim(self) -> Array:

@@ -7,8 +7,15 @@ import os
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "collective_call_terminate" not in flags:
+    # virtual devices time-share one core: shards reach collectives at
+    # very different times on load-imbalanced configs, and XLA's CPU
+    # rendezvous ABORTS the process after 40s by default (rendezvous.cc).
+    # Real TPU collectives have no such watchdog.
+    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=7200")
+os.environ["XLA_FLAGS"] = flags
 os.environ.setdefault("GANDALF_PRECISION", "double")
 
 import jax  # noqa: E402

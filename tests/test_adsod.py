@@ -8,6 +8,8 @@ programmatically for hermeticity.
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from gandalf_tpu.analysis import facade
 from gandalf_tpu.analysis.compute import L1errornorm
 from gandalf_tpu.params import Parameters

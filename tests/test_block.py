@@ -6,6 +6,9 @@ The adiabatic Sod shock populates several timestep levels; accuracy must
 match the global-timestep result.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow
 import collections
 
 import numpy as np

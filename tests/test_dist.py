@@ -12,8 +12,8 @@ import jax
 from gandalf_tpu.params import Parameters
 from gandalf_tpu.sim.simulation import SimulationBase
 
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 4, reason="needs a multi-device (CPU) mesh")
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
+    len(jax.devices()) < 4, reason="needs a multi-device (CPU) mesh")]
 
 
 def box_params(n_side=16, nmpi=0, grav=0, **over):

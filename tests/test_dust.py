@@ -10,6 +10,8 @@ eps = rho_d / (rho_g + rho_d)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from gandalf_tpu.params import Parameters
 from gandalf_tpu.sim.simulation import GradhSphSimulation
 from gandalf_tpu.state import DUST_TYPE, GAS_TYPE

@@ -9,6 +9,8 @@ and momentum conservation through the full force pass.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax.numpy as jnp
 
 from gandalf_tpu.ops.ewald import (build_ewald_table, ewald_correction,

@@ -9,6 +9,8 @@ term (SphSimulation.cpp:511,806).
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from gandalf_tpu.params import Parameters
 from gandalf_tpu.sim.simulation import GradhSphSimulation, SimulationBase
 

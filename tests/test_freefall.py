@@ -6,6 +6,8 @@ cycloid solution with L1 < 9e-3."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from gandalf_tpu.analysis.compute import lagrangian_radii
 from gandalf_tpu.params import Parameters
 from gandalf_tpu.sim.simulation import SimulationBase
@@ -106,10 +108,13 @@ def test_freefall_tree_gravity():
     assert float(np.mean(errs)) < 9e-3
 
 
-def test_freefall_mfv_gravity():
+@pytest.mark.parametrize("neib", ["bruteforce", "kdtree"])
+def test_freefall_mfv_gravity(neib):
     """MFV self-gravity (MfvCommon::ComputeSmoothedGravForces + the
     gravity source terms of MfvIntegration): uniform-sphere collapse must
-    follow the analytic cycloid."""
+    follow the analytic cycloid.  bruteforce = all-pairs oracle (momentum
+    antisymmetric to roundoff); kdtree = grid27 + Barnes-Hut production
+    path (momentum error bounded by the theta^2=0.1 multipole error)."""
     import numpy as np
 
     p = Parameters()
@@ -121,10 +126,12 @@ def test_freefall_mfv_gravity():
             "gas_eos": "energy_eqn", "hydro_forces": 1, "self_gravity": 1,
             "riemann_solver": "hllc", "zero_mass_flux": 1,
             "h_fac": 1.2, "run_id": "", "courant_mult": 0.2,
-            "accel_mult": 0.05, "tend": 0.9}.items():
+            "accel_mult": 0.05, "tend": 0.9, "neib_search": neib}.items():
         p.set(k, v)
     sim = SimulationBase.factory(p)
     sim.SetupSimulation()
+    if neib == "kdtree":
+        assert sim.treespec is not None    # tree gravity engaged
 
     def hmr(s):
         r = np.asarray(s.r)
@@ -146,5 +153,8 @@ def test_freefall_mfv_gravity():
         moms.append(np.abs((np.asarray(s.m)[:, None]
                             * np.asarray(s.v)).sum(0)).max())
     assert np.mean(errs) < 0.03, f"MFV freefall L1 = {np.mean(errs)}"
-    assert max(moms) < 1e-8                         # momentum conserved
+    # momentum: exact antisymmetry on the all-pairs path; the BH walk's
+    # i->cell and cell->i approximations differ, so the tree path is
+    # bounded by the multipole force error instead
+    assert max(moms) < (1e-8 if neib == "bruteforce" else 1e-5)
     assert np.isfinite(np.asarray(sim.state.v)).all()

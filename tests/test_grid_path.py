@@ -10,6 +10,8 @@ masking bug in the production path trips the same thresholds
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from gandalf_tpu.analysis.riemann import shocktube_solution
 from gandalf_tpu.params import Parameters
 from gandalf_tpu.sim.simulation import GradhSphSimulation

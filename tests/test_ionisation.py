@@ -5,6 +5,8 @@ source in uniform gas must match the analytic Stromgren radius."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax.numpy as jnp
 
 from gandalf_tpu.ops.ionisation import (IonisationConfig, apply_ionisation,
@@ -69,3 +71,69 @@ def test_apply_ionisation_temperatures():
     u_new, temp = apply_ionisation(cfg, 2.0 / 3.0, ion, u)
     assert float(u_new[0]) == pytest.approx(1e4 / (2 / 3) / 0.678)
     assert float(temp[1]) == 10.0
+
+
+class TestMultiSourceCoupled:
+    """Iterated coupled balance (MultipleSourceIonisation.cpp:55-769)."""
+
+    def _uniform(self, N=20000, L=1.5, seed=5):
+        rng = np.random.default_rng(seed)
+        r = rng.uniform(-L, L, (N, 3))
+        m = np.full(N, (2 * L) ** 3 / N)
+        return r, m
+
+    def test_single_source_matches_independent(self):
+        from gandalf_tpu.ops.ionisation import multi_source_ionisation
+
+        r, m = self._uniform()
+        cfg = IonisationConfig(alphaB=1.0, mu_bar=1.0)
+        ndot = 4.0 * np.pi / 3.0 * 0.5 ** 3
+        args = (cfg, jnp.asarray(r), jnp.asarray(m),
+                jnp.ones(len(r)), jnp.zeros((1, 3)), jnp.asarray([ndot]),
+                jnp.asarray([True]))
+        ion_a = np.asarray(ionisation_fractions(*args))
+        ion_b = np.asarray(multi_source_ionisation(*args))
+        np.testing.assert_array_equal(ion_a, ion_b)
+
+    def test_coincident_sources_share_budget(self):
+        """Two sources at the SAME spot with Ndot/2 each must together
+        carve the same Stromgren sphere as one source with Ndot — the
+        independent treatment double-charges recombination and ionises
+        only (1/2)^(1/3) of the radius."""
+        from gandalf_tpu.ops.ionisation import multi_source_ionisation
+
+        r, m = self._uniform()
+        cfg = IonisationConfig(alphaB=1.0, mu_bar=1.0)
+        Rs = 0.5
+        ndot = 4.0 * np.pi / 3.0 * Rs ** 3
+        src2 = jnp.zeros((2, 3))
+        ion = np.asarray(multi_source_ionisation(
+            cfg, jnp.asarray(r), jnp.asarray(m), jnp.ones(len(r)),
+            src2, jnp.asarray([ndot / 2, ndot / 2]),
+            jnp.asarray([True, True])))
+        d = np.sqrt((r ** 2).sum(-1))
+        assert abs(d[ion].max() - Rs) < 0.04
+        assert ion[d < 0.8 * Rs].all()
+        # the uncoupled balance would stop at Rs/2^(1/3) ~ 0.397
+        ion_ind = np.asarray(ionisation_fractions(
+            cfg, jnp.asarray(r), jnp.asarray(m), jnp.ones(len(r)),
+            src2, jnp.asarray([ndot / 2, ndot / 2]),
+            jnp.asarray([True, True])))
+        assert d[ion_ind].max() < 0.45
+
+    def test_overlapping_sources_grow(self):
+        """Partially-merged regions: the coupled front must extend beyond
+        the independent one."""
+        from gandalf_tpu.ops.ionisation import multi_source_ionisation
+
+        r, m = self._uniform()
+        cfg = IonisationConfig(alphaB=1.0, mu_bar=1.0)
+        ndot = 4.0 * np.pi / 3.0 * 0.5 ** 3
+        src = jnp.asarray([[-0.3, 0.0, 0.0], [0.3, 0.0, 0.0]])
+        nd2 = jnp.asarray([ndot, ndot])
+        act = jnp.asarray([True, True])
+        args = (cfg, jnp.asarray(r), jnp.asarray(m), jnp.ones(len(r)))
+        ion_c = np.asarray(multi_source_ionisation(*args, src, nd2, act))
+        ion_i = np.asarray(ionisation_fractions(*args, src, nd2, act))
+        assert ion_c.sum() > ion_i.sum()
+        assert ion_c[ion_i].all()  # coupled is a superset

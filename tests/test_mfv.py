@@ -4,6 +4,8 @@ AdSodMeshlessTest: L1(vx) < 7e-3 with HLLC)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from gandalf_tpu.analysis import facade
 from gandalf_tpu.analysis.compute import L1errornorm
 from gandalf_tpu.params import Parameters

@@ -10,6 +10,8 @@ src/MeshlessFV/MeshlessFVTree.cpp:318,487,662).
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from gandalf_tpu.params import Parameters
 from gandalf_tpu.sim.simulation import SimulationBase
 
@@ -73,3 +75,35 @@ def test_mfv_grid_energy_conserved(pair):
     sim0 = pair["kdtree"]
     s0 = sim0.snapshots[0].data if sim0.snapshots else None
     assert np.isfinite(e1)
+
+
+def test_mfv_tree_gravity_vs_oracle():
+    """MFV Barnes-Hut gravity (zeta_scaling='mfv') against the all-pairs
+    MfvCommon::ComputeSmoothedGravForces oracle on a 3D gravitating
+    sphere: same accuracy gate as the SPH treeerror test."""
+    import jax
+
+    p = Parameters()
+    for k, v in {
+            "ndim": 3, "sim": "meshlessfv", "ic": "sphere", "Nhydro": 2000,
+            "particle_distribution": "random",
+            "mcloud": 1.0, "radius": 1.0, "dimensionless": 1,
+            "press1": 1e-4, "gamma_eos": 1.6666666666666667,
+            "gas_eos": "energy_eqn", "hydro_forces": 1, "self_gravity": 1,
+            "riemann_solver": "hllc", "zero_mass_flux": 1,
+            "run_id": "", "neib_search": "kdtree"}.items():
+        p.set(k, v)
+    sim = SimulationBase.factory(p)
+    sim.SetupSimulation()
+    s = sim.state
+    a_tree, _, ovf = jax.jit(sim._gravity_pass)(s)
+    assert not bool(ovf)
+
+    from gandalf_tpu.ops.mfv import mfv_smoothed_gravity
+    a_ref, _ = mfv_smoothed_gravity(sim.kern, sim.box, s.r, s.m, s.h,
+                                    s.zeta, s.hfactor)
+    a_tree, a_ref = np.asarray(a_tree), np.asarray(a_ref)
+    scale = np.sqrt((a_ref ** 2).sum(-1))
+    rel = np.sqrt(((a_tree - a_ref) ** 2).sum(-1)) / np.maximum(scale, 1e-12)
+    assert np.median(rel) < 2e-3, f"median rel err {np.median(rel)}"
+    assert np.percentile(rel, 99) < 3e-2, f"p99 {np.percentile(rel, 99)}"

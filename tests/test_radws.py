@@ -4,6 +4,8 @@ src/Hydrodynamics/EnergyRadws.cpp, src/Common/OpacityTable.cpp)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax.numpy as jnp
 
 from gandalf_tpu.ops.radws import (energy_find_equi, make_ideal_table,

@@ -8,6 +8,8 @@ Sinks.cpp creation/accretion invariants, and the BOSSBODENHEIMER setup
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from gandalf_tpu.params import Parameters
 from gandalf_tpu.sim.simulation import GradhSphSimulation
 

@@ -4,6 +4,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from gandalf_tpu.params import Parameters
 from gandalf_tpu.sim.simulation import SimulationBase, SM2012SphSimulation
 

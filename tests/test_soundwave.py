@@ -3,6 +3,8 @@ SPH L1(rho) < 1e-4, MFV < 2e-3, isothermal, N=64, one wave period)."""
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from gandalf_tpu.analysis import facade
 from gandalf_tpu.analysis.compute import L1errornorm
 from gandalf_tpu.params import Parameters

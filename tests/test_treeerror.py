@@ -5,6 +5,8 @@ treescaling.py — tree vs brute-force cost scaling)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 
