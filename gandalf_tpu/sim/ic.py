@@ -1268,6 +1268,343 @@ def bondi_ic(params, eos) -> Dict[str, np.ndarray]:
     }
 
 
+# ---------------------------------------------------------------------------
+# file / polytrope / silcc / binaryacc ICs + Lloyd regularisation
+# ---------------------------------------------------------------------------
+
+def file_ic(params, eos) -> Dict[str, np.ndarray]:
+    """Read initial conditions from a snapshot file
+    (ic = file; SimulationIC.hpp:88-92 ReadSnapshotFile).  The controller's
+    setup path applies the unit rescale exactly as for a restart; the run
+    starts at t = 0 (the reference also discards the snapshot time)."""
+    from . import io as sim_io
+
+    fname = params.stringparams["in_file"]
+    form = params.stringparams["in_file_form"]
+    if not fname:
+        raise ValueError("ic = file requires in_file")
+    if form in ("su", "seren_unform"):
+        _, data = sim_io.read_seren_unform(fname)
+    elif form in ("sf", "seren_form"):
+        _, data = sim_io.read_seren_form(fname)
+    elif form in ("column", "ascii"):
+        _, data = sim_io.read_column_snapshot(fname)
+    else:
+        raise ValueError(f"unknown in_file_form {form!r}")
+    if not params.intparams["dimensionless"]:
+        # file data is in OUTPUT units (reference rescale_particle_data)
+        from ..units import SimUnits
+
+        units = SimUnits()
+        units.setup_units(params)
+        for k, q in (("r", "r"), ("v", "v"), ("m", "m"), ("h", "r"),
+                     ("rho", "rho"), ("u", "u")):
+            if k in data:
+                data[k] = np.asarray(data[k]) / units.output_scale(q)
+    N = len(data["m"])
+    ndim = params.intparams["ndim"]
+    data.setdefault("v", np.zeros((N, ndim)))
+    data.setdefault("u", np.zeros(N))
+    if "h" not in data or np.all(np.asarray(data.get("h", 0)) == 0):
+        h_fac = params.floatparams["h_fac"]
+        rho0 = np.asarray(data.get("rho", np.ones(N)))
+        rho0 = np.where(rho0 > 0, rho0, 1.0)
+        data["h"] = h_fac * (np.asarray(data["m"]) / rho0) ** (1.0 / ndim)
+    return data
+
+
+def _lane_emden(n_poly: float, dxi: float = 1e-3):
+    """Integrate the Lane-Emden equation theta'' + 2 theta'/xi = -theta^n
+    to the first zero.  Returns (xi, theta, dtheta_dxi) arrays."""
+    xis, thetas, dthetas = [dxi], [1.0 - dxi * dxi / 6.0], [-dxi / 3.0]
+    xi, th, dth = xis[0], thetas[0], dthetas[0]
+
+    def rhs(xi, y):
+        th, dth = y
+        return np.array([dth, -max(th, 0.0) ** n_poly - 2.0 * dth / xi])
+
+    y = np.array([th, dth])
+    while y[0] > 0.0 and xi < 50.0:
+        k1 = rhs(xi, y)
+        k2 = rhs(xi + 0.5 * dxi, y + 0.5 * dxi * k1)
+        k3 = rhs(xi + 0.5 * dxi, y + 0.5 * dxi * k2)
+        k4 = rhs(xi + dxi, y + dxi * k3)
+        y = y + dxi / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4)
+        xi += dxi
+        xis.append(xi)
+        thetas.append(max(y[0], 0.0))
+        dthetas.append(y[1])
+    return np.asarray(xis), np.asarray(thetas), np.asarray(dthetas)
+
+
+def polytrope_ic(params, eos) -> Dict[str, np.ndarray]:
+    """Equilibrium polytropic sphere from the Lane-Emden solution with
+    index n = 1/(eta_eos - 1) (ic = polytrope; the reference's
+    PolytropeIc tabulates the same arrays, src/Ic/PolytropeIc.cpp:42-64,
+    but its Generate() was left unfinished — this is the completed
+    mass-shell-stretched lattice version).  mcloud/radius set the total
+    mass and outer radius; u is the equilibrium polytropic internal
+    energy (G = 1)."""
+    fp, ip = params.floatparams, params.intparams
+    if ip["ndim"] != 3:
+        raise ValueError("polytrope IC is 3D only")
+    eta = fp["eta_eos"]
+    if eta <= 1.0:
+        raise ValueError("polytrope needs eta_eos > 1")
+    n_poly = 1.0 / (eta - 1.0)
+    N = ip["Nhydro"]
+    M, R = fp["mcloud"], fp["radius"]
+
+    xi, theta, dtheta = _lane_emden(n_poly)
+    xi1 = xi[-1]
+    # cumulative dimensionless mass mu(xi) = -xi^2 theta'
+    mu = -xi * xi * dtheta
+    mu = np.maximum.accumulate(np.maximum(mu, 0.0))
+    mu1 = mu[-1]
+
+    alpha = R / xi1                      # length scale
+    rhoc = M / (4.0 * np.pi * alpha ** 3 * mu1)
+    K = 4.0 * np.pi * alpha * alpha * rhoc ** (eta - 2.0) / (n_poly + 1.0)
+
+    # uniform lattice sphere stretched so enclosed mass matches mu(xi)
+    r_unit = add_lattice_sphere(N, 1.0, 3)
+    N = len(r_unit)
+    rad = np.sqrt((r_unit ** 2).sum(-1))
+    mfrac = np.clip(rad, 1e-12, 1.0) ** 3      # uniform-sphere mass frac
+    xi_of_m = np.interp(mfrac * mu1, mu, xi)
+    scale = (alpha * xi_of_m) / np.maximum(rad, 1e-12)
+    r = r_unit * scale[:, None]
+    theta_p = np.interp(xi_of_m, xi, theta)
+    rho = rhoc * np.maximum(theta_p, 1e-10) ** n_poly
+    m = np.full(N, M / N)
+    h = fp["h_fac"] * (m / rho) ** (1.0 / 3.0)
+    # equilibrium internal energy: u = K rho^(eta-1) / (eta-1)
+    u = K * rho ** (eta - 1.0) / (eta - 1.0)
+    return {"r": r, "v": np.zeros((N, 3)), "m": m, "h": h, "u": u}
+
+
+def silcc_density(params):
+    """SILCC stratified-disc density profile (SilccIc::GetDensity,
+    src/Ic/SilccIc.cpp:139-150): Gaussian within |z| <= a_midplane, a
+    uniform atmosphere outside."""
+    fp = params.floatparams
+    a_mid = fp["a_midplane"]
+    h_mid = fp["h_midplane"]
+    rho_mid = fp["rho_midplane"]
+    rho_a = rho_mid * np.exp(-a_mid * a_mid / (h_mid * h_mid))
+
+    def rho(r):
+        z = np.abs(np.asarray(r)[..., -1])
+        return np.where(z <= a_mid,
+                        rho_mid * np.exp(-z * z / (h_mid * h_mid)), rho_a)
+
+    return rho
+
+
+def silcc_ic(params, eos) -> Dict[str, np.ndarray]:
+    """SILCC-type stratified galactic-disc slab (ic = silcc,
+    src/Ic/SilccIc.cpp:55-137): Monte-Carlo sampled Gaussian vertical
+    profile + uniform atmosphere, equal-mass particles, u from temp0.
+    Implemented in code units (dimensionless = 1) or pre-scaled params."""
+    fp, ip = params.floatparams, params.intparams
+    if ip["ndim"] != 3:
+        raise ValueError("silcc IC is 3D only")
+    N = ip["Nhydro"]
+    lo = np.array([fp[f"boxmin[{k}]"] for k in range(3)])
+    hi = np.array([fp[f"boxmax[{k}]"] for k in range(3)])
+    gammam1 = fp["gamma_eos"] - 1.0
+    u0 = fp["temp0"] / gammam1 / fp["mu_bar"]
+
+    rho_func = silcc_density(params)
+    rng = np.random.default_rng(ip["randseed"])
+    # rejection-sample the density field (Ic::AddMonteCarloDensityField)
+    rho_max = rho_func(np.array([[0.0, 0.0, 0.0]]))[0]
+    pts = []
+    need = N
+    while need > 0:
+        cand = lo + (hi - lo) * rng.random((2 * need + 64, 3))
+        keep = rng.random(len(cand)) < rho_func(cand) / rho_max
+        pts.append(cand[keep][:need])
+        need = N - sum(len(p) for p in pts)
+    r = np.concatenate(pts)[:N]
+
+    # total mass from the integrated profile (SilccIc.cpp:73-80)
+    a_mid, h_mid = fp["a_midplane"], fp["h_midplane"]
+    rho_mid = fp["rho_midplane"]
+    try:
+        from math import erf
+
+        erf_v = erf(a_mid / h_mid)
+    except Exception:  # pragma: no cover
+        erf_v = 1.0
+    area = (hi[0] - lo[0]) * (hi[1] - lo[1])
+    rho_a = rho_mid * np.exp(-a_mid * a_mid / (h_mid * h_mid))
+    m_exp = 0.5 * np.sqrt(np.pi) * rho_mid * h_mid * erf_v * area
+    m_uniform = rho_a * area * (hi[2] - a_mid)
+    m_box = 2.0 * (m_exp + m_uniform)
+    m = np.full(N, m_box / N)
+    rho_p = rho_func(r)
+    h = fp["h_fac"] * (m / np.maximum(rho_p, 1e-30)) ** (1.0 / 3.0)
+    return {"r": r, "v": np.zeros((N, 3)), "m": m, "h": h,
+            "u": np.full(N, u0)}
+
+
+def binaryacc_ic(params, eos) -> Dict[str, np.ndarray]:
+    """Binary (or single-star) accretion through a two-density gas stream
+    (ic = binaryacc, src/Ic/BinaryAccretionIc.cpp:54-280): two lattice
+    boxes of gas with rhofluid1/rhofluid2 split along x, plus 1-2 sink
+    stars at the box centre moving at Mach vmachbin through the gas."""
+    fp, ip = params.floatparams, params.intparams
+    ndim = ip["ndim"]
+    if ndim not in (2, 3):
+        raise ValueError("binaryacc IC is 2D/3D only")
+    Nstar = ip["Nstar"]
+    m1s, m2s = fp["m1"], fp["m2"]
+    abin, ebin = fp["abin"], fp["ebin"]
+    vmachbin = fp["vmachbin"]
+    rho1, rho2 = fp["rhofluid1"], fp["rhofluid2"]
+    press1 = fp["press1"]
+    gammam1 = fp["gamma_eos"] - 1.0
+    lo = np.array([fp[f"boxmin[{k}]"] for k in range(ndim)])
+    hi = np.array([fp[f"boxmax[{k}]"] for k in range(ndim)])
+    n1 = [ip[f"Nlattice1[{k}]"] for k in range(ndim)]
+    n2 = [ip[f"Nlattice2[{k}]"] for k in range(ndim)]
+
+    Nbox2 = int(np.prod(n2))
+    mid = lo[0] + 0.5 * (hi[0] - lo[0])
+    if Nbox2 > 0:
+        hi1 = hi.copy(); hi1[0] = mid
+        lo2 = lo.copy(); lo2[0] = mid
+        r1 = add_cubic_lattice(n1, lo, hi1)
+        r2 = add_cubic_lattice(n2, lo2, hi)
+        v1 = np.prod(hi1 - lo); v2 = np.prod(hi - lo2)
+        m = np.concatenate([np.full(len(r1), rho1 * v1 / len(r1)),
+                            np.full(len(r2), rho2 * v2 / len(r2))])
+        rho = np.concatenate([np.full(len(r1), rho1),
+                              np.full(len(r2), rho2)])
+        r = np.concatenate([r1, r2])
+    else:
+        r = add_cubic_lattice(n1, lo, hi)
+        m = np.full(len(r), rho1 * np.prod(hi - lo) / len(r))
+        rho = np.full(len(r), rho1)
+    N = len(r)
+    u0 = press1 / (gammam1 * rho1)
+    sound = np.sqrt(fp["gamma_eos"] * press1 / rho1)
+    v = np.zeros((N, ndim))
+
+    # binary/star at the domain centre, moving at Mach number vmachbin
+    centre = 0.5 * (lo + hi)
+    vbin = vmachbin * sound
+    hsink = fp["h_fac"] * (m.mean() / rho1) ** (1.0 / ndim)
+    if Nstar >= 2:
+        # a = abin, e = ebin circularised in the x-y plane
+        mtot = m1s + m2s
+        rsep = abin * (1.0 + ebin)
+        vorb = np.sqrt(mtot * (2.0 / rsep - 1.0 / abin))
+        f1, f2 = m2s / mtot, m1s / mtot
+        sr = np.zeros((2, ndim)); sv = np.zeros((2, ndim))
+        sr[0, 0] = centre[0] + f1 * rsep
+        sr[1, 0] = centre[0] - f2 * rsep
+        sr[:, 1:] += centre[1:]
+        sv[0, 1] = f1 * vorb
+        sv[1, 1] = -f2 * vorb
+        sv[:, 0] += vbin
+        sm = np.array([m1s, m2s])
+    else:
+        sr = centre[None, :].copy()
+        sv = np.zeros((1, ndim)); sv[0, 0] = vbin
+        sm = np.array([m1s + m2s])
+    star = {"r": sr, "v": sv, "m": sm,
+            "h": np.full(len(sm), hsink)}
+    return {"r": r, "v": v, "m": m,
+            "h": fp["h_fac"] * (m / rho) ** (1.0 / ndim),
+            "u": np.full(N, u0), "star": star}
+
+
+def regularise_ic(params, ic: Dict[str, np.ndarray], rho_func=None,
+                  periodic_dims=(), box_lo=None, box_hi=None
+                  ) -> Dict[str, np.ndarray]:
+    """Lloyd-style particle regularisation
+    (Regularization::ParticleRegularizer, src/Ic/ICRegularization.cpp:45-150
+    + DefaultRegularizerFunction, src/Headers/Ic.h:1194-1286):
+
+    Nreg iterations of  r_i -= sum_j dr_ij w0(s^2) [rho_reg * clip(
+    (rho_j - rho_true_j)/rho_true_j, -0.1, 10) + alpha_reg], each step
+    clipped to 0.5 h_i.  rho_true comes from the IC's analytic density
+    (uniform mean when absent); the SPH density is evaluated with a
+    chunked all-pairs kernel sum (host-side, one-off)."""
+    from ..kernels.smoothing import kernel_factory
+
+    fp, ip = params.floatparams, params.intparams
+    ndim = ip["ndim"]
+    kern = kernel_factory(params.stringparams["kernel"], ndim)
+    n_reg = max(ip["Nreg"], 1)
+    alpha_reg = fp["alpha_reg"]
+    rho_reg = fp["rho_reg"]
+    h_fac = fp["h_fac"]
+    kr = kern.kernrange
+
+    r = np.array(ic["r"], dtype=np.float64)
+    m = np.asarray(ic["m"], dtype=np.float64)
+    N = len(r)
+    if box_lo is None:
+        box_lo = r.min(0) - 1e-9
+        box_hi = r.max(0) + 1e-9
+    size = np.asarray(box_hi) - np.asarray(box_lo)
+
+    def min_image(dr):
+        for k in periodic_dims:
+            dr[..., k] -= size[k] * np.round(dr[..., k] / size[k])
+        return dr
+
+    import jax.numpy as jnp
+
+    def w0_s2(s2):
+        return np.asarray(kern.w0_s2(jnp.asarray(s2)))
+
+    for _ in range(n_reg):
+        rho_true = (rho_func(r) if rho_func is not None
+                    else np.full(N, (m.sum()
+                                     / max(np.prod(size), 1e-30))))
+        rho_true = np.maximum(rho_true, 1e-30)
+        h = h_fac * (m / rho_true) ** (1.0 / ndim)
+        # chunked SPH density + displacement
+        rho_sph = np.zeros(N)
+        chunk = max(1, int(2e7 // max(N, 1)))
+        for c0 in range(0, N, chunk):
+            sl = slice(c0, min(c0 + chunk, N))
+            dr = min_image(r[sl][:, None] - r[None, :])   # (c, N, nd)
+            drsqd = (dr ** 2).sum(-1)
+            s2 = drsqd / (h[sl, None] ** 2)
+            rho_sph[sl] = (m[None, :] * w0_s2(s2)).sum(-1) \
+                / h[sl] ** ndim
+        rhofrac = np.clip((rho_sph - rho_true) / rho_true, -0.1, 10.0)
+        weight = rho_reg * rhofrac + alpha_reg                 # per j
+        rreg = np.zeros_like(r)
+        for c0 in range(0, N, chunk):
+            sl = slice(c0, min(c0 + chunk, N))
+            dr = min_image(r[None, :] - r[sl][:, None])   # j - i, (c,N,nd)
+            drsqd = (dr ** 2).sum(-1)
+            invh2 = 1.0 / h[sl] ** 2
+            w = w0_s2(drsqd * invh2[:, None])
+            inside = drsqd < (kr * h[sl][:, None]) ** 2
+            coef = np.where(inside, w * weight[None, :], 0.0)
+            rreg[sl] = -(coef[..., None] * dr).sum(1)
+        # limit the move to half a smoothing length
+        step = np.sqrt((rreg ** 2).sum(-1))
+        over = step > 0.5 * h
+        rreg[over] *= (0.5 * h[over] / step[over])[:, None]
+        r = r + rreg
+        for k in periodic_dims:
+            r[:, k] = box_lo[k] + np.mod(r[:, k] - box_lo[k], size[k])
+    out = dict(ic)
+    out["r"] = r
+    if rho_func is not None:
+        rho_new = np.maximum(rho_func(r), 1e-30)
+        out["h"] = h_fac * (m / rho_new) ** (1.0 / ndim)
+    return out
+
+
 _IC_REGISTRY = {
     "disc": disc_ic,
     "gaussianring": gaussianring_ic,
@@ -1298,7 +1635,20 @@ _IC_REGISTRY = {
     "gresho": gresho_ic,
     "noh": noh_ic,
     "bossbodenheimer": bossbodenheimer_ic,
+    "bb": bossbodenheimer_ic,
     "plummer": plummer_hybrid_ic,
+    "file": file_ic,
+    "polytrope": polytrope_ic,
+    "silcc": silcc_ic,
+    "binaryacc": binaryacc_ic,
+    "rotisothermsphere": isothermsphere_ic,
+    "turbisothermsphere": isothermsphere_ic,
+}
+
+# analytic target densities for the Lloyd regulariser (per IC); absent
+# entries regularise toward the uniform mean density
+_RHO_FUNCS = {
+    "silcc": silcc_density,
 }
 
 _NBODY_IC_REGISTRY = {
@@ -1318,8 +1668,29 @@ def generate_nbody_ic(params) -> Dict[str, np.ndarray]:
 
 
 def generate_ic(params, eos) -> Dict[str, np.ndarray]:
-    """IC factory keyed by the `ic` parameter (SimulationIC.hpp:88-186)."""
+    """IC factory keyed by the `ic` parameter (SimulationIC.hpp:88-186),
+    with optional Lloyd regularisation of the particle distribution
+    (regularise_particle_ics = 1, src/Ic/ICRegularization.cpp)."""
     name = params.stringparams["ic"]
     if name not in _IC_REGISTRY:
         raise ValueError(f"Unrecognised or not-yet-implemented ic: {name!r}")
-    return _IC_REGISTRY[name](params, eos)
+    ic = _IC_REGISTRY[name](params, eos)
+    if params.intparams["regularise_particle_ics"] and name != "file":
+        ndim = params.intparams["ndim"]
+        fp = params.floatparams
+        pdims = []
+        lo = hi = None
+        try:
+            lo = [fp[f"boxmin[{k}]"] for k in range(ndim)]
+            hi = [fp[f"boxmax[{k}]"] for k in range(ndim)]
+            pdims = [k for k in range(ndim)
+                     if params.stringparams[f"boundary_lhs[{k}]"]
+                     == "periodic"]
+        except KeyError:
+            pass
+        rho_fn = _RHO_FUNCS.get(name)
+        ic = regularise_ic(params, ic,
+                           rho_func=rho_fn(params) if rho_fn else None,
+                           periodic_dims=tuple(pdims),
+                           box_lo=lo, box_hi=hi)
+    return ic

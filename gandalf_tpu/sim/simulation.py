@@ -256,16 +256,39 @@ class SimulationBase:
         raise NotImplementedError
 
     def Run(self, Nadvance: int = -1):
-        """Main run loop (SimulationBase::Run, Simulation.cpp:382-431)."""
+        """Main run loop (SimulationBase::Run, Simulation.cpp:382-431):
+        advance until tend/Nstepsmax, with the cluster-resilience hooks —
+        a wall-clock kill switch at 95% of tmax_wallclock that leaves a
+        restart snapshot behind (Simulation.cpp:404-408), and periodic
+        temp restart snapshots every nrestartstep steps (:593-596)."""
         if not self.setup_complete:
             self.SetupSimulation()
         tend = self.params.floatparams["tend"]
+        tmax_wall = self.params.floatparams["tmax_wallclock"]
+        nrestart = max(self.params.intparams["nrestartstep"], 1)
         Nstepsmax = (self.params.intparams["Nstepsmax"]
                      if Nadvance < 0 else self.Nsteps + Nadvance)
+        t_wall0 = time.time()
+        run_id = self.params.stringparams["run_id"]
         while self.t < tend and self.Nsteps < Nstepsmax:
             self.main_loop_step()
             self.output()
+            if run_id and self.Nsteps % nrestart == 0:
+                self._write_restart_snapshot()
+            if time.time() - t_wall0 > 0.95 * tmax_wall:
+                print(f"Reached 95% of tmax_wallclock={tmax_wall}s; "
+                      "writing restart snapshot and stopping")
+                if run_id:
+                    self._write_restart_snapshot()
+                return
         self.output(final=True)
+
+    def _write_restart_snapshot(self):
+        """Temp restart snapshot + run_id.restart pointer
+        (SimulationBase::RestartSnapshot, Simulation.cpp:609-631)."""
+        self._take_snapshot()
+        self._write_snapshot_file()
+        self.Noutsnap += 1
 
     def InteractiveRun(self, Nadvance: int = -1):
         """Run for ~dt_python wall-clock seconds, returning new snapshots

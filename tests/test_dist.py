@@ -131,3 +131,49 @@ class TestDistributedHydro:
         assert d["m"].sum() == pytest.approx(m0, rel=1e-12)
         assert np.isfinite(d["rho"]).all()
         assert sim.t > 0
+
+
+class TestDistributedSinks:
+    """Sinks/stars in distributed mode (reference MPI sink sync,
+    MpiControl::UpdateSinksAfterAccretion src/Mpi/MpiControl.cpp:408-431):
+    replicated sink state, psum'd star-gas forces and accretion sums.
+    The plummer config is centrally condensed, so this also exercises the
+    qz > 1 multi-ring z-halo stencil (sub-support z cells)."""
+
+    def _hybrid(self, nmpi):
+        p = Parameters()
+        base = dict(ndim=3, sim="sph", neib_search="kdtree",
+                    gas_eos="energy_eqn", dimensionless=1, run_id="",
+                    Nhydro=1024, Nstar=8, ic="plummer",
+                    self_gravity=1, hydro_forces=1,
+                    sink_particles=1, create_sinks=0, Nmpi=nmpi,
+                    randseed=3)
+        for k, v in base.items():
+            p.set(k, v)
+        p.set("gasfrac", 0.5)
+        p.set("starfrac", 0.5)
+        sim = SimulationBase.factory(p)
+        sim.SetupSimulation()
+        return sim
+
+    def _totals(self, sim):
+        host = sim._state_to_host()
+        act = np.asarray(sim.sinks.active)
+        return (host["m"][host["alive"]].sum()
+                + np.asarray(sim.sinks.m)[act].sum())
+
+    def test_hybrid_plummer_sinks_nmpi4(self):
+        sim = self._hybrid(4)
+        assert sim.has_sinks
+        m0 = self._totals(sim)
+        for _ in range(5):
+            sim.main_loop_step()
+        host = sim._state_to_host()
+        alive = int(host["alive"].sum())
+        assert alive < 1024, "nothing was accreted"
+        assert self._totals(sim) == pytest.approx(m0, rel=1e-12)
+        assert np.isfinite(host["r"]).all()
+        assert np.isfinite(host["v"]).all()
+        # every shard applied the identical replicated sink update
+        assert np.asarray(sim.sinks.m)[np.asarray(sim.sinks.active)].min() \
+            > 0.0

@@ -48,21 +48,21 @@ def _spitzer_sim(ndot, temp_ion):
     ic_mod.generate_ic = with_star
     sim_mod.generate_ic = with_star
     try:
-        sim.process_parameters()
-        # flat stellar table: any sink mass -> the chosen ionising rate
-        from gandalf_tpu.ops.stellar import StellarTable
-
-        logn = np.log10(ndot)
-        sim.stellar_table = StellarTable(
-            mass=np.asarray([0.0, 1e3]),
-            log_lum=np.asarray([0.0, 0.0]),
-            log_nlyc=np.asarray([logn, logn]),
-            teff=np.asarray([4e4, 4e4]), mdot=np.asarray([0.0, 0.0]),
-            vwind=np.asarray([0.0, 0.0]))
         sim.SetupSimulation()
     finally:
         ic_mod.generate_ic = orig
         sim_mod.generate_ic = orig
+    # flat stellar table: any sink mass -> the chosen ionising rate
+    # (set AFTER SetupSimulation — process_parameters reloads the default)
+    from gandalf_tpu.ops.stellar import StellarTable
+
+    logn = np.log10(ndot)
+    sim.stellar_table = StellarTable(
+        mass=np.asarray([0.0, 1e3]),
+        log_lum=np.asarray([0.0, 0.0]),
+        log_nlyc=np.asarray([logn, logn]),
+        teff=np.asarray([4e4, 4e4]), mdot=np.asarray([0.0, 0.0]),
+        vwind=np.asarray([0.0, 0.0]))
     return sim
 
 
