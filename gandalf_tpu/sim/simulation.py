@@ -525,12 +525,16 @@ class GradhSphSimulation(SimulationBase):
             # per-pair periodic corrections are wired into the all-pairs
             # gravity sum (the tree walk does not apply them yet)
             self.use_celllist = False
-        # hierarchical block timesteps (Nlevels > 1); the dense levelneib
-        # pass is wired into the all-pairs path only
+        # hierarchical block timesteps (Nlevels > 1).  On the grid path
+        # the tick runs the ACTIVE-COMPACTED gather pass (ops/active_grid)
+        # so pair cost tracks the active fraction — the point of the
+        # scheme (Simulation.cpp:1763-2197); bruteforce keeps the dense
+        # all-pairs tick.  Self-gravity still forces the brute tick (the
+        # active-group tree walk is not wired yet).
         self.nlevels = max(p.intparams["Nlevels"], 1)
         self.level_diff_max = p.intparams["level_diff_max"]
         self.use_block = self.nlevels > 1
-        if self.use_block:
+        if self.use_block and bool(p.intparams["self_gravity"]):
             self.use_celllist = False
         # sinks / stars (reference Sinks + star-gas hybrid coupling);
         # dead-particle (accreted) masking works on both neighbour paths
@@ -559,8 +563,134 @@ class GradhSphSimulation(SimulationBase):
         self.cell_chunk = 256    # cell chunk (dense pipeline)
 
     def _compile(self):
+        if self.use_block and self.use_celllist:
+            # active-compacted block tick: separately-jitted pieces driven
+            # from the host (the active set changes shape every tick)
+            self._build_block_compact()
+            self._bootstrap_fn = jax.jit(self._build_bootstrap())
+            self._step_fn = None
+            return
         self._step_fn = jax.jit(self._build_step())
         self._bootstrap_fn = jax.jit(self._build_bootstrap())
+
+    # -- active-compacted block timesteps (grid path) -----------------------
+    def _build_block_compact(self):
+        """Jitted pieces of one block tick with the pair work compacted to
+        the active subset (ops/active_grid; the reference's active-cell
+        walks, GradhSphTree.cpp:107-265 + Simulation.cpp:1763-2197)."""
+        from ..integrate.block import (BlockConfig, advance,
+                                       check_timesteps, end_timestep)
+        from ..ops.active_grid import active_hydro_pass
+
+        integ, box = self.integ, self.box
+        cfg = BlockConfig(nlevels=self.nlevels,
+                          level_diff_max=self.level_diff_max)
+        energy = integ.energy_integration
+
+        def f_advance(s, B):
+            s, active, t = advance(s, B, energy)
+            r = box.wrap(s.r)
+            r, v = box.reflect(r, s.v)
+            s = s.replace(r=r, v=v, r0=box.wrap(s.r0), t=t)
+            # O(N) EOS refresh so INACTIVE neighbours' pressure/sound are
+            # consistent with their predicted u (the dense tick recomputes
+            # them implicitly; stale thermals cost visible L1 at test
+            # resolutions)
+            if energy:
+                eos_kw = {}
+                if getattr(self.eos, "needs_ionfrac", False):
+                    eos_kw["ionfrac"] = s.ionfrac
+                u_n, p_n, c_n = self.eos.thermal_update(
+                    jnp.maximum(s.rho, 1e-30), s.u, **eos_kw)
+                alive = s.alive
+                s = s.replace(
+                    u=jnp.where(alive, u_n, s.u),
+                    pressure=jnp.where(alive, p_n, s.pressure),
+                    sound=jnp.where(alive, c_n, s.sound))
+            return s, active
+
+        def f_active(s, idx, val):
+            s, ovf = active_hydro_pass(
+                self.kern, self.visc, self.gridspec, self.eos,
+                self.h_fac, self.h_converge, s, idx, val)
+            return s.replace(neib_overflow=s.neib_overflow | ovf)
+
+        def f_check(s, B, active):
+            return check_timesteps(cfg, s, B, active)
+
+        def f_end(s, B, active2, nstep_p, level):
+            if integ.td_avisc:
+                s = s.replace(alpha=s.alpha
+                              + self._dalphadt(s) * B.dt_base)
+            dt_crit = sph_timestep(integ, s, self.hydro_forces)
+            s, B = end_timestep(cfg, s, B, active2, level, nstep_p,
+                                dt_crit, s.t, energy)
+            return s.replace(nstep=s.nstep + 1), B
+
+        self._f_advance = jax.jit(f_advance)
+        self._f_check = jax.jit(f_check)
+        self._f_end = jax.jit(f_end)
+        self._f_active_raw = f_active
+        self._f_active_cache = {}
+
+    def _f_active_for(self, cap: int):
+        fn = self._f_active_cache.get(cap)
+        if fn is None:
+            fn = jax.jit(self._f_active_raw)
+            self._f_active_cache[cap] = fn
+        return fn
+
+    @staticmethod
+    def _pad_active(ids: np.ndarray, n_total: int):
+        """Pad a compacted index list to a power-of-two bucket capacity so
+        the per-cap jit cache stays small."""
+        n = max(len(ids), 1)
+        cap = 1
+        while cap < n:
+            cap *= 2
+        cap = min(max(cap, 8), max(n_total, 8))
+        idx = np.full(cap, -1, np.int32)
+        idx[:len(ids)] = ids
+        return idx, idx >= 0
+
+    def _block_step_compact(self):
+        """One block tick on the grid path: host-compacted active subset,
+        Saitoh-Makino re-activation second pass, overflow replan."""
+        import jax.numpy as jnp
+
+        prev, prevB = self.state, self._blocksched
+        for attempt in range(5):
+            s, B = prev, prevB
+            n = int(B.n) + 1
+            active = ((n - np.asarray(s.nlast))
+                      == np.asarray(B.nstep_part)) & np.asarray(s.alive)
+            s, act_dev = self._f_advance(s, B)
+            ids = np.nonzero(active)[0]
+            idx, val = self._pad_active(ids, s.N)
+            # pair-work accounting: rows of gathered candidates this tick
+            self._active_rows = getattr(self, "_active_rows", 0) + len(idx)
+            s = self._f_active_for(len(idx))(
+                s, jnp.asarray(idx), jnp.asarray(val))
+            active2, nstep_p, level = self._f_check(
+                s, B, jnp.asarray(active))
+            newly = np.asarray(active2) & ~active
+            if newly.any():
+                # Saitoh-Makino re-activations need fresh forces before
+                # their correction kick (the reference's do-while redo,
+                # SphSimulation.cpp:660-757)
+                idx2, val2 = self._pad_active(np.nonzero(newly)[0], s.N)
+                self._active_rows += len(idx2)
+                s = self._f_active_for(len(idx2))(
+                    s, jnp.asarray(idx2), jnp.asarray(val2))
+            s, B = self._f_end(s, B, active2, nstep_p, level)
+            if not bool(s.neib_overflow):
+                self.state, self._blocksched = s, B
+                return
+            with self.timing.block("GRID_REPLAN"):
+                self._plan_grid(prev.r, prev.h, alive=prev.alive,
+                                growth=1.3 * (1.2 ** attempt))
+                self._compile()
+        raise RuntimeError("neighbour overflow persists after 5 replans")
 
     def SetupSimulation(self):
         """GenerateIC + PostInitialConditionsSetup
@@ -1127,6 +1257,11 @@ class GradhSphSimulation(SimulationBase):
                         self._compile()
         with self.timing.block("MAIN_LOOP"):
             prev = self.state
+            if self.use_block and self.use_celllist:
+                self._block_step_compact()
+                self.Nsteps += 1
+                self.t = float(self.state.t)
+                return
             if self.use_block:
                 self.state, self._blocksched = self._step_fn(
                     prev, self._blocksched)
