@@ -37,7 +37,10 @@ def direct_nbody(r: Array, v: Array, m: Array,
     """
     dr = r[None, :, :] - r[:, None, :]          # (N, N, ndim), j - i
     drsqd = jnp.sum(dr * dr, axis=-1)
-    eye = jnp.eye(r.shape[0], dtype=bool)
+    # mask self pairs AND coincident distinct pairs: collapsed sub-system
+    # members (ops/systemtree internal integration) share one position and
+    # must exert no mutual force in the global sum
+    eye = jnp.eye(r.shape[0], dtype=bool) | (drsqd == 0.0)
     inv_dr = jnp.where(eye, 0.0, 1.0 / jnp.sqrt(jnp.where(eye, 1.0, drsqd)))
     inv_dr3 = inv_dr * inv_dr * inv_dr
     a = jnp.sum((m[None, :] * inv_dr3)[..., None] * dr, axis=1)
@@ -67,7 +70,7 @@ def direct_snap(r: Array, v: Array, a: Array, m: Array) -> Array:
     dv = v[None, :, :] - v[:, None, :]
     da = a[None, :, :] - a[:, None, :]
     drsqd = jnp.sum(dr * dr, axis=-1)
-    eye = jnp.eye(r.shape[0], dtype=bool)
+    eye = jnp.eye(r.shape[0], dtype=bool) | (drsqd == 0.0)
     inv_r2 = jnp.where(eye, 0.0, 1.0 / jnp.where(eye, 1.0, drsqd))
     inv_r = jnp.sqrt(inv_r2)
     inv_r3 = inv_r2 * inv_r
@@ -91,7 +94,7 @@ def direct_softened(r: Array, v: Array, m: Array, h: Array,
     """
     dr = r[None, :, :] - r[:, None, :]
     drsqd = jnp.sum(dr * dr, axis=-1)
-    eye = jnp.eye(r.shape[0], dtype=bool)
+    eye = jnp.eye(r.shape[0], dtype=bool) | (drsqd == 0.0)
     drmag = jnp.sqrt(jnp.where(eye, 1.0, drsqd))
     inv_drmag = jnp.where(eye, 0.0, 1.0 / drmag)
     hbar = 0.5 * (h[:, None] + h[None, :])

@@ -14,9 +14,10 @@ host too, and star counts are small, so this is NOT device code.
 - `orbital_elements`: semi-major axis / eccentricity / period of a bound
   pair (the reference's binary diagnostics).
 
-Sub-system REGULARISED internal integration (SystemParticle + perturber
-lists) is not implemented yet; detection feeds diagnostics and the
-hierarchical-timestep assignment.
+- `integrate_internal_motion`: adaptive few-body Hermite P(EC)^2 over a
+  sub-system's COM-frame coordinates with perturber tidal forces — the
+  analogue of Nbody::IntegrateInternalMotion (Nbody.cpp:481-720); the COM
+  is advanced by the global integrator with members collapsed onto it.
 """
 
 from __future__ import annotations
@@ -150,3 +151,107 @@ def orbital_elements(r1, v1, m1, r2, v2, m2):
     e = np.sqrt(max(e2, 0.0))
     period = 2.0 * np.pi * np.sqrt(a ** 3 / mu) if a > 0 else np.inf
     return float(a), float(e), float(period)
+
+
+# ---------------------------------------------------------------------------
+# Internal sub-system integration (Nbody::IntegrateInternalMotion,
+# src/Nbody/Nbody.cpp:481-720 + SystemParticle, src/Headers/Nbody.h:108)
+# ---------------------------------------------------------------------------
+
+def _few_body_forces(r, m, r_pert=None, m_pert=None, r_com=None):
+    """Accel + jerk-ready pieces for <= Ncompmax bodies in COM-frame
+    coordinates, plus the TIDAL field of external perturbers: the uniform
+    part of the perturber force acts on the COM (it is already inside the
+    globally-integrated COM trajectory), so only the residual
+    a_pert(r_com + x) - a_pert(r_com) perturbs the internal motion
+    (reference CalculatePerturberForces semantics)."""
+    n = len(r)
+    a = np.zeros_like(r)
+    pot = np.zeros(n)
+    for i in range(n):
+        dr = r - r[i]
+        d2 = (dr ** 2).sum(-1)
+        d2[i] = 1.0
+        inv = 1.0 / np.sqrt(d2)
+        inv[i] = 0.0
+        w = m * inv ** 3
+        w[i] = 0.0
+        a[i] = (w[:, None] * dr).sum(0)
+        pot[i] = (m * inv).sum() - m[i] * inv[i]
+    if r_pert is not None and len(r_pert):
+        for i in range(n):
+            dr_i = r_pert - (r_com + r[i])
+            dr_c = r_pert - r_com
+            inv_i = 1.0 / np.maximum(np.sqrt((dr_i ** 2).sum(-1)), 1e-30)
+            inv_c = 1.0 / np.maximum(np.sqrt((dr_c ** 2).sum(-1)), 1e-30)
+            a[i] += ((m_pert * inv_i ** 3)[:, None] * dr_i
+                     - (m_pert * inv_c ** 3)[:, None] * dr_c).sum(0)
+    return a, pot
+
+
+def integrate_internal_motion(rel_r, rel_v, m, dt_total,
+                              nbody_mult: float = 0.1,
+                              r_com=None, r_pert=None, m_pert=None,
+                              max_steps: int = 200000):
+    """Integrate the INTERNAL motion of one sub-system over the global
+    step dt_total with an adaptive 4th-order Hermite P(EC)^2 scheme
+    (host-side numpy: <= Ncompmax bodies, exactly like the reference's
+    serial recursion, Nbody.cpp:481-720).
+
+    rel_r/rel_v are COM-frame member coordinates; the COM itself is
+    advanced by the GLOBAL integrator.  Perturber tidal forces use frozen
+    end-of-step perturber positions (the reference predicts them along
+    cubic trajectories; frozen positions are the leading-order version).
+    Returns (rel_r, rel_v)."""
+    r = np.array(rel_r, dtype=np.float64)
+    v = np.array(rel_v, dtype=np.float64)
+    m = np.asarray(m, dtype=np.float64)
+
+    def forces(r, v):
+        a, _ = _few_body_forces(r, m, r_pert, m_pert, r_com)
+        # jerk by direct formula
+        n = len(r)
+        adot = np.zeros_like(r)
+        for i in range(n):
+            dr = r - r[i]
+            dv = v - v[i]
+            d2 = (dr ** 2).sum(-1)
+            d2[i] = 1.0
+            inv = 1.0 / np.sqrt(d2)
+            inv[i] = 0.0
+            inv3 = inv ** 3
+            drdv = (dr * dv).sum(-1)
+            adot[i] = ((m * inv3)[:, None] * dv
+                       - (3.0 * m * drdv * inv3 * inv ** 2)[:, None]
+                       * dr).sum(0)
+        return a, adot
+
+    a, adot = forces(r, v)
+    t = 0.0
+    steps = 0
+    while t < dt_total and steps < max_steps:
+        amag = np.sqrt((a ** 2).sum(-1))
+        jmag = np.sqrt((adot ** 2).sum(-1))
+        dt = nbody_mult * np.min(amag / np.maximum(jmag, 1e-30))
+        dt = min(dt, dt_total - t)
+        dt = max(dt, 1e-12 * dt_total)
+        # predict
+        r0, v0, a0, adot0 = r, v, a, adot
+        r = r0 + v0 * dt + 0.5 * a0 * dt * dt + adot0 * dt ** 3 / 6.0
+        v = v0 + a0 * dt + 0.5 * adot0 * dt * dt
+        # P(EC)^2 Hermite corrector (NbodyHermite4::CorrectionTerms)
+        for _ in range(2):
+            a, adot = forces(r, v)
+            a2dot = (-6.0 * (a0 - a) - dt * (4.0 * adot0 + 2.0 * adot)) \
+                / (dt * dt)
+            a3dot = (12.0 * (a0 - a) + 6.0 * dt * (adot0 + adot)) \
+                / (dt ** 3)
+            v = v0 + 0.5 * dt * (a0 + a) - dt * dt * (adot - adot0) / 12.0
+            r = r0 + 0.5 * dt * (v0 + v) - dt * dt * (a - a0) / 12.0
+        t += dt
+        steps += 1
+    # re-centre: numerical COM drift stays out of the absolute coordinates
+    M = m.sum()
+    r -= (m[:, None] * r).sum(0) / M
+    v -= (m[:, None] * v).sum(0) / M
+    return r, v

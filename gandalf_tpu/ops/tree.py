@@ -55,6 +55,8 @@ class TreeSpec:
     near_cap: int = 0   # max direct-interaction leaf cells per group (Wn)
     group_chunk: int = 32
     support_cap: int = 64   # max kernel-support cells per group (Ws)
+    mac: str = "geometric"  # | "gadget2" | "eigenmac" (KDTree.cpp:824-843)
+    macerror: float = 1e-4
 
     @property
     def n_leaves(self) -> int:
@@ -254,7 +256,9 @@ class TreeGravityResult(NamedTuple):
 def tree_gravity(spec: TreeSpec, tree: TreeLevels,
                  r_s: Array, m_s: Array, alive: Array,
                  h_s: Array = None, kern=None, zh_s: Array = None,
-                 group_range=None, zeta_scaling: str = "sph"):
+                 group_range=None, zeta_scaling: str = "sph",
+                 ewald_table=None, ewald_extent=None,
+                 amag_s: Array = None, gpot_s: Array = None):
     """Frontier-walk gravity for every particle (sorted order).
 
     Near-field (unopened leaf pairs) uses the reference's SYMMETRIC grad-h
@@ -278,6 +282,22 @@ def tree_gravity(spec: TreeSpec, tree: TreeLevels,
     m_leaf = jnp.where(alive, m_s, 0.0).reshape(n_leaves, L)
     h_leaf = h_s.reshape(n_leaves, L) if h_s is not None else None
     zh_leaf = zh_s.reshape(n_leaves, L) if zh_s is not None else None
+    # accuracy-MAC target-side factors (stocked per GROUP, the analogue
+    # of the reference's per-cell amin/macfactor, KDTree.cpp:900-903):
+    # gadget2 needs min |a_prev|; eigenmac needs max gpot^(-2/3)
+    amin_leaf = macfac_leaf = None
+    if spec.mac == "gadget2":
+        big = jnp.asarray(1e30, dtype)
+        amag = big if amag_s is None else jnp.where(alive, amag_s, big)
+        amin_leaf = (jnp.full((n_leaves,), big) if amag_s is None
+                     else jnp.min(amag.reshape(n_leaves, L), axis=1))
+    elif spec.mac == "eigenmac":
+        if gpot_s is None:
+            macfac_leaf = jnp.zeros((n_leaves,), dtype)
+        else:
+            mf = jnp.where(alive & (gpot_s > 0.0),
+                           jnp.maximum(gpot_s, 1e-30) ** (-2.0 / 3.0), 0.0)
+            macfac_leaf = jnp.max(mf.reshape(n_leaves, L), axis=1)
     leaf_centre = tree.centre[-1]
     leaf_half = tree.half[-1]
 
@@ -361,11 +381,37 @@ def tree_gravity(spec: TreeSpec, tree: TreeLevels,
             # drsqd < rmax^2/theta^2).  Gap = worst-case distance from any
             # group particle to the cell COM; rmax = cell half-diagonal;
             # conservative for the whole group at once.
-            gap = jnp.maximum(jnp.abs(com_c - gc) - gh, 0.0)
+            dcc = com_c - gc
+            if ewald_table is not None:
+                # periodic walk geometry: a cell CLOSE through the seam
+                # must be opened (its multipole would otherwise be
+                # evaluated at an invalid min-image distance)
+                _Lg = jnp.asarray(ewald_extent, dtype)
+                dcc = dcc - _Lg * jnp.round(dcc / _Lg)
+            gap = jnp.maximum(jnp.abs(dcc) - gh, 0.0)
             dsqd = jnp.sum(gap * gap, axis=-1)
             rmax_sqd = jnp.sum(half_c * half_c, axis=-1)
             nonzero = m_c > 0.0
             accept = valid & nonzero & (dsqd * theta_sqd > rmax_sqd)
+            if spec.mac == "gadget2":
+                # open_cell_for_gravity gadget2 branch (Tree.h:424):
+                # drsqd^2 * amin * macerror < rmax^2 * m
+                extra = (dsqd * dsqd * amin_leaf[g] * spec.macerror
+                         < rmax_sqd * m_c)
+                accept = accept & ~extra
+            elif spec.mac == "eigenmac" and spec.quadrupole:
+                # source-cell error factor from the quadrupole eigenvalue
+                # bound lambda = 2 sqrt(tr(Q^2)/6) for traceless Q
+                # (KDTree.cpp:1058-1074), target factor max gpot^(-2/3)
+                diag = sum(q6[..., tri.index((k_, k_))] ** 2
+                           for k_ in range(ndim))
+                offd = sum(q6[..., tri.index(p_)] ** 2
+                           for p_ in tri if p_[0] != p_[1])
+                trq2 = diag + 2.0 * offd
+                lam = 2.0 * jnp.sqrt(jnp.maximum(trq2, 0.0) / 6.0)
+                cellmac = (0.5 * lam / spec.macerror) ** (2.0 / 3.0)
+                extra = dsqd < cellmac * macfac_leaf[g]
+                accept = accept & ~extra
             open_ = valid & nonzero & ~accept
 
             m_a = jnp.where(accept, m_c, 0.0)
@@ -373,7 +419,21 @@ def tree_gravity(spec: TreeSpec, tree: TreeLevels,
                 q6 = jnp.where(accept[:, None], q6, 0.0)
             if spec.fast:
                 dr = com_c - gc[None, :]                  # (W, ndim)
+                if ewald_table is not None:
+                    # the Ewald-corrected periodic sum is defined on the
+                    # MIN-IMAGE separation; far cells' unwrapped dr can
+                    # exceed the half-box
+                    _L = jnp.asarray(ewald_extent, dtype)
+                    dr = dr - _L * jnp.round(dr / _L)
                 a_f, p_f = _mp_accel(dr, m_a, q6)
+                if ewald_table is not None:
+                    # periodic correction at monopole level for accepted
+                    # cells (Ewald.cpp:500 called from the cell loop)
+                    from .ewald import ewald_correction
+
+                    e_a, e_p = ewald_correction(ewald_table, dr)
+                    a_f = a_f + m_a[:, None] * e_a
+                    p_f = p_f + m_a * e_p
                 a0 = a0 + jnp.sum(a_f, axis=0)
                 pot0 = pot0 + jnp.sum(p_f, axis=0)
                 # monopole acceleration Jacobian: d a_i / d x_j =
@@ -391,8 +451,17 @@ def tree_gravity(spec: TreeSpec, tree: TreeLevels,
                     axis=0)
             else:
                 dr = com_c[None, :, :] - rt[:, None, :]   # (L, W, ndim)
+                if ewald_table is not None:
+                    _L = jnp.asarray(ewald_extent, dtype)
+                    dr = dr - _L * jnp.round(dr / _L)
                 a_f, p_f = _mp_accel(dr, m_a[None, :],
                                      q6[None] if q6 is not None else None)
+                if ewald_table is not None:
+                    from .ewald import ewald_correction
+
+                    e_a, e_p = ewald_correction(ewald_table, dr)
+                    a_f = a_f + m_a[None, :, None] * e_a
+                    p_f = p_f + m_a[None, :] * e_p
                 a_acc = a_acc + jnp.sum(a_f, axis=1)
                 pot_acc = pot_acc + jnp.sum(p_f, axis=1)
 
@@ -451,11 +520,32 @@ def tree_gravity(spec: TreeSpec, tree: TreeLevels,
                    + jnp.arange(L, dtype=nidx.dtype)).reshape(-1)
         row_gid = g * L + jnp.arange(L, dtype=nidx.dtype)
         self_pair = col_gid[None, :] == row_gid[:, None]
-        inv_d = jnp.where(self_pair, 0.0, _safe_invr(dsq))
-        w_n = m_nb[None, :] * (inv_d * inv_d * inv_d)     # (L, Wn*L)
-        a_n = jnp.matmul(w_n, cn, precision=hi) \
-            - ct * jnp.sum(w_n, axis=1)[:, None]
-        p_n = jnp.matmul(inv_d, m_nb, precision=hi)
+        if ewald_table is None:
+            inv_d = jnp.where(self_pair, 0.0, _safe_invr(dsq))
+            w_n = m_nb[None, :] * (inv_d * inv_d * inv_d)  # (L, Wn*L)
+            a_n = jnp.matmul(w_n, cn, precision=hi) \
+                - ct * jnp.sum(w_n, axis=1)[:, None]
+            p_n = jnp.matmul(inv_d, m_nb, precision=hi)
+        else:
+            # Ewald (true periodic) mode: the periodic sum is defined on
+            # MIN-IMAGE separations, so the near field materialises the
+            # (L, Wn*L, nd) displacement tensor (the matmul expansion
+            # can't re-image) and adds the tabulated per-pair correction
+            # (Ewald.cpp:500 in the particle-particle loop)
+            from .ewald import ewald_correction
+
+            drv = cn[None, :, :] - ct[:, None, :]
+            _L = jnp.asarray(ewald_extent, dtype)
+            drv = drv - _L * jnp.round(drv / _L)
+            dsq = jnp.sum(drv * drv, axis=-1)
+            inv_d = jnp.where(self_pair, 0.0, _safe_invr(dsq))
+            w_n = m_nb[None, :] * (inv_d * inv_d * inv_d)
+            a_n = jnp.sum(w_n[..., None] * drv, axis=1)
+            p_n = jnp.matmul(inv_d, m_nb, precision=hi)
+            e_a, e_p = ewald_correction(ewald_table, drv)
+            m_pair = jnp.where(self_pair, 0.0, m_nb[None, :])
+            a_n = a_n + jnp.sum(m_pair[..., None] * e_a, axis=1)
+            p_n = p_n + jnp.sum(m_pair * e_p, axis=1)
 
         if h_leaf is not None and kern is not None:
             # support-cell selection: cells whose box gap to the group box
@@ -471,7 +561,11 @@ def tree_gravity(spec: TreeSpec, tree: TreeLevels,
                                        ntab[..., ndim + 1], 0.0), axis=1)
             cc = leaf_centre[nidx]
             ch = leaf_half[nidx]
-            gapv = jnp.maximum(jnp.abs(cc - gc) - ch - gh, 0.0)
+            dgc = cc - gc
+            if ewald_table is not None:
+                _Lg = jnp.asarray(ewald_extent, dtype)
+                dgc = dgc - _Lg * jnp.round(dgc / _Lg)
+            gapv = jnp.maximum(jnp.abs(dgc) - ch - gh, 0.0)
             gap2 = jnp.sum(gapv * gapv, axis=-1)
             rad = kern.kernrange * jnp.maximum(hg_max, hc_max)
             in_support = nvalid & (gap2 < rad * rad)
@@ -485,6 +579,11 @@ def tree_gravity(spec: TreeSpec, tree: TreeLevels,
             r_sb = stab[..., :ndim]
             m_sb = jnp.where(svalid[:, None], stab[..., ndim], 0.0)
             drs = r_sb[None, :, :, :] - rt[:, None, None, :]
+            if ewald_table is not None:
+                # keep the smoothed-pair images consistent with the
+                # min-imaged near field
+                _Ls = jnp.asarray(ewald_extent, dtype)
+                drs = drs - _Ls * jnp.round(drs / _Ls)
             dsqs = jnp.sum(drs * drs, axis=-1)
             selfp = dsqs <= 0.0
             # symmetric grad-h smoothed gravity (GradhSph.cpp:598-640):
@@ -748,14 +847,16 @@ def plan_buckets_kd(r: np.ndarray, leaf_size: int) -> np.ndarray:
 def plan_tree_for_buckets(gmap: np.ndarray, theta_sqd: float = 0.1,
                           quadrupole: bool = True, fast: bool = False,
                           near_cap: int = None,
-                          frontier: int = None) -> TreeSpec:
+                          frontier: int = None, mac: str = "geometric",
+                          macerror: float = 1e-4) -> TreeSpec:
     """TreeSpec matching a plan_buckets gather map."""
     G_pad, L = gmap.shape
     spec = plan_tree(G_pad * L, leaf_size=L, theta_sqd=theta_sqd,
-                     quadrupole=quadrupole, fast=fast, near_cap=near_cap,
+                     quadrupole=quadrupole or mac == "eigenmac",
+                     fast=fast, near_cap=near_cap,
                      frontier=frontier)
     assert spec.n_pad == G_pad * L, (spec.n_pad, gmap.shape)
-    return spec
+    return dataclasses.replace(spec, mac=mac, macerror=macerror)
 
 
 def unwrap_to_buckets(spec: TreeSpec, r_s: Array, in_map: Array,
@@ -788,7 +889,8 @@ def unwrap_to_buckets(spec: TreeSpec, r_s: Array, in_map: Array,
 def tree_gravity_grouped(spec: TreeSpec, gmap: Array, r: Array, m: Array,
                          h: Array = None, kern=None, alive: Array = None,
                          zh: Array = None, periodic_extent=None,
-                         zeta_scaling: str = "sph"):
+                         zeta_scaling: str = "sph", ewald_table=None,
+                         amag=None, gpot_prev=None):
     """Gravity with host-planned buckets: gather into bucket order (static
     map, no in-jit sort), stock boxes from CURRENT positions, walk, scatter
     back.  Returns (a, gpot, overflow) in ORIGINAL particle order."""
@@ -801,14 +903,21 @@ def tree_gravity_grouped(spec: TreeSpec, gmap: Array, r: Array, m: Array,
         r_s = unwrap_to_buckets(spec, r_s, in_map, periodic_extent)
     m_s = jnp.where(in_map, m[safe], 0.0)
     alive_s = in_map if alive is None else in_map & alive[safe]
-    h_s = zh_s = None
+    h_s = zh_s = amag_s = gpot_s = None
     if h is not None:
         h_s = jnp.where(in_map, h[safe], 1.0)
     if zh is not None:
         zh_s = jnp.where(in_map, zh[safe], 0.0)
+    if amag is not None:
+        amag_s = jnp.where(in_map, amag[safe], 1e30)
+    if gpot_prev is not None:
+        gpot_s = jnp.where(in_map, gpot_prev[safe], 0.0)
     tree = build_tree(spec, r_s, m_s, alive_s)
     res, overflow = tree_gravity(spec, tree, r_s, m_s, alive_s, h_s, kern,
-                                 zh_s, zeta_scaling=zeta_scaling)
+                                 zh_s, zeta_scaling=zeta_scaling,
+                                 ewald_table=ewald_table,
+                                 ewald_extent=periodic_extent,
+                                 amag_s=amag_s, gpot_s=gpot_s)
     a = jnp.zeros((N, ndim), r.dtype).at[safe].add(
         jnp.where(in_map[:, None], res.a, 0.0))
     gpot = jnp.zeros((N,), r.dtype).at[safe].add(

@@ -143,30 +143,115 @@ class NbodySimulation(SimulationBase):
         self._init_output_cadence()
 
     def main_loop_step(self):
+        p = self.params
+        use_sys = bool(p.intparams["sub_systems"])
+        # sub-system (re)identification every nsystembuildstep steps
+        # (NbodySimulation::MainLoop -> NbodySystemTree :264-300)
+        if use_sys and self.Nsteps % max(p.intparams["nsystembuildstep"],
+                                         1) == 0:
+            self._rebuild_subsystems()
+        # Global-dt clamp (reference ComputeGlobalTimestep bounds dt by
+        # the snapshot/end times, Simulation.cpp:1668-1754).  Also guards
+        # the degenerate all-in-one-system case: every star collapsed to
+        # a single COM has zero global accel/jerk, so the Aarseth
+        # criterion returns 0/0 -> inf.
+        t_now = float(self.state.t)
+        tend = self.params.floatparams["tend"]
+        cap = max(tend - t_now, 1e-30)
+        tsnap = getattr(self, "tsnapnext", None)
+        if tsnap is not None and tsnap > t_now:
+            cap = min(cap, tsnap - t_now)
+        dt_glob = float(self.state.dt)
+        if not np.isfinite(dt_glob) or dt_glob <= 0.0 or dt_glob > cap:
+            dt_glob = cap
+            self.state = self.state.replace(
+                dt=jnp.asarray(dt_glob, np.asarray(self.state.dt).dtype))
         with self.timing.block("MAIN_LOOP"):
             self.state = self._step_fn(self.state)
+        if getattr(self, "_sys_rel", None):
+            with self.timing.block("SUBSYSTEMS"):
+                self._integrate_subsystems(dt_glob)
         self.Nsteps += 1
         self.t = float(self.state.t)
-        # sub-system identification every nsystembuildstep steps
-        # (NbodySimulation::MainLoop -> NbodySystemTree; detection feeds
-        # diagnostics, internal regularised integration is a TODO)
-        p = self.params
-        if bool(p.intparams["sub_systems"]) \
-                and self.Nsteps % max(p.intparams["nsystembuildstep"],
-                                      1) == 0:
-            from ..ops.systemtree import build_subsystems
 
-            s = self.state
-            self.subsystems = build_subsystems(
-                np.asarray(s.r), np.asarray(s.v), np.asarray(s.m),
-                np.asarray(s.gpot), Ncompmax=p.intparams["Ncompmax"]
-                if "Ncompmax" in p.intparams else 4,
-                gpefrac=p.floatparams["gpefrac"])
+    # -- sub-systems (SystemParticle internal integration) -------------------
+    def _absolute_state(self):
+        """Member-slot absolute coordinates (collapsed COM + internal
+        offsets) as numpy arrays."""
+        r = np.array(np.asarray(self.state.r))
+        v = np.array(np.asarray(self.state.v))
+        for members, (rel_r, rel_v) in getattr(self, "_sys_rel",
+                                               {}).items():
+            idx = list(members)
+            r[idx] = r[idx] + rel_r
+            v[idx] = v[idx] + rel_v
+        return r, v
+
+    def _rebuild_subsystems(self):
+        """Detect bound sub-systems on ABSOLUTE coordinates and collapse
+        their members onto the COM for the global integration
+        (NbodySystemTree::BuildSubSystems; the collapsed members exert the
+        correct monopole force on outsiders because coincident pairs are
+        masked in the direct sums)."""
+        from ..ops.systemtree import build_subsystems
+
+        p = self.params
+        r_abs, v_abs = self._absolute_state()
+        s = self.state
+        m = np.asarray(s.m)
+        self.subsystems = build_subsystems(
+            r_abs, v_abs, m, np.asarray(s.gpot),
+            Ncompmax=p.intparams.get("Ncompmax", 4),
+            gpefrac=p.floatparams["gpefrac"])
+        self._sys_rel = {}
+        r_new, v_new = r_abs.copy(), v_abs.copy()
+        for sub in self.subsystems:
+            idx = list(sub.members)
+            mm = m[idx]
+            M = mm.sum()
+            r_com = (mm[:, None] * r_abs[idx]).sum(0) / M
+            v_com = (mm[:, None] * v_abs[idx]).sum(0) / M
+            self._sys_rel[sub.members] = (r_abs[idx] - r_com,
+                                          v_abs[idx] - v_com)
+            r_new[idx] = r_com
+            v_new[idx] = v_com
+        st = s.replace(r=jnp.asarray(r_new), v=jnp.asarray(v_new),
+                       r0=jnp.asarray(r_new), v0=jnp.asarray(v_new))
+        # refresh forces/derivatives/dt coherently for the new layout
+        self.state = self._bootstrap_fn(st)
+
+    def _integrate_subsystems(self, dt_glob: float):
+        """Advance each sub-system's INTERNAL motion over the global step
+        (Nbody::IntegrateInternalMotion, Nbody.cpp:481-720): COM moved by
+        the global Hermite step; members orbit in the COM frame with
+        perturber tidal forces from the other (collapsed) particles."""
+        from ..ops.systemtree import integrate_internal_motion
+
+        s = self.state
+        r_glob = np.asarray(s.r)
+        m = np.asarray(s.m)
+        member_set = set()
+        for members in self._sys_rel:
+            member_set.update(members)
+        for members, (rel_r, rel_v) in list(self._sys_rel.items()):
+            idx = list(members)
+            others = np.asarray([i for i in range(s.N)
+                                 if i not in members])
+            r_com = r_glob[idx[0]]
+            rel_r, rel_v = integrate_internal_motion(
+                rel_r, rel_v, m[idx], dt_glob,
+                nbody_mult=self.hermite.nbody_mult,
+                r_com=r_com,
+                r_pert=r_glob[others] if len(others) else None,
+                m_pert=m[others] if len(others) else None)
+            self._sys_rel[members] = (rel_r, rel_v)
 
     def _state_to_host(self) -> Dict[str, np.ndarray]:
         s = self.state
         out = {k: np.asarray(getattr(s, k))
                for k in ("r", "v", "a", "m", "h", "gpot")}
+        if getattr(self, "_sys_rel", None):
+            out["r"], out["v"] = self._absolute_state()
         # hydro-compatible aliases so generic analysis code works
         out["rho"] = np.zeros(s.N)
         out["u"] = np.zeros(s.N)

@@ -219,7 +219,9 @@ class SimulationBase:
             gmap, theta_sqd=theta_sqd,
             quadrupole=mp in ("quadrupole", "fast_quadrupole"),
             fast=mp.startswith("fast"),
-            near_cap=near_cap, frontier=frontier)
+            near_cap=near_cap, frontier=frontier,
+            mac=p.stringparams["gravity_mac"],
+            macerror=p.floatparams["macerror"])
         if support_cap is not None:
             spec = dataclasses.replace(spec, support_cap=support_cap)
         if grow_caps:
@@ -521,10 +523,9 @@ class GradhSphSimulation(SimulationBase):
         self.neib_search = p.stringparams["neib_search"]
         self.use_celllist = (self.neib_search != "bruteforce"
                              and not self.box.mirror_walls())
-        if self.use_ewald:
-            # per-pair periodic corrections are wired into the all-pairs
-            # gravity sum (the tree walk does not apply them yet)
-            self.use_celllist = False
+        # Ewald corrections are applied inside the tree walk (accepted
+        # cells at monopole level + per-pair near field, min-imaged), so
+        # periodic self-gravity no longer forces the O(N^2) path
         # hierarchical block timesteps (Nlevels > 1).  On the grid path
         # the tick runs the ACTIVE-COMPACTED gather pass (ops/active_grid)
         # so pair cost tracks the active fraction — the point of the
@@ -844,10 +845,17 @@ class GradhSphSimulation(SimulationBase):
                 pdims = self.box.periodic_dims()
                 pext = [self.box.size[k] if k in pdims else 0.0
                         for k in range(self.ndim)] if pdims else None
+                mac_kw = {}
+                if self.treespec.mac == "gadget2":
+                    mac_kw["amag"] = jnp.sqrt(jnp.sum(s.a0 * s.a0, -1))
+                elif self.treespec.mac == "eigenmac":
+                    mac_kw["gpot_prev"] = s.gpot
                 a_g, gpot, overflow = tree_gravity_grouped(
                     self.treespec, s.bucket_map, s.r, s.m, s.h, self.kern,
                     alive=s.alive, zh=s.zeta * s.hfactor,
-                    periodic_extent=pext)
+                    periodic_extent=pext,
+                    ewald_table=self.ewald_table if self.use_ewald
+                    else None, **mac_kw)
                 s = s.replace(a=s.a + a_g, gpot=gpot,
                               neib_overflow=s.neib_overflow | overflow)
             else:

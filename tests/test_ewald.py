@@ -128,3 +128,97 @@ class TestPeriodicSelfGravitySim:
         assert np.isfinite(np.asarray(s.v)).all()
         mom = (np.asarray(s.m)[:, None] * np.asarray(s.v)).sum(0)
         assert np.abs(mom).max() < 1e-10
+
+
+class TestEwaldTreeWalk:
+    """Ewald corrections INSIDE the Barnes-Hut walk (accepted cells at
+    monopole level + per-pair near field, min-imaged) vs the brute
+    Ewald-corrected direct sum (reference applies CalculatePeriodicCorrection
+    in its tree force loops, Ewald.cpp:500 via GradhSphTree.cpp:443-657)."""
+
+    def test_tree_ewald_matches_brute(self):
+        import jax
+        from gandalf_tpu.ops.sph_gravity import direct_sph_gravity
+        from gandalf_tpu.ops.tree import (plan_buckets_kd,
+                                          plan_tree_for_buckets,
+                                          tree_gravity_grouped)
+        from gandalf_tpu.kernels.smoothing import kernel_factory
+
+        rng = np.random.default_rng(9)
+        N = 2048
+        L = 1.0
+        r = rng.random((N, 3))
+        m = np.full(N, 1.0 / N)
+        # tiny h: the brute reference below is UNSOFTENED Newtonian +
+        # correction, so keep the tree's kernel-softened region negligible
+        h = np.full(N, 1e-3)
+        kern = kernel_factory("m4", 3)
+        box = _box(L)
+        tab = build_ewald_table([L] * 3, ngrid=17)
+
+        g = direct_sph_gravity(kern, jnp.asarray(r), jnp.asarray(m),
+                               jnp.asarray(h), jnp.zeros(N), jnp.zeros(N))
+        # brute reference: min-imaged Newtonian + per-pair Ewald correction
+        # (box.min_image applied inside ewald_pair_gravity)
+        ge = direct_sph_gravity(
+            kern, jnp.asarray(box.min_image(jnp.asarray(r))),
+            jnp.asarray(m), jnp.asarray(h), jnp.zeros(N), jnp.zeros(N))
+        dr_mi = box.min_image(jnp.asarray(r)[None, :, :]
+                              - jnp.asarray(r)[:, None, :])
+        from gandalf_tpu.ops.ewald import ewald_correction as corr
+        ac, pc = corr(tab, dr_mi)
+        eye = np.eye(N, dtype=bool)
+        mj = jnp.where(jnp.asarray(eye), 0.0, jnp.asarray(m)[None, :])
+        # direct min-image Newtonian from scratch (pairwise, kernel-softened
+        # by direct_sph_gravity's formulation is NOT min-imaged internally,
+        # so rebuild the plain sum here)
+        drsqd = jnp.sum(dr_mi * dr_mi, axis=-1)
+        inv = jnp.where(jnp.asarray(eye), 0.0,
+                        1.0 / jnp.sqrt(jnp.maximum(drsqd, 1e-30)))
+        w = mj * inv ** 3
+        a_ref = jnp.sum(w[..., None] * dr_mi, axis=1) \
+            + jnp.sum(mj[..., None] * ac, axis=1)
+
+        gmap = plan_buckets_kd(r, leaf_size=32)
+        spec = plan_tree_for_buckets(gmap, theta_sqd=0.1, quadrupole=True,
+                                     fast=False, near_cap=512,
+                                     frontier=1088)
+        a_t, gp_t, ovf = jax.jit(lambda rr, mm, hh: tree_gravity_grouped(
+            spec, jnp.asarray(gmap), rr, mm, hh, kern,
+            periodic_extent=[L] * 3, ewald_table=tab))(
+            jnp.asarray(r), jnp.asarray(m), jnp.asarray(h))
+        assert not bool(ovf)
+        a_t, a_ref = np.asarray(a_t), np.asarray(a_ref)
+        scale = np.sqrt((a_ref ** 2).sum(-1))
+        rel = np.sqrt(((a_t - a_ref) ** 2).sum(-1)) \
+            / np.maximum(scale, scale.mean())
+        assert np.median(rel) < 3e-3, f"median {np.median(rel)}"
+        assert np.percentile(rel, 99) < 3e-2, f"p99 {np.percentile(rel, 99)}"
+
+    def test_jeans_tree_path_runs(self):
+        """jeans IC with ewald=1 on neib_search=kdtree: periodic gravity
+        leaves the O(N^2) path (VERDICT r2 missing #8)."""
+        from gandalf_tpu.params import Parameters
+        from gandalf_tpu.sim.simulation import SimulationBase
+
+        p = Parameters()
+        for k, v in dict(
+                ndim=3, sim="gradhsph", ic="jeans", run_id="",
+                dimensionless=1, gas_eos="energy_eqn",
+                self_gravity=1, hydro_forces=1, ewald=1,
+                neib_search="kdtree", amp=0.025, temp0=1.0, mu_bar=1.0,
+                **{"Nlattice1[0]": 8, "Nlattice1[1]": 8, "Nlattice1[2]": 8,
+                   "boxmin[0]": 0.0, "boxmax[0]": 1.0,
+                   "boxmin[1]": 0.0, "boxmax[1]": 1.0,
+                   "boxmin[2]": 0.0, "boxmax[2]": 1.0},
+                **{f"boundary_lhs[{k}]": "periodic" for k in range(3)},
+                **{f"boundary_rhs[{k}]": "periodic" for k in range(3)}
+        ).items():
+            p.set(k, v)
+        sim = SimulationBase.factory(p)
+        sim.SetupSimulation()
+        assert sim.use_celllist and sim.use_ewald \
+            and sim.treespec is not None
+        for _ in range(3):
+            sim.main_loop_step()
+        assert np.isfinite(np.asarray(sim.state.v)).all()

@@ -71,3 +71,99 @@ def test_orbital_elements_circular():
     assert a == pytest.approx(1.0)
     assert e == pytest.approx(0.0, abs=1e-12)
     assert P == pytest.approx(2 * np.pi / np.sqrt(2.0))
+
+
+class TestInternalIntegration:
+    """Sub-system internal integration (Nbody::IntegrateInternalMotion,
+    Nbody.cpp:481-720): COM advanced by the global Hermite step with
+    members collapsed onto it; internal motion integrated by the adaptive
+    few-body Hermite with perturber tides."""
+
+    def test_binary_orbit_energy(self):
+        """Isolated binary in the COM frame: many orbits, energy and
+        semi-major axis conserved to Hermite accuracy."""
+        from gandalf_tpu.ops.systemtree import integrate_internal_motion
+
+        m = np.array([0.6, 0.4])
+        a0, e = 1.0, 0.3
+        # apocentre start
+        rsep = a0 * (1.0 + e)
+        mu = m.sum()
+        vorb = np.sqrt(mu * (2.0 / rsep - 1.0 / a0))
+        rel_r = np.array([[+m[1] / mu * rsep, 0.0, 0.0],
+                          [-m[0] / mu * rsep, 0.0, 0.0]])
+        rel_v = np.array([[0.0, +m[1] / mu * vorb, 0.0],
+                          [0.0, -m[0] / mu * vorb, 0.0]])
+
+        def energy(r, v):
+            ke = 0.5 * (m * (v ** 2).sum(-1)).sum()
+            d = np.linalg.norm(r[0] - r[1])
+            return ke - m[0] * m[1] / d
+
+        e0 = energy(rel_r, rel_v)
+        T = 2.0 * np.pi * np.sqrt(a0 ** 3 / mu)
+        rel_r, rel_v = integrate_internal_motion(
+            rel_r, rel_v, m, 20.0 * T, nbody_mult=0.05)
+        e1 = energy(rel_r, rel_v)
+        assert abs(e1 / e0 - 1.0) < 1e-6, f"binary dE/E = {e1/e0-1}"
+        # COM stays pinned
+        assert np.abs((m[:, None] * rel_r).sum(0)).max() < 1e-12
+
+    def _run_nbody(self, ic, sub, tend, **over):
+        from gandalf_tpu.params import Parameters
+        from gandalf_tpu.sim.nbody_sim import NbodySimulation
+
+        p = Parameters()
+        base = dict(ndim=3, sim="nbody", ic=ic, run_id="",
+                    dimensionless=1, nbody="hermite4ts", Npec=2,
+                    sub_systems=sub, nsystembuildstep=64,
+                    Nstar=4, m1=0.5, m2=0.3, m3=0.4, m4=0.2,
+                    abin=2.0, ebin=0.1, abin2=0.05, ebin2=0.0,
+                    rstar=1e-4, nbody_mult=0.1, tend=tend,
+                    dt_snap=tend, tsnapfirst=0.0)
+        base.update(over)
+        for k, v in base.items():
+            p.set(k, v)
+        sim = NbodySimulation(p)
+        sim.SetupSimulation()
+        nmax = 40000
+        n = 0
+        while sim.t < tend and n < nmax:
+            sim.main_loop_step()
+            n += 1
+        return sim
+
+    @staticmethod
+    def _total_energy(sim):
+        d = sim._state_to_host()
+        r, v, m = d["r"], d["v"], d["m"]
+        ke = 0.5 * (m * (v ** 2).sum(-1)).sum()
+        dr = r[:, None] - r[None, :]
+        dist = np.sqrt((dr ** 2).sum(-1))
+        np.fill_diagonal(dist, np.inf)
+        return ke - 0.5 * (m[:, None] * m[None, :] / dist).sum()
+
+    def test_triple_with_subsystems(self):
+        """Hierarchical triple: the tight inner binary is detected and
+        integrated internally; total energy (from reconstructed absolute
+        coordinates) conserved over several outer orbits."""
+        T_out = 2.0 * np.pi * np.sqrt(2.0 ** 3 / 1.2)
+        sim = self._run_nbody("triple", 1, 2.0 * T_out, Nstar=3)
+        assert getattr(sim, "subsystems", None), "no sub-system detected"
+        assert any(s.n >= 2 for s in sim.subsystems)
+        assert sim._sys_rel, "internal integration never engaged"
+        e0_sim = self._run_nbody("triple", 1, 1e-9, Nstar=3)
+        e0 = self._total_energy(e0_sim)
+        e1 = self._total_energy(sim)
+        assert abs(e1 / e0 - 1.0) < 5e-3, f"triple dE/E = {e1/e0-1}"
+
+    def test_quadruple_with_subsystems(self):
+        """Two tight binaries orbiting each other: both detected, energy
+        conserved."""
+        T_out = 2.0 * np.pi * np.sqrt(2.0 ** 3 / 1.4)
+        sim = self._run_nbody("quadruple", 1, 1.0 * T_out)
+        assert getattr(sim, "subsystems", None)
+        e0_sim = self._run_nbody("quadruple", 1, 1e-9)
+        e0 = self._total_energy(e0_sim)
+        e1 = self._total_energy(sim)
+        assert abs(e1 / e0 - 1.0) < 5e-3, f"quadruple dE/E = {e1/e0-1}"

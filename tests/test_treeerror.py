@@ -87,3 +87,64 @@ def test_tree_scaling_vs_bruteforce():
     # brute-force would be 8x: the tree's per-particle near work is far
     # below N at the larger size
     assert pairs_big < 0.25 * 32768
+
+
+class TestMacOptions:
+    """gadget2 and eigenmac opening criteria (KDTree.cpp:824-843 +
+    Tree.h:413-432): both ADD accuracy-driven openings on top of the
+    geometric MAC, so the force error must not exceed geometric's."""
+
+    def test_mac_variants_tighten_error(self):
+        import dataclasses as dc
+
+        import jax.numpy as jnp
+
+        from gandalf_tpu.kernels.smoothing import kernel_factory
+        from gandalf_tpu.ops.tree import (plan_buckets_kd,
+                                          plan_tree_for_buckets,
+                                          tree_gravity_grouped)
+
+        rng = np.random.default_rng(12)
+        N = 4096
+        # clustered distribution: MAC differences show up off-lattice
+        r = rng.standard_normal((N, 3)) * np.array([1.0, 0.7, 0.5])
+        m = np.full(N, 1.0 / N)
+        h = np.full(N, 1e-3)
+        kern = kernel_factory("m4", 3)
+        gmap = plan_buckets_kd(r, leaf_size=32)
+
+        # direct oracle
+        rj = jnp.asarray(r)
+        dr = rj[None, :, :] - rj[:, None, :]
+        drsqd = jnp.sum(dr * dr, -1)
+        eye = jnp.asarray(np.eye(N, dtype=bool))
+        inv = jnp.where(eye, 0.0, 1.0 / jnp.sqrt(jnp.maximum(drsqd, 1e-30)))
+        w = jnp.where(eye, 0.0, jnp.asarray(m)[None, :]) * inv ** 3
+        a_ref = np.asarray(jnp.sum(w[..., None] * dr, 1))
+        amag = jnp.sqrt(jnp.asarray((a_ref ** 2).sum(-1)))
+        gpot = jnp.asarray(np.asarray(jnp.sum(
+            jnp.where(eye, 0.0, jnp.asarray(m)[None, :]) * inv, 1)))
+
+        errs = {}
+        for mac in ("geometric", "gadget2", "eigenmac"):
+            spec = plan_tree_for_buckets(
+                gmap, theta_sqd=0.3, quadrupole=False, fast=False,
+                near_cap=256, frontier=576, mac=mac, macerror=2e-4)
+            kw = {}
+            if mac == "gadget2":
+                kw["amag"] = amag
+            elif mac == "eigenmac":
+                kw["gpot_prev"] = gpot
+            a_t, _, ovf = tree_gravity_grouped(
+                spec, jnp.asarray(gmap), rj, jnp.asarray(m),
+                jnp.asarray(h), kern, **kw)
+            assert not bool(ovf), mac
+            rel = np.linalg.norm(np.asarray(a_t) - a_ref, axis=-1) \
+                / np.linalg.norm(a_ref, axis=-1)
+            errs[mac] = float(np.median(rel))
+        # accuracy MACs only open MORE cells
+        assert errs["gadget2"] <= errs["geometric"] * 1.001, errs
+        assert errs["eigenmac"] <= errs["geometric"] * 1.001, errs
+        # and they must actually engage (strictly tighter on this config)
+        assert errs["gadget2"] < 0.7 * errs["geometric"], errs
+        assert errs["eigenmac"] < 0.9 * errs["geometric"], errs
