@@ -808,7 +808,14 @@ class GradhSphSimulation(SimulationBase):
                 self._plan_tree_buckets(np.asarray(self.state.r))
             self._compile()
             self._run_bootstrap()
+            tries = 0
             while self.use_celllist and bool(self.state.neib_overflow):
+                tries += 1
+                if tries > 5:
+                    raise RuntimeError(
+                        "bootstrap neighbour overflow persists after 5 "
+                        "replans — h is pinned at a clamp (coincident "
+                        "particles in the ICs?) or the caps cannot grow")
                 self._plan_grid(self.state.r, self.state.h,
                                 alive=self.state.alive)
                 if self.treespec is not None:
@@ -1234,8 +1241,20 @@ class GradhSphSimulation(SimulationBase):
                                       sk.r, ndot, sk.active)
         u_new, _ = apply_ionisation(self.ion_cfg, self.eos.gammam1,
                                     ion, s.u)
-        self.state = s.replace(u=u_new, u0=u_new,
-                               ionfrac=ion.astype(s.u.dtype))
+        s = s.replace(u=u_new, u0=u_new, ionfrac=ion.astype(s.u.dtype))
+        # thermal refresh + dt clamp: freshly-ionised gas is suddenly
+        # HOT, and the stale (cold-gas) timestep would overshoot the
+        # whole expansion (reference recomputes thermal properties after
+        # UpdateRadiationField, SphSimulation.cpp:672-679)
+        eos_kw = {"ionfrac": s.ionfrac} \
+            if getattr(self.eos, "needs_ionfrac", False) else {}
+        u2, p2, c2 = self.eos.thermal_update(
+            jnp.maximum(s.rho, 1e-30), s.u, **eos_kw)
+        s = s.replace(u=u2, u0=u2, pressure=p2, sound=c2)
+        dt_part = jnp.where(s.alive,
+                            sph_timestep(self.integ, s, self.hydro_forces),
+                            1e30)
+        self.state = s.replace(dt=jnp.minimum(s.dt, jnp.min(dt_part)))
 
     # -- host driver ------------------------------------------------------------
     def main_loop_step(self):

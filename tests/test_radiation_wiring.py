@@ -84,3 +84,33 @@ def test_stellar_table_lookup():
     assert (np.diff(n) >= 0).all()
     lum = np.asarray(stellar_luminosity(t, np.array([1.0])))
     assert lum[0] == pytest.approx(10.0)
+
+
+def test_mcradiation_eos_blend():
+    """MCRadiationEOS (reference src/Thermal/MCRadiationEOS.cpp): u
+    blended linearly in the ionisation fraction between the base-EOS
+    value and temp_ion/(gamma-1)/mu_ion (radiation = monoionisation)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gandalf_tpu.ops.eos import MCRadiationEOS, eos_factory
+    from gandalf_tpu.params import Parameters
+
+    p = Parameters()
+    for k, v in dict(gas_eos="isothermal", radiation="monoionisation",
+                     gamma_eos=5.0 / 3.0, mu_bar=1.0, temp0=1e-3,
+                     temp_ion=0.05, mu_ion=1.0, dimensionless=1).items():
+        p.set(k, v)
+    eos = eos_factory(p)
+    assert isinstance(eos, MCRadiationEOS) and eos.needs_ionfrac
+
+    rho = jnp.ones(4)
+    u = jnp.full(4, 1e-5)
+    f = jnp.asarray([0.0, 0.25, 0.5, 1.0])
+    u_n, p_n, c_n = eos.thermal_update(rho, u, ionfrac=f)
+    gammam1 = 2.0 / 3.0
+    u_base = 1e-3 / gammam1 / 1.0
+    u_ion = 0.05 / gammam1 / 1.0
+    expect = np.asarray(f) * u_ion + (1 - np.asarray(f)) * u_base
+    np.testing.assert_allclose(np.asarray(u_n), expect, rtol=1e-12)
+    assert (np.diff(np.asarray(p_n)) > 0).all()
