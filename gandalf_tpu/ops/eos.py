@@ -279,7 +279,8 @@ def eos_factory(params) -> EOS:
     mu_bar = params.floatparams["mu_bar"]
     temp0 = params.floatparams["temp0"]
     radiation = params.stringparams["radiation"]
-    if radiation in ("ionisation", "monoionisation") and name in (
+    if radiation in ("ionisation", "monoionisation", "treeray") \
+            and name in (
             "energy_eqn", "constant_temp", "isothermal", "polytropic",
             "barotropic", "barotropic2"):
         # wrap the base EOS with the ionisation blend
@@ -290,7 +291,7 @@ def eos_factory(params) -> EOS:
         inner.stringparams = dict(params.stringparams)
         inner.stringparams["radiation"] = "none"
         base = eos_factory(inner)
-        if radiation == "ionisation":
+        if radiation in ("ionisation", "treeray"):
             return IonisingRadiationEOS(gamma=gamma, mu_bar=mu_bar,
                                         needs_ionfrac=True, base=base)
         return MCRadiationEOS(gamma=gamma, mu_bar=mu_bar,

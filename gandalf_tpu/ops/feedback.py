@@ -152,4 +152,30 @@ def driver_from_params(params, mmean: float):
             events.append(SupernovaEvent(t=(k + 0.5) * t_sn, pos=pos))
         return SupernovaDriver(events=events, mmean=mmean,
                                seed=params.intparams["randseed"])
+    if mode == "silcc":
+        # SN event table from SNfile_name: header line, count line, then
+        # rows of (t, x, y, z, Einj) (SilccSupernovaDriver,
+        # SupernovaDriver.cpp:159-229); Minj/Rinj/R_therm_kin params
+        fp = params.floatparams
+        fname = params.stringparams["SNfile_name"]
+        if not fname:
+            raise ValueError("supernova_feedback = silcc needs "
+                             "SNfile_name")
+        events = []
+        with open(fname) as f:
+            f.readline()
+            n_sn = int(f.readline().split()[0])
+            for line in f:
+                parts = line.split()
+                if len(parts) >= 5:
+                    tsn, x, y, z, einj = (float(p) for p in parts[:5])
+                    events.append(SupernovaEvent(
+                        t=tsn, pos=(x, y, z)[:params.intparams["ndim"]],
+                        Einj=einj, R_therm_kin=fp["R_therm_kin"],
+                        Minj=fp["Minj"], Rinj=fp["Rinj"]))
+                if len(events) >= n_sn:
+                    break
+        events.sort(key=lambda e: e.t)
+        return SupernovaDriver(events=events, mmean=mmean,
+                               seed=params.intparams["randseed"])
     raise ValueError(f"unknown supernova_feedback {mode!r}")

@@ -133,6 +133,9 @@ _FLOAT_DEFAULTS: Dict[str, float] = {
     "Kpoly": 1.0,
     "temp_ambient": 5.0,
     "tsupernova": 1.0,
+    "Minj": 0.005,
+    "Rinj": 0.0,
+    "R_therm_kin": 1.0e5,
     "alpha_visc": 1.0,
     "alpha_visc_min": 0.1,
     "beta_visc": 2.0,
@@ -336,6 +339,7 @@ _STRING_DEFAULTS: Dict[str, str] = {
     "dust_forces": "none",
     "drag_law": "none",
     "supernova_feedback": "none",
+    "SNfile_name": "",
     "sink_fb": "continuous",
 }
 

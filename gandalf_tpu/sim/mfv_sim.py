@@ -344,6 +344,7 @@ class MfvMusclSimulation(SimulationBase):
                 with self.timing.block("TREE_REBUILD"):
                     if self._plan_tree_buckets(np.asarray(self.state.r)):
                         self._compile()
+        self._clamp_dt_to_tend()
         with self.timing.block("MAIN_LOOP"):
             prev = self.state
             self.state = self._step_fn(prev)

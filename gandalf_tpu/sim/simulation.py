@@ -321,6 +321,21 @@ class SimulationBase:
             while self.tsnapnext <= self.t:
                 self.tsnapnext += dt_snap
 
+    def _clamp_dt_to_tend(self):
+        """Bound the global timestep by the remaining run time
+        (ComputeGlobalTimestep caps dt with tsnapnext/tend,
+        Simulation.cpp:1668-1754) — without it the last step overshoots
+        tend by up to a full dt.  Block-timestep runs keep their ladder's
+        dt_base untouched."""
+        if getattr(self, "use_block", False):
+            return
+        t_now = float(self.state.t)
+        cap = self.params.floatparams["tend"] - t_now
+        dt = float(self.state.dt)
+        if cap > 0.0 and (not np.isfinite(dt) or dt > cap):
+            self.state = self.state.replace(
+                dt=jnp.asarray(cap, np.asarray(self.state.dt).dtype))
+
     def main_loop_step(self):
         raise NotImplementedError
 
@@ -486,7 +501,7 @@ class GradhSphSimulation(SimulationBase):
         # from the stellar-properties table)
         self.radiation = p.stringparams["radiation"]
         self.nradstep = max(p.intparams["nradstep"], 1)
-        if self.radiation in ("ionisation", "monoionisation"):
+        if self.radiation in ("ionisation", "monoionisation", "treeray"):
             import os as _os
 
             from ..ops.ionisation import IonisationConfig
@@ -506,7 +521,7 @@ class GradhSphSimulation(SimulationBase):
         elif self.radiation not in ("none", "null", ""):
             raise NotImplementedError(
                 f"radiation scheme {self.radiation!r} not implemented "
-                "(available: ionisation, monoionisation)")
+                "(available: ionisation, monoionisation, treeray)")
         # external analytic potentials (reference Simulation.cpp:1163-1181)
         self.extpot = p.stringparams["external_potential"]
         kgrav = p.intparams["kgrav"]
@@ -1237,8 +1252,28 @@ class GradhSphSimulation(SimulationBase):
 
         s, sk = self.state, self.sinks
         ndot = stellar_nlyc(self.stellar_table, sk.m)
-        ion = multi_source_ionisation(self.ion_cfg, s.r, s.m, s.rho,
-                                      sk.r, ndot, sk.active)
+        if self.radiation == "treeray":
+            # reverse ray-traced OnTheSpot transport with shadowing
+            # (ops/treeray; reference TreeRay.cpp + TreeRayOnTheSpot.cpp)
+            from ..ops import sph_grid27 as g27
+            from ..ops import treeray as tr
+
+            spec = self.gridspec
+            if spec is None:
+                from ..ops.sph_grid27 import plan_grid27
+
+                h_np = np.asarray(s.h)
+                spec = plan_grid27(self.box, np.asarray(s.r),
+                                   float(h_np.max()) * 1.3,
+                                   self.kern.kernrange)
+            b = g27.bin_particles(spec, s.r, discard=~s.alive)
+            _, nh2 = tr.cell_field(spec, b, s.m, s.rho,
+                                   self.ion_cfg.mu_bar)
+            ion = tr.treeray_ionisation(spec, nh2, s.r, sk.r, ndot,
+                                        sk.active, self.ion_cfg.alphaB)
+        else:
+            ion = multi_source_ionisation(self.ion_cfg, s.r, s.m, s.rho,
+                                          sk.r, ndot, sk.active)
         u_new, _ = apply_ionisation(self.ion_cfg, self.eos.gammam1,
                                     ion, s.u)
         s = s.replace(u=u_new, u0=u_new, ionfrac=ion.astype(s.u.dtype))
@@ -1259,7 +1294,7 @@ class GradhSphSimulation(SimulationBase):
     # -- host driver ------------------------------------------------------------
     def main_loop_step(self):
         # radiation field update every nradstep steps
-        if self.radiation in ("ionisation", "monoionisation") \
+        if self.radiation in ("ionisation", "monoionisation", "treeray") \
                 and getattr(self, "has_sinks", False) \
                 and self.Nsteps % self.nradstep == 0:
             with self.timing.block("RADIATION"):
@@ -1282,6 +1317,7 @@ class GradhSphSimulation(SimulationBase):
                 with self.timing.block("TREE_REBUILD"):
                     if self._plan_tree_buckets(np.asarray(self.state.r)):
                         self._compile()
+        self._clamp_dt_to_tend()
         with self.timing.block("MAIN_LOOP"):
             prev = self.state
             if self.use_block and self.use_celllist:

@@ -73,3 +73,33 @@ def test_random_sedov_driver():
     assert (pos >= -1.0).all() and (pos <= 1.0).all()
     # positions differ between events
     assert len(np.unique(pos.round(6))) > 3
+
+
+def test_silcc_sn_driver(tmp_path):
+    """SilccSupernovaDriver (SupernovaDriver.cpp:159-270): SN event table
+    read from SNfile_name; events fire at their listed times/positions
+    with per-event energies."""
+    import numpy as np
+
+    from gandalf_tpu.ops.feedback import driver_from_params
+    from gandalf_tpu.params import Parameters
+
+    sn = tmp_path / "sn.txt"
+    sn.write_text("# t x y z Einj\n2\n"
+                  "0.5  0.1 0.0 0.0  0.02\n"
+                  "0.2  -0.1 0.0 0.0  0.01\n")
+    p = Parameters()
+    for k, v in dict(ndim=3, supernova_feedback="silcc",
+                     SNfile_name=str(sn), Minj=0.004, Rinj=0.2,
+                     R_therm_kin=2.0, dimensionless=1).items():
+        p.set(k, v)
+    drv = driver_from_params(p, mmean=0.001)
+    assert drv is not None and len(drv.events) == 2
+    # sorted by time; fields propagated
+    assert drv.events[0].t == 0.2 and drv.events[1].t == 0.5
+    assert drv.events[0].Einj == 0.01 and drv.events[1].Einj == 0.02
+    assert drv.events[0].pos == (-0.1, 0.0, 0.0)
+    assert drv.events[0].Rinj == 0.2
+    assert drv.n_spare_needed == 8      # 2 events x Minj/mmean
+    assert drv.pending(0.1) is None
+    assert drv.pending(0.3).t == 0.2
