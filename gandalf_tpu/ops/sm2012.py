@@ -119,3 +119,127 @@ def sm2012_forces(kern: SmoothingKernel, visc: ArtificialViscosity,
 
     a = jnp.sum((m_ext[None, :] * paux)[..., None] * unit, axis=-2)
     return Sm2012Forces(a=a, dudt=dudt, div_v=div_v)
+
+
+def sm2012_forces_view(kern: SmoothingKernel, visc: ArtificialViscosity,
+                       gamma: float,
+                       v: Array, u: Array, h: Array, rho: Array,
+                       q: Array, hfactor: Array, sound: Array,
+                       alpha: Array, dr: Array, nb: dict,
+                       mask: Optional[Array]) -> Sm2012Forces:
+    """SM2012 hydro force over a per-row neighbour VIEW (N, K): dr is
+    r_j - r_i, nb carries v/m/u/h/rho/q/hfactor/sound/alpha arrays of
+    shape (N, K)(, ndim).  Shared by the all-pairs oracle and the
+    structured-grid gather path (SM2012Sph::ComputeSphHydroForces)."""
+    drsqd = jnp.sum(dr * dr, axis=-1)
+    valid = drsqd > 0.0
+    if mask is not None:
+        valid = valid & mask
+    drmag = jnp.sqrt(jnp.where(valid, drsqd, 1.0))
+    unit = jnp.where(valid[..., None], dr / drmag[..., None], 0.0)
+
+    invh_i = (1.0 / h)[:, None]
+    h_j = jnp.where(valid, nb["h"], 1.0)
+    wkerni = hfactor[:, None] * kern.w1(drmag * invh_i)
+    wkernj = nb["hfactor"] * kern.w1(drmag / h_j)
+    wkerni = jnp.where(valid, wkerni, 0.0)
+    wkernj = jnp.where(valid, wkernj, 0.0)
+
+    dv = nb["v"] - v[:, None, :]
+    dvdr = jnp.sum(dv * unit, axis=-1)
+    m_j = jnp.where(valid, nb["m"], 0.0)
+    div_v = -jnp.sum(m_j * dvdr * wkerni, axis=-1) \
+        / jnp.maximum(rho, 1e-30)
+
+    invq_i = (1.0 / jnp.maximum(q, 1e-30))[:, None]
+    invq_j = 1.0 / jnp.maximum(nb["q"], 1e-30)
+    u_j = jnp.where(valid, nb["u"], 0.0)
+    paux = 0.5 * (gamma - 1.0) * u[:, None] * u_j \
+        * (invq_i + invq_j) * (wkerni + wkernj)
+
+    dudt = 0.5 * (gamma - 1.0) * u * (1.0 / jnp.maximum(q, 1e-30)) \
+        * jnp.sum(m_j * u_j * dvdr * (wkerni + wkernj), axis=-1)
+
+    if visc.avisc != AVISC_NONE:
+        invrho_i = (1.0 / jnp.maximum(rho, 1e-30))[:, None]
+        invrho_j = 1.0 / jnp.maximum(nb["rho"], 1e-30)
+        winvrho = 0.25 * (wkerni + wkernj) * (invrho_i + invrho_j)
+        if visc.avisc == AVISC_MON97MM97:
+            alpha_eff = 0.5 * (alpha[:, None] + nb["alpha"])
+        else:
+            alpha_eff = visc.alpha_visc
+        vsignal = (sound[:, None] + nb["sound"]
+                   - visc.beta_visc * alpha_eff * dvdr)
+        approach = valid & (dvdr < 0.0)
+        paux = paux - jnp.where(
+            approach, alpha_eff * vsignal * dvdr * winvrho, 0.0)
+        dudt = dudt - jnp.sum(
+            jnp.where(approach, 0.5 * m_j * alpha_eff
+                      * vsignal * dvdr * dvdr * winvrho, 0.0), axis=-1)
+
+    a = jnp.sum((m_j * paux)[..., None] * unit, axis=-2)
+    return Sm2012Forces(a=a, dudt=dudt, div_v=div_v)
+
+
+def sm2012_hydro_pass_grid(kern: SmoothingKernel,
+                           visc: ArtificialViscosity, gamma: float,
+                           spec, h_fac: float, h_converge: float,
+                           s, alive: Array, hydro_forces: bool):
+    """Structured-grid SM2012 hydro pass: grid27 candidate gathers +
+    the shared view kernels (the SM2012SphTree analogue; round-2 left
+    SM2012 on the O(N^2) fallback).  Returns the updated SphState."""
+    from . import sph_grid27 as g
+    from .active_grid import gather_active_candidates
+
+    nd = s.ndim
+    b = g.bin_particles(spec, s.r, discard=~alive)
+    hmax = g.hmax_of(spec, kern.kernrange)
+    idx = jnp.arange(s.N, dtype=jnp.int32)
+    ag = gather_active_candidates(spec, b, s.r, idx, alive)
+    cid = jnp.maximum(ag.ids, 0)
+    drsqd = jnp.sum(ag.dr * ag.dr, axis=-1)
+    m_j = jnp.where(ag.mask, s.m[cid], 0.0)
+    u_j = jnp.where(ag.mask, s.u[cid], 0.0)
+
+    dens = compute_h(kern, nd, h_fac, h_converge, s.m, s.h, drsqd, m_j,
+                     mask=ag.mask, hmax=hmax)
+    invh = 1.0 / dens.h
+    ssqd = drsqd * (invh * invh)[:, None]
+    w0 = jnp.where(ag.mask, kern.w0_s2(ssqd), 0.0)
+    q = (invh ** nd) * jnp.sum(m_j * u_j * w0, axis=-1)
+
+    pressure = (gamma - 1.0) * jnp.maximum(dens.rho, 1e-30) * s.u
+    sound = jnp.sqrt(gamma * (gamma - 1.0) * jnp.maximum(s.u, 1e-30))
+    sane = lambda x, d: jnp.where(alive, x, d)
+    s = s.replace(h=sane(dens.h, 1.0), rho=sane(dens.rho, 1.0),
+                  pressure=sane(pressure, 0.0), sound=sane(sound, 0.0),
+                  hfactor=sane(invh ** (nd + 1), 0.0),
+                  invomega=jnp.ones_like(s.invomega),
+                  zeta=jnp.zeros_like(s.zeta))
+    overflow = b.overflow | jnp.any(
+        jnp.where(alive, ~dens.converged, False)) | jnp.any(
+        jnp.where(alive, dens.h, 0.0) > 0.99 * hmax)
+    if not hydro_forces:
+        return s.replace(a=jnp.zeros_like(s.a),
+                         dudt=jnp.zeros_like(s.dudt),
+                         div_v=jnp.zeros_like(s.div_v),
+                         neib_overflow=s.neib_overflow | overflow), q
+
+    q_safe = jnp.where(alive, q, 1.0)
+    nb = {
+        "v": jnp.where(ag.mask[..., None], s.v[cid], 0.0),
+        "m": m_j, "u": u_j,
+        "h": jnp.where(ag.mask, s.h[cid], 1.0),
+        "rho": jnp.where(ag.mask, s.rho[cid], 1.0),
+        "q": jnp.where(ag.mask, q_safe[cid], 1.0),
+        "hfactor": jnp.where(ag.mask, s.hfactor[cid], 0.0),
+        "sound": jnp.where(ag.mask, s.sound[cid], 0.0),
+        "alpha": jnp.where(ag.mask, s.alpha[cid], 0.0),
+    }
+    f = sm2012_forces_view(kern, visc, gamma, s.v, s.u, s.h, s.rho,
+                           q_safe, s.hfactor, s.sound, s.alpha,
+                           ag.dr, nb, ag.mask)
+    return s.replace(a=jnp.where(alive[:, None], f.a, 0.0),
+                     dudt=sane(f.dudt, 0.0),
+                     div_v=sane(f.div_v, 0.0),
+                     neib_overflow=s.neib_overflow | overflow), q

@@ -1397,18 +1397,23 @@ class SM2012SphSimulation(GradhSphSimulation):
 
     def process_parameters(self):
         super().process_parameters()
-        # SM2012 is wired to the all-pairs path (no grid27 q-pass yet)
-        self.use_celllist = False
         self.gamma = self.params.floatparams["gamma_eos"]
         if self.params.stringparams["gas_eos"] not in ("energy_eqn",
                                                        "isothermal"):
             raise ValueError("sm2012sph supports energy_eqn/isothermal only")
 
     def _hydro_only_pass(self, s: SphState) -> SphState:
-        from ..ops.sm2012 import sm2012_density, sm2012_forces
+        from ..ops.sm2012 import (sm2012_density, sm2012_forces,
+                                  sm2012_hydro_pass_grid)
 
         kern, box, visc = self.kern, self.box, self.visc
         alive = s.alive
+        if self.use_celllist:
+            # structured-grid q-pass (SM2012SphTree analogue)
+            s, _ = sm2012_hydro_pass_grid(
+                kern, visc, self.gamma, self.gridspec, self.h_fac,
+                self.h_converge, s, alive, self.hydro_forces)
+            return s
         m_live = jnp.where(alive, s.m, 0.0)
         fields = {"m": m_live, "u": s.u}
         r_ext, v_ext, sc_ext, _ = extend_with_mirror_images(

@@ -95,3 +95,38 @@ def test_sm2012_contact_discontinuity_sharper_than_gradh():
     v_sm = contact("sm2012sph")
     assert v_sm < 0.8 * v_gradh, (v_sm, v_gradh)
     assert v_sm < 0.05
+
+
+def test_sm2012_grid_matches_bruteforce():
+    """Grid27 q-pass vs the all-pairs oracle: one bootstrap from identical
+    ICs must agree to roundoff (shared physics, different neighbour
+    partition); SM2012 left the O(N^2) fallback in round 3."""
+    import numpy as np
+
+    sims = {}
+    for neib in ("bruteforce", "kdtree"):
+        p = Parameters()
+        for k, v in {
+                "ndim": 1, "sim": "sm2012sph", "ic": "shocktube",
+                "dimensionless": 1, "run_id": "",
+                "press1": 1.0, "press2": 0.1975,
+                "rhofluid1": 1.0, "rhofluid2": 0.25,
+                "Nlattice1[0]": 256, "Nlattice2[0]": 64,
+                "boxmin[0]": -2.0, "boxmax[0]": 2.0,
+                "boundary_lhs[0]": "periodic",
+                "boundary_rhs[0]": "periodic",
+                "gas_eos": "energy_eqn", "gamma_eos": 1.4,
+                "hydro_forces": 1, "neib_search": neib,
+                "tend": 0.25}.items():
+            p.set(k, v)
+        sim = SimulationBase.factory(p)
+        sim.SetupSimulation()
+        sims[neib] = sim
+    a = sims["bruteforce"].state
+    b = sims["kdtree"].state
+    assert sims["kdtree"].use_celllist
+    # same h-iteration -> same fixed point at this config; fields match
+    for f in ("rho", "pressure", "a", "dudt"):
+        x, y = np.asarray(getattr(a, f)), np.asarray(getattr(b, f))
+        np.testing.assert_allclose(y, x, rtol=2e-5, atol=1e-8,
+                                   err_msg=f)
