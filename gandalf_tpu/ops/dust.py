@@ -166,3 +166,121 @@ def drag_twofluid(kern: SmoothingKernel, law: DragLaw, box: DomainBox,
         dudt = dudt - jnp.sum(dep, axis=0)
     return DragResult(a_drag=a_drag, dudt=dudt,
                       sound=sound_d, div_v=div_v_d)
+
+
+def drag_twofluid_view(kern: SmoothingKernel, law: DragLaw, dt: Array,
+                       v: Array, a: Array, a0: Array, m: Array, h: Array,
+                       rho: Array, sound: Array, ptype: Array,
+                       dr: Array, cid: Array, nb: dict, mask: Array,
+                       test_particle: bool = False,
+                       dudt_size: int = None) -> DragResult:
+    """Semi-implicit gas-dust drag over a per-row candidate VIEW (N, K)
+    — the same physics as drag_twofluid with the (N, N) broadcasts
+    replaced by gathered neighbour arrays (dr = r_j - r_i in the i-row
+    frame is negated to the reference's r_i - r_j convention here).
+    nb needs v/a/m/h/rho/sound/ptype; cid are global candidate indices
+    (for the dust->gas energy deposit scatter).  Returns per-target
+    DragResult; dudt has length dudt_size (the global N)."""
+    N, ndim = v.shape
+    is_gas_i = ptype == GAS_TYPE
+    is_dust_i = ptype == DUST_TYPE
+    is_gas_j = nb["ptype"] == GAS_TYPE
+    is_dust_j = nb["ptype"] == DUST_TYPE
+
+    drij = -dr                                      # r_i - r_j
+    drsqd = jnp.sum(drij * drij, axis=-1)
+    pair = ((is_gas_i[:, None] & is_dust_j)
+            | (is_dust_i[:, None] & is_gas_j)) & mask & (drsqd > 0.0)
+    drmag = jnp.sqrt(jnp.where(drsqd > 0, drsqd, 1.0))
+    unit = drij / drmag[..., None]
+
+    h_gas = jnp.where(is_gas_i[:, None], h[:, None], nb["h"])
+    h_gas = jnp.maximum(h_gas, 1e-30)
+    invh = 1.0 / h_gas
+    wraw = (invh ** ndim) * kern.wdrag(drmag * invh)
+    wraw = jnp.where(pair, wraw, 0.0)
+    wkern = wraw * nb["m"] / jnp.maximum(nb["rho"], 1e-30)
+
+    v_kick = v - 0.5 * dt * a0
+    v_kick_j = nb["v"] - 0.5 * dt * nb["a0"]
+    dv = v_kick[:, None, :] - v_kick_j
+    da = a[:, None, :] - nb["a"]
+    dvdr = jnp.sum(dv * unit, axis=-1)
+    dadr = jnp.sum(da * unit, axis=-1)
+
+    grho = jnp.where(is_gas_i[:, None], rho[:, None], nb["rho"])
+    drho = jnp.where(is_gas_i[:, None], nb["rho"], rho[:, None])
+    gsound = jnp.where(is_gas_i[:, None], sound[:, None], nb["sound"])
+    if test_particle:
+        drho = jnp.zeros_like(drho)
+    t_s = jnp.maximum(law.t_stop(grho, drho, gsound), 1e-30)
+
+    rho_t = grho + drho
+    tau = dt / t_s
+    dt_safe = jnp.maximum(dt, 1e-30)
+    xi_big = (1.0 - jnp.exp(-tau)) / (dt_safe * rho_t)
+    lam_big = (dt + t_s) * xi_big - 1.0 / rho_t
+    xi_small0 = (1.0 - 0.5 * tau * (1.0 - tau / 3.0)) / rho_t
+    lam_small = (1.0 + tau) * xi_small0 - 1.0 / rho_t
+    xi_small = xi_small0 / t_s
+    big = tau > 1e-3
+    Xi = jnp.where(big, xi_big, xi_small)
+    Lam = jnp.where(big, lam_big, lam_small)
+
+    S = (dvdr + dt * dadr) * Xi - dadr * Lam
+    contrib = jnp.where(pair, ndim * nb["rho"] * S * wkern, 0.0)
+    a_drag = -jnp.sum(contrib[..., None] * unit, axis=1)
+    if test_particle:
+        a_drag = jnp.where(is_dust_i[:, None], a_drag, 0.0)
+
+    dvmag = jnp.sqrt(jnp.maximum(jnp.sum(dv * dv, -1), 0.0))
+    sound_d = jnp.max(jnp.where(pair, gsound, 0.0), axis=1)
+    div_v_d = jnp.max(jnp.where(pair, dvmag, 0.0), axis=1) \
+        / jnp.maximum(h, 1e-30)
+
+    M = dudt_size or N
+    dudt = jnp.zeros((M,), m.dtype)
+    if law.use_energy_term and not test_particle:
+        v_end = v - 0.5 * dt * a0 + a * dt
+        dEk = jnp.sum(a_drag * (v_end + 0.5 * a_drag * dt), axis=-1)
+        dudt = dudt.at[jnp.arange(N)].add(
+            jnp.where(is_gas_i, -dEk, 0.0))
+        norm = jnp.sum(wkern, axis=1)
+        spread = wraw / (jnp.maximum(norm, 1e-30)[:, None]
+                         * jnp.maximum(nb["rho"], 1e-30))
+        dep = jnp.where(is_dust_i[:, None] & pair,
+                        spread * (m * dEk)[:, None], 0.0)
+        # dust row i deposits onto its GLOBAL gas candidates
+        dudt = dudt.at[jnp.maximum(cid, 0).reshape(-1)].add(
+            -dep.reshape(-1))
+    return DragResult(a_drag=a_drag, dudt=dudt,
+                      sound=sound_d, div_v=div_v_d)
+
+
+def drag_pass_grid(kern: SmoothingKernel, law: DragLaw, spec, dt,
+                   s, alive: Array, test_particle: bool) -> DragResult:
+    """Gas-dust drag over grid27 candidate gathers (the reference's
+    dust-specific neighbour finder, src/Headers/Dust.h:46-358, on the
+    structured grid instead of the O(N^2) fallback)."""
+    from . import sph_grid27 as g
+    from .active_grid import gather_active_candidates
+
+    b = g.bin_particles(spec, s.r, discard=~alive)
+    idx = jnp.arange(s.N, dtype=jnp.int32)
+    ag = gather_active_candidates(spec, b, s.r, idx, alive)
+    cid = jnp.maximum(ag.ids, 0)
+    nb = {
+        "v": jnp.where(ag.mask[..., None], s.v[cid], 0.0),
+        "a": jnp.where(ag.mask[..., None], s.a[cid], 0.0),
+        "a0": jnp.where(ag.mask[..., None], s.a0[cid], 0.0),
+        "m": jnp.where(ag.mask, s.m[cid], 0.0),
+        "h": jnp.where(ag.mask, s.h[cid], 1.0),
+        "rho": jnp.where(ag.mask, s.rho[cid], 1.0),
+        "sound": jnp.where(ag.mask, s.sound[cid], 0.0),
+        "ptype": jnp.where(ag.mask, s.ptype[cid], -1),
+    }
+    return drag_twofluid_view(kern, law, dt, s.v, s.a, s.a0, s.m, s.h,
+                              s.rho, s.sound, s.ptype, ag.dr,
+                              jnp.where(ag.mask, cid, 0), nb, ag.mask,
+                              test_particle=test_particle,
+                              dudt_size=s.N)

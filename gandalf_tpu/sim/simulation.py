@@ -572,7 +572,6 @@ class GradhSphSimulation(SimulationBase):
             if self.dust_forces not in ("full_twofluid", "test_particle"):
                 raise ValueError(f"unknown dust_forces {self.dust_forces!r}")
             self.drag_law = DragLaw.from_params(p)
-            self.use_celllist = False      # cross-type masks are brute-only
         self.treespec = None
         self.gridspec = None
         self.chunk = 4096        # particle chunk (gather pipeline)
@@ -910,9 +909,38 @@ class GradhSphSimulation(SimulationBase):
         if self.use_celllist:
             from ..ops.sph_grid27 import hydro_pass_grid27
 
-            return hydro_pass_grid27(kern, visc, box, self.gridspec, eos,
-                                     self.h_fac, self.h_converge,
-                                     self.hydro_forces, s, alive=s.alive)
+            if not self.has_dust:
+                return hydro_pass_grid27(kern, visc, box, self.gridspec,
+                                         eos, self.h_fac, self.h_converge,
+                                         self.hydro_forces, s,
+                                         alive=s.alive)
+            # two TYPE-MASKED grid passes (the brute path's split,
+            # mirroring the reference's per-type hmask/hydromask,
+            # Particle.h:81-123): gas density+forces from gas sources;
+            # dust gets its own h from dust neighbours, no thermal state
+            from ..state import DUST_TYPE
+
+            is_dust = s.ptype == DUST_TYPE
+            s_g = hydro_pass_grid27(kern, visc, box, self.gridspec, eos,
+                                    self.h_fac, self.h_converge,
+                                    self.hydro_forces, s,
+                                    alive=s.alive & ~is_dust)
+            s_d = hydro_pass_grid27(kern, visc, box, self.gridspec, eos,
+                                    self.h_fac, self.h_converge,
+                                    False, s, alive=s.alive & is_dust)
+            pick = lambda g, d: jnp.where(is_dust, d, g)
+            pickv = lambda g, d: jnp.where(is_dust[:, None], d, g)
+            z = jnp.zeros_like(s.u)
+            return s.replace(
+                h=pick(s_g.h, s_d.h), rho=pick(s_g.rho, s_d.rho),
+                invomega=pick(s_g.invomega, s_d.invomega),
+                zeta=pick(s_g.zeta, s_d.zeta),
+                hfactor=pick(s_g.hfactor, s_d.hfactor),
+                u=pick(s_g.u, z), pressure=pick(s_g.pressure, z),
+                sound=pick(s_g.sound, z),
+                a=pickv(s_g.a, jnp.zeros_like(s.a)),
+                dudt=pick(s_g.dudt, z), div_v=pick(s_g.div_v, z),
+                neib_overflow=s_g.neib_overflow | s_d.neib_overflow)
         # ghost images for mirror walls; periodic handled by min-image;
         # dead (accreted) particles carry zero mass and skip the h loop
         from ..state import DUST_TYPE
@@ -1190,13 +1218,18 @@ class GradhSphSimulation(SimulationBase):
     def _apply_drag(self, s: SphState, dt) -> SphState:
         """Semi-implicit gas-dust drag added after the hydro/gravity pass
         (MainLoop: UpdateAllDragForces, SphSimulation.cpp)."""
-        from ..ops.dust import drag_twofluid
+        from ..ops.dust import drag_pass_grid, drag_twofluid
         from ..state import DUST_TYPE
 
-        d = drag_twofluid(self.kern, self.drag_law, self.box, dt,
-                          s.r, s.v, s.a, s.a0, s.m, s.h, s.rho, s.sound,
-                          s.ptype, alive=s.alive,
-                          test_particle=self.dust_forces == "test_particle")
+        tp = self.dust_forces == "test_particle"
+        if self.use_celllist:
+            d = drag_pass_grid(self.kern, self.drag_law, self.gridspec,
+                               dt, s, s.alive, tp)
+        else:
+            d = drag_twofluid(self.kern, self.drag_law, self.box, dt,
+                              s.r, s.v, s.a, s.a0, s.m, s.h, s.rho,
+                              s.sound, s.ptype, alive=s.alive,
+                              test_particle=tp)
         is_dust = s.ptype == DUST_TYPE
         return s.replace(
             a=s.a + d.a_drag,
