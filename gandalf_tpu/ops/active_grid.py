@@ -96,7 +96,8 @@ def gather_active_candidates(spec, b: g.GridBinning, r: Array,
 
 def active_hydro_pass(kern: SmoothingKernel, visc: ArtificialViscosity,
                       spec, eos, h_fac: float, h_converge: float,
-                      s, idx: Array, valid: Array):
+                      s, idx: Array, valid: Array,
+                      hydro_forces: bool = True):
     """Density + EOS + hydro forces for the active subset only.
 
     Returns (s_updated, levelneib_scatter, overflow).  Only rows `idx`
@@ -136,11 +137,37 @@ def active_hydro_pass(kern: SmoothingKernel, visc: ArtificialViscosity,
                   u=put(s.u, u_a), pressure=put(s.pressure, press_a),
                   sound=put(s.sound, sound_a))
 
+    h_j = jnp.where(ag.mask, s.h[cid], 1.0)
+
+    def scatter_levelneib(s):
+        # Saitoh-Makino levelneib in BOTH directions (GradhSph.cpp:461)
+        within = ag.mask & (drsqd <= (kern.kernrange
+                                      * jnp.maximum(dens.h[:, None],
+                                                    h_j)) ** 2)
+        lvl_cand = jnp.where(within, s.level[cid], 0)
+        lneib = s.levelneib.at[safe].max(
+            jnp.where(valid, jnp.max(lvl_cand, axis=1), 0))
+        lvl_active = jnp.where(valid, s.level[safe], 0)
+        flat_ids = jnp.where(within, cid, 0)
+        lneib = lneib.at[flat_ids.reshape(-1)].max(
+            jnp.where(within, lvl_active[:, None], 0).reshape(-1))
+        return s.replace(levelneib=lneib)
+
+    if not hydro_forces:
+        z = jnp.zeros_like(s.a[safe])
+        s = s.replace(a=putv(s.a, z), dudt=put(s.dudt, dens.h * 0.0),
+                      div_v=put(s.div_v, dens.h * 0.0))
+        s = scatter_levelneib(s)
+        overflow = b.overflow | jnp.any(
+            jnp.where(valid, ~dens.converged, False)) | jnp.any(
+            jnp.where(valid, dens.h, 0.0) > 0.99 * hmax)
+        return s, overflow
+
     nb = NeighborView(
         dr=ag.dr,
         v=jnp.where(ag.mask[..., None], s.v[cid], 0.0),
         m=m_cand,
-        h=jnp.where(ag.mask, s.h[cid], 1.0),
+        h=h_j,
         rho=jnp.where(ag.mask, s.rho[cid], 1.0),
         u=jnp.where(ag.mask, s.u[cid], 0.0),
         pressure=jnp.where(ag.mask, s.pressure[cid], 0.0),
@@ -157,23 +184,7 @@ def active_hydro_pass(kern: SmoothingKernel, visc: ArtificialViscosity,
     s = s.replace(a=putv(s.a, f.a), dudt=put(s.dudt, f.dudt),
                   div_v=put(s.div_v, f.div_v))
 
-    # Saitoh-Makino levelneib (reference updates BOTH directions inside
-    # the force loop, GradhSph.cpp:461): an active particle's levelneib is
-    # the max level over its kernel-range neighbours, and each neighbour
-    # learns the active particle's level via scatter-max.
-    within = ag.mask & (drsqd <= (kern.kernrange
-                                  * jnp.maximum(dens.h[:, None],
-                                                nb.h)) ** 2)
-    lvl_cand = jnp.where(within, s.level[cid], 0)
-    lneib_active = jnp.max(lvl_cand, axis=1)
-    lneib = s.levelneib.at[safe].max(
-        jnp.where(valid, lneib_active, 0))
-    lvl_active = jnp.where(valid, s.level[safe], 0)
-    flat_ids = jnp.where(within, cid, 0)
-    lneib = lneib.at[flat_ids.reshape(-1)].max(
-        jnp.where(within, lvl_active[:, None],
-                  0).reshape(-1))
-    s = s.replace(levelneib=lneib)
+    s = scatter_levelneib(s)
 
     overflow = b.overflow | jnp.any(
         jnp.where(valid, ~dens.converged, False)) | jnp.any(

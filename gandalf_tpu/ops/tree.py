@@ -258,7 +258,8 @@ def tree_gravity(spec: TreeSpec, tree: TreeLevels,
                  h_s: Array = None, kern=None, zh_s: Array = None,
                  group_range=None, zeta_scaling: str = "sph",
                  ewald_table=None, ewald_extent=None,
-                 amag_s: Array = None, gpot_s: Array = None):
+                 amag_s: Array = None, gpot_s: Array = None,
+                 group_ids: Array = None):
     """Frontier-walk gravity for every particle (sorted order).
 
     Near-field (unopened leaf pairs) uses the reference's SYMMETRIC grad-h
@@ -636,8 +637,28 @@ def tree_gravity(spec: TreeSpec, tree: TreeLevels,
             return a_far + a_n, pot_far + p_n, overflow
         return a_acc + a_n, pot_acc + p_n, overflow
 
-    # group_range=(start, count) walks only a contiguous slice of groups
-    # (the distributed mode's per-shard share; start may be traced)
+    # group_ids walks an EXPLICIT (padded, -1 = skip) list of groups —
+    # the block-timestep active-subset walk (only active buckets pay);
+    # group_range=(start, count) walks a contiguous slice (the
+    # distributed mode's per-shard share; start may be traced)
+    if group_ids is not None:
+        g_count = group_ids.shape[0]
+        group_chunk = min(spec.group_chunk, g_count)
+        n_chunks = -(-g_count // group_chunk)
+        pad = n_chunks * group_chunk - g_count
+        gids_flat = jnp.concatenate(
+            [jnp.maximum(group_ids, 0),
+             jnp.zeros((pad,), group_ids.dtype)])
+        gids = gids_flat.reshape(n_chunks, group_chunk)
+        a, pot, overflow = jax.lax.map(jax.vmap(walk_group), gids)
+        a = a.reshape(-1, L, ndim)[:g_count]
+        pot = pot.reshape(-1, L)[:g_count]
+        valid = group_ids >= 0
+        a = jnp.where(valid[:, None, None], a, 0.0)
+        pot = jnp.where(valid[:, None], pot, 0.0)
+        return TreeGravityResult(a=a.reshape(g_count * L, ndim),
+                                 gpot=pot.reshape(g_count * L)), \
+            jnp.any(overflow)
     if group_range is None:
         g_start, g_count = 0, n_leaves
     else:
@@ -956,3 +977,42 @@ def tree_gravity_all(spec: TreeSpec, r: Array, m: Array,
     inv = jnp.zeros_like(order).at[order].set(
         jnp.arange(N, dtype=order.dtype))
     return res.a[:N][inv], res.gpot[:N][inv], overflow
+
+
+def tree_gravity_active(spec: TreeSpec, gmap: Array, r: Array, m: Array,
+                        h: Array = None, kern=None, alive: Array = None,
+                        zh: Array = None, group_ids: Array = None,
+                        periodic_extent=None):
+    """Bucket-planned gravity for an EXPLICIT active-group subset (the
+    block-timestep walk: only buckets containing active particles pay,
+    Simulation.cpp:1763-2197 + the reference's active-cell force walks).
+
+    group_ids: (G_cap,) leaf ids, -1 padding.  Returns (a, gpot,
+    overflow) in ORIGINAL particle order; rows of inactive groups are
+    zero."""
+    N, ndim = r.shape
+    flat = gmap.reshape(-1)
+    safe = jnp.maximum(flat, 0)
+    in_map = flat >= 0
+    r_s = jnp.where(in_map[:, None], r[safe], 1e15)
+    if periodic_extent is not None:
+        r_s = unwrap_to_buckets(spec, r_s, in_map, periodic_extent)
+    m_s = jnp.where(in_map, m[safe], 0.0)
+    alive_s = in_map if alive is None else in_map & alive[safe]
+    h_s = zh_s = None
+    if h is not None:
+        h_s = jnp.where(in_map, h[safe], 1.0)
+    if zh is not None:
+        zh_s = jnp.where(in_map, zh[safe], 0.0)
+    tree = build_tree(spec, r_s, m_s, alive_s)
+    res, overflow = tree_gravity(spec, tree, r_s, m_s, alive_s, h_s,
+                                 kern, zh_s, group_ids=group_ids)
+    L = spec.leaf_size
+    rows = gmap[jnp.maximum(group_ids, 0)]            # (G_cap, L)
+    valid = (group_ids >= 0)[:, None] & (rows >= 0)
+    ids = jnp.maximum(rows, 0).reshape(-1)
+    a = jnp.zeros((N, ndim), r.dtype).at[ids].add(
+        jnp.where(valid.reshape(-1)[:, None], res.a, 0.0))
+    gpot = jnp.zeros((N,), r.dtype).at[ids].add(
+        jnp.where(valid.reshape(-1), res.gpot, 0.0))
+    return a, gpot, overflow

@@ -228,6 +228,13 @@ class SimulationBase:
             spec = grow_tree_caps(spec)
         self.treespec = spec
         self.state = self.state.replace(bucket_map=jnp.asarray(gmap))
+        # particle -> leaf map for the block-timestep active-group walk
+        leaf_of = np.full(self.state.N, -1, np.int32)
+        rows = np.repeat(np.arange(gmap.shape[0], dtype=np.int32),
+                         gmap.shape[1])
+        flat = gmap.reshape(-1)
+        leaf_of[flat[flat >= 0]] = rows[flat >= 0]
+        self._leaf_of = leaf_of
         return old != spec
 
     @staticmethod
@@ -550,8 +557,6 @@ class GradhSphSimulation(SimulationBase):
         self.nlevels = max(p.intparams["Nlevels"], 1)
         self.level_diff_max = p.intparams["level_diff_max"]
         self.use_block = self.nlevels > 1
-        if self.use_block and bool(p.intparams["self_gravity"]):
-            self.use_celllist = False
         # sinks / stars (reference Sinks + star-gas hybrid coupling);
         # dead-particle (accreted) masking works on both neighbour paths
         self.sink_particles = bool(p.intparams["sink_particles"])
@@ -627,8 +632,32 @@ class GradhSphSimulation(SimulationBase):
         def f_active(s, idx, val):
             s, ovf = active_hydro_pass(
                 self.kern, self.visc, self.gridspec, self.eos,
-                self.h_fac, self.h_converge, s, idx, val)
+                self.h_fac, self.h_converge, s, idx, val,
+                hydro_forces=self.hydro_forces)
             return s.replace(neib_overflow=s.neib_overflow | ovf)
+
+        def f_active_grav(s, idx, val, gids):
+            s, ovf = active_hydro_pass(
+                self.kern, self.visc, self.gridspec, self.eos,
+                self.h_fac, self.h_converge, s, idx, val,
+                hydro_forces=self.hydro_forces)
+            # Barnes-Hut gravity walked over the ACTIVE buckets only
+            from ..ops.tree import tree_gravity_active
+
+            pdims = self.box.periodic_dims()
+            pext = [self.box.size[k] if k in pdims else 0.0
+                    for k in range(self.ndim)] if pdims else None
+            a_g, gpot, ovg = tree_gravity_active(
+                self.treespec, s.bucket_map, s.r, s.m, s.h, self.kern,
+                alive=s.alive, zh=s.zeta * s.hfactor, group_ids=gids,
+                periodic_extent=pext)
+            safe = jnp.maximum(idx, 0)
+            s = s.replace(
+                a=s.a.at[safe].add(
+                    jnp.where(val[:, None], a_g[safe], 0.0)),
+                gpot=s.gpot.at[safe].set(
+                    jnp.where(val, gpot[safe], s.gpot[safe])))
+            return s.replace(neib_overflow=s.neib_overflow | ovf | ovg)
 
         def f_check(s, B, active):
             return check_timesteps(cfg, s, B, active)
@@ -645,7 +674,8 @@ class GradhSphSimulation(SimulationBase):
         self._f_advance = jax.jit(f_advance)
         self._f_check = jax.jit(f_check)
         self._f_end = jax.jit(f_end)
-        self._f_active_raw = f_active
+        self._f_active_raw = f_active_grav if self.self_gravity \
+            else f_active
         self._f_active_cache = {}
 
     def _f_active_for(self, cap: int):
@@ -684,8 +714,7 @@ class GradhSphSimulation(SimulationBase):
             idx, val = self._pad_active(ids, s.N)
             # pair-work accounting: rows of gathered candidates this tick
             self._active_rows = getattr(self, "_active_rows", 0) + len(idx)
-            s = self._f_active_for(len(idx))(
-                s, jnp.asarray(idx), jnp.asarray(val))
+            s = self._run_f_active(s, idx, val, ids)
             active2, nstep_p, level = self._f_check(
                 s, B, jnp.asarray(active))
             newly = np.asarray(active2) & ~active
@@ -693,10 +722,10 @@ class GradhSphSimulation(SimulationBase):
                 # Saitoh-Makino re-activations need fresh forces before
                 # their correction kick (the reference's do-while redo,
                 # SphSimulation.cpp:660-757)
-                idx2, val2 = self._pad_active(np.nonzero(newly)[0], s.N)
+                ids2 = np.nonzero(newly)[0]
+                idx2, val2 = self._pad_active(ids2, s.N)
                 self._active_rows += len(idx2)
-                s = self._f_active_for(len(idx2))(
-                    s, jnp.asarray(idx2), jnp.asarray(val2))
+                s = self._run_f_active(s, idx2, val2, ids2)
             s, B = self._f_end(s, B, active2, nstep_p, level)
             if not bool(s.neib_overflow):
                 self.state, self._blocksched = s, B
@@ -704,8 +733,30 @@ class GradhSphSimulation(SimulationBase):
             with self.timing.block("GRID_REPLAN"):
                 self._plan_grid(prev.r, prev.h, alive=prev.alive,
                                 growth=1.3 * (1.2 ** attempt))
+                if self.treespec is not None:
+                    self._plan_tree_buckets(np.asarray(prev.r),
+                                            grow_caps=True)
+                    prev = prev.replace(bucket_map=self.state.bucket_map)
                 self._compile()
         raise RuntimeError("neighbour overflow persists after 5 replans")
+
+    def _run_f_active(self, s, idx, val, ids):
+        """Dispatch the per-capacity compacted pass; with self-gravity,
+        also hand it the padded ACTIVE BUCKET list (the groups whose
+        particles need the tree walk this tick)."""
+        if not self.self_gravity:
+            return self._f_active_for(len(idx))(
+                s, jnp.asarray(idx), jnp.asarray(val))
+        g_ids = np.unique(self._leaf_of[ids]) if len(ids) else \
+            np.empty(0, np.int32)
+        g_ids = g_ids[g_ids >= 0]
+        gpad, _ = self._pad_active(g_ids, self.treespec.n_leaves)
+        fn = self._f_active_cache.get((len(idx), len(gpad)))
+        if fn is None:
+            fn = jax.jit(self._f_active_raw)
+            self._f_active_cache[(len(idx), len(gpad))] = fn
+        return fn(s, jnp.asarray(idx), jnp.asarray(val),
+                  jnp.asarray(gpad))
 
     def SetupSimulation(self):
         """GenerateIC + PostInitialConditionsSetup
