@@ -131,6 +131,24 @@ class MfvMusclSimulation(SimulationBase):
         return s.replace(B=res.B, grad=res.grad, alpha_slope=res.alpha_slope,
                          vsig_max=res.vsig_max, bad_grad=res.bad)
 
+    def _mirror_tensor_images(self, s: MfvState):
+        """Reflected per-image B / grad / a0 blocks matching
+        extend_with_mirror_images' ordering: under the wall-k reflection
+        R (identity with R_kk = -1), B -> R B R^T, grad -> S grad R^T
+        with S flipping the v_k row, a0 -> R a0 (reference reflect()
+        helpers, Particle.h:601-668)."""
+        nd = s.ndim
+        Bs, grads, a0s = [s.B], [s.grad], [s.a0]
+        for (k, _side) in self.box.mirror_walls():
+            sign = jnp.ones((nd,), s.B.dtype).at[k].set(-1.0)
+            row = jnp.concatenate([sign, jnp.ones((2,), s.B.dtype)])
+            Bs.append(s.B * sign[None, :, None] * sign[None, None, :])
+            grads.append(s.grad * row[None, :, None]
+                         * sign[None, None, :])
+            a0s.append(s.a0 * sign[None, :])
+        cat = lambda xs: jnp.concatenate(xs, axis=0)
+        return cat(Bs), cat(grads), cat(a0s)
+
     def _flux_pass(self, s: MfvState, dt):
         box, kern = self.box, self.kern
         r_ext, v_ext, _, _ = extend_with_mirror_images(box, s.r, s.v, {})
@@ -139,20 +157,20 @@ class MfvMusclSimulation(SimulationBase):
         M = r_ext.shape[0]
         t1 = lambda x: jnp.broadcast_to(jnp.tile(x, (n_img,))[None],
                                         (s.N, M))
-        tv = lambda x: jnp.broadcast_to(
-            jnp.concatenate([x] * n_img, axis=0)[None],
-            (s.N, M) + x.shape[1:])
+        bv = lambda x: jnp.broadcast_to(x[None], (s.N, M) + x.shape[1:])
         W_ext = jnp.concatenate(
             [v_ext, jnp.tile(s.rho, (n_img,))[:, None],
              jnp.tile(s.pressure, (n_img,))[:, None]], axis=-1)
-        # image accelerations: reflected components would flip; a=0 for
-        # hydro-only MFV so plain tiling is exact
+        B_ext, grad_ext, a0_ext = self._mirror_tensor_images(s)
         nb = {
             "h": t1(s.h), "ndens": t1(s.ndens), "hfactor": t1(s.hfactor),
             "Wprim": jnp.broadcast_to(W_ext[None], (s.N, M, s.nvar)),
-            "sound": t1(s.sound), "a0": tv(s.a0),
-            "B": tv(s.B), "grad": tv(s.grad),
-            "alpha_slope": tv(s.alpha_slope), "bad": t1(s.bad_grad) > 0.5,
+            "sound": t1(s.sound), "a0": bv(a0_ext),
+            "B": bv(B_ext), "grad": bv(grad_ext),
+            "alpha_slope": jnp.broadcast_to(
+                jnp.tile(s.alpha_slope, (n_img, 1))[None],
+                (s.N, M, s.nvar)),
+            "bad": t1(s.bad_grad) > 0.5,
         }
         return mfv_ops.compute_godunov_fluxes(
             kern, self.mfv_cfg, s.ndim, dt,
@@ -283,6 +301,7 @@ class MfvMusclSimulation(SimulationBase):
                 m_new = Qcons[..., ndim]
                 v_mid = Qcons[..., :ndim] / jnp.maximum(m_new, 1e-30)[:, None]
                 r = self.box.wrap(s.r0 + 0.5 * (s.v0 + v_mid) * dt)
+                r, v_mid = self.box.reflect(r, v_mid)
                 s_mid = s.replace(r=r, m=m_new)
                 a, gpot, ovf = self._gravity_pass(s_mid)
                 s = s.replace(neib_overflow=s.neib_overflow | ovf)
@@ -296,6 +315,12 @@ class MfvMusclSimulation(SimulationBase):
                 m, rho, v, u = mfv_ops.state_from_qcons(ndim, Qcons, s.ndens)
                 r = s.r0 + 0.5 * (s.v0 + v) * dt
                 r = self.box.wrap(r)
+                # mirror walls: reflect escapers back inside with flipped
+                # normal velocity (CheckBoundaries analogue); Qcons
+                # momentum follows the reflected velocity
+                r, v = self.box.reflect(r, v)
+                Qcons = Qcons.at[..., :ndim].set(
+                    v * jnp.maximum(Qcons[..., ndim], 1e-30)[:, None])
                 s = s.replace(m=m, v=v, u=u, r=r, Qcons0=Qcons,
                               r0=r, v0=v)
             s = self._density_pass(s)
@@ -313,9 +338,6 @@ class MfvMusclSimulation(SimulationBase):
     def SetupSimulation(self):
         with self.timing.block("SETUP"):
             self.process_parameters()
-            if self.box.mirror_walls():
-                raise ValueError("MFV mirror boundaries not yet wired; use "
-                                 "periodic or open")
             ic = generate_ic(self.params, self.eos)
             self.state = make_mfv_state(ic["r"], ic["v"], ic["m"],
                                         ic["h"], ic["u"])

@@ -178,3 +178,47 @@ def test_mfv_rk2_adsod_l1():
     err = L1errornorm("shocktube", "x", "vx", -1.0, 1.0)
     assert err < 7e-3, f"MFV-RK2 L1(vx) = {err}"
     assert sim.t >= 0.5
+
+
+def test_mfv_mirror_wall():
+    """MFV mirror boundaries (reference MeshlessFV reflect() images): a
+    gas slab slamming into a reflecting wall stays inside the box, piles
+    up against the wall and stagnates there; mass exactly conserved."""
+    p = Parameters()
+    for k, v in {
+            "run_id": "", "sim": "mfvmuscl", "ic": "shocktube", "ndim": 1,
+            "press1": 1.0, "press2": 1.0,
+            "rhofluid1": 1.0, "rhofluid2": 1.0,
+            "vfluid1[0]": 1.0, "vfluid2[0]": 1.0,
+            "Nlattice1[0]": 64, "Nlattice2[0]": 64,
+            "dimensionless": 1,
+            "boxmin[0]": -1.0, "boxmax[0]": 1.0,
+            "boundary_lhs[0]": "mirror", "boundary_rhs[0]": "mirror",
+            "tend": 0.4, "dt_snap": 0.4,
+            "gas_eos": "energy_eqn", "gamma_eos": 1.4,
+            "riemann_solver": "hllc", "slope_limiter": "gizmo",
+            "zero_mass_flux": 1, "courant_mult": 0.2,
+            "Nlevels": 1}.items():
+        p.set(k, v)
+    sim = SimulationBase.factory(p)
+    sim.SetupSimulation()
+    assert not sim.use_celllist     # mirror walls use the image path
+    m0 = float(np.asarray(sim.state.m).sum())
+    n = 0
+    while sim.t < 0.4 and n < 3000:
+        sim.main_loop_step()
+        n += 1
+    s = sim.state
+    x = np.asarray(s.r)[:, 0]
+    v = np.asarray(s.v)[:, 0]
+    rho = np.asarray(s.rho)
+    assert (x > -1.0 - 1e-9).all() and (x < 1.0 + 1e-9).all(), \
+        "particles escaped through the wall"
+    assert float(np.asarray(s.m).sum()) == pytest.approx(m0, rel=1e-12)
+    # compression against the right wall; stagnation at the wall
+    near = x > 0.8
+    far = x < -0.5
+    assert near.sum() > 3
+    assert rho[near].mean() > 1.5 * rho[far].mean()
+    assert abs(v[near].mean()) < 0.5    # decelerated from v = 1
+    assert np.isfinite(v).all()
