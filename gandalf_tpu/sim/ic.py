@@ -14,6 +14,8 @@ from typing import Dict
 
 import numpy as np
 
+from ..utils.rng import rng_from_params as _rng_from_params
+
 
 def add_cubic_lattice(n_lattice, boxmin, boxmax) -> np.ndarray:
     """Cell-centred cubic lattice (Ic::AddCubicLattice, src/Ic/Ic.cpp:629)."""
@@ -164,7 +166,7 @@ def sphere_ic(params, eos) -> Dict[str, np.ndarray]:
     h_fac = fp["h_fac"]
     dist = params.stringparams["particle_distribution"]
     if dist == "random":
-        rng = np.random.default_rng(ip["randseed"])
+        rng = _rng_from_params(params)
         pts = []
         while len(pts) < n_target:
             cand = rng.uniform(-radius, radius, size=(n_target * 2, ndim))
@@ -345,7 +347,7 @@ def bossbodenheimer_ic(params, eos) -> Dict[str, np.ndarray]:
 
     dist = params.stringparams["particle_distribution"]
     if dist == "random":
-        rng = np.random.default_rng(ip["randseed"])
+        rng = _rng_from_params(params)
         pts = []
         while len(pts) < Npart:
             cand = rng.uniform(-radius, radius, size=(Npart * 2, 3))
@@ -426,7 +428,7 @@ def plummer_stars_ic(params) -> Dict[str, np.ndarray]:
     rplummer = fp["rplummer"]
     radius = fp["radius"]
     rstar = fp["rstar"]
-    rng = np.random.default_rng(ip["randseed"])
+    rng = _rng_from_params(params)
 
     r = np.zeros((Nstar, 3))
     v = np.zeros((Nstar, 3))
@@ -502,7 +504,7 @@ def binary_ic(params) -> Dict[str, np.ndarray]:
     ndim = params.intparams["ndim"]
     if ndim < 2:
         raise ValueError("binary IC needs ndim >= 2")
-    rng = np.random.default_rng(params.intparams["randseed"])
+    rng = _rng_from_params(params)
     M = 2.0 * np.pi * rng.random()
     m1, m2 = fp["m1"], fp["m2"]
     r1, v1, r2, v2 = _binary_offsets(fp["abin"], fp["ebin"], m1, m2, M,
@@ -519,7 +521,7 @@ def triple_ic(params) -> Dict[str, np.ndarray]:
     ndim = params.intparams["ndim"]
     if ndim < 2:
         raise ValueError("triple IC needs ndim >= 2")
-    rng = np.random.default_rng(params.intparams["randseed"])
+    rng = _rng_from_params(params)
     m1, m2, m3 = fp["m1"], fp["m2"], fp["m3"]
     R1, V1, R3, V3 = _binary_offsets(fp["abin"], fp["ebin"], m1 + m2, m3,
                                      2.0 * np.pi * rng.random(), ndim)
@@ -540,7 +542,7 @@ def quadruple_ic(params) -> Dict[str, np.ndarray]:
     ndim = params.intparams["ndim"]
     if ndim < 2:
         raise ValueError("quadruple IC needs ndim >= 2")
-    rng = np.random.default_rng(params.intparams["randseed"])
+    rng = _rng_from_params(params)
     m1, m2, m3, m4 = fp["m1"], fp["m2"], fp["m3"], fp["m4"]
     RA, VA, RB, VB = _binary_offsets(fp["abin"], fp["ebin"],
                                      m1 + m2, m3 + m4,
@@ -604,7 +606,7 @@ def isothermsphere_ic(params, eos) -> Dict[str, np.ndarray]:
     N = ip["Nhydro"]
     mcloud, radius = fp["mcloud"], fp["radius"]
     gammam1 = fp["gamma_eos"] - 1.0
-    rng = np.random.default_rng(ip["randseed"])
+    rng = _rng_from_params(params)
     # uniform-in-radius sampling gives n(r) ~ r^-2
     phi = 2.0 * np.pi * rng.random(N)
     costheta = 2.0 * rng.random(N) - 1.0
@@ -762,7 +764,7 @@ def disc_ic(params, eos) -> Dict[str, np.ndarray]:
     rin, rout = fp["DiscIcRin"], fp["DiscIcRout"]
     H_r = fp["DiscIcHr"]
     gammam1 = fp["gamma_eos"] - 1.0
-    rng = np.random.default_rng(ip["randseed"])
+    rng = _rng_from_params(params)
 
     # rejection-sample r from Sigma(r) r dr ~ (r/rin)^(1-p)
     f_max = (rout / rin) ** -(p_idx - 1) if p_idx <= 1 else 1.0
@@ -938,7 +940,7 @@ def basic_sine_ic(params, eos) -> Dict[str, np.ndarray]:
     hi = np.array([fp[f"boxmax[{k}]"] for k in range(ndim)])
     rho0, amp = fp["rhofluid1"], fp["amp"]
     lam = hi[0] - lo[0]
-    rng = np.random.default_rng(ip["randseed"])
+    rng = _rng_from_params(params)
     # rejection sampling against the density envelope
     out = []
     need = N
@@ -1168,7 +1170,7 @@ def filament_ic(params, eos) -> Dict[str, np.ndarray]:
     aconst = 10.9
     lo = np.array([fp[f"boxmin[{k}]"] for k in range(3)])
     hi = np.array([fp[f"boxmax[{k}]"] for k in range(3)])
-    rng = np.random.default_rng(ip["randseed"])
+    rng = _rng_from_params(params)
     out = []
     need = N
     while need > 0:
@@ -1416,7 +1418,7 @@ def silcc_ic(params, eos) -> Dict[str, np.ndarray]:
     u0 = fp["temp0"] / gammam1 / fp["mu_bar"]
 
     rho_func = silcc_density(params)
-    rng = np.random.default_rng(ip["randseed"])
+    rng = _rng_from_params(params)
     # rejection-sample the density field (Ic::AddMonteCarloDensityField)
     rho_max = rho_func(np.array([[0.0, 0.0, 0.0]]))[0]
     pts = []

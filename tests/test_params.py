@@ -134,3 +134,37 @@ def test_physical_units_inscaling():
     # idempotent
     inscale_parameters(p, units)
     assert p.floatparams["tend"] == pytest.approx(1.0, rel=1e-3)
+
+
+def test_xorshift_matches_reference_sequence():
+    """XorshiftRand is bit-exact vs the reference generator
+    (RandomNumber.h:64-131; expected values from a compiled run of the
+    reference header with seed 100)."""
+    from gandalf_tpu.utils.rng import XorshiftRand, rng_from_params
+
+    rng = XorshiftRand(100)
+    expected_ints = [330096570228725262, 8731886480734488133,
+                     8689522236355761732, 15424792333630924142,
+                     11674126840730268255, 3540978481153957434]
+    got = [rng.intrand() for _ in range(6)]
+    assert got == expected_ints
+
+    rng2 = XorshiftRand(100)
+    expected_floats = [0.017894570928599939, 0.47335651461545825,
+                       0.47105994432590215, 0.83617966791302245,
+                       0.63285568412955651, 0.19195682809957765]
+    import numpy as np
+    np.testing.assert_allclose([rng2.floatrand() for _ in range(6)],
+                               expected_floats, rtol=1e-15)
+
+    from gandalf_tpu.params import Parameters
+    p = Parameters()
+    p.set("rand_algorithm", "xorshift")
+    p.set("randseed", 100)
+    r = rng_from_params(p)
+    assert isinstance(r, XorshiftRand)
+    assert abs(r.random() - expected_floats[0]) < 1e-15
+    u = r.uniform(2.0, 4.0)
+    assert 2.0 <= u <= 4.0
+    g = XorshiftRand(7).standard_normal((64,))
+    assert abs(g.mean()) < 0.5 and 0.5 < g.std() < 1.6
