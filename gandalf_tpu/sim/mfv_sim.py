@@ -404,6 +404,7 @@ class MfvMusclSimulation(SimulationBase):
     def _take_snapshot(self):
         self.snapshots.append(Snapshot(self.t, self._state_to_host(),
                                        self.ndim))
+        self._enforce_snapshot_cache()
 
 
 

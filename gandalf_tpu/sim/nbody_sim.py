@@ -260,4 +260,5 @@ class NbodySimulation(SimulationBase):
     def _take_snapshot(self):
         self.snapshots.append(Snapshot(self.t, self._state_to_host(),
                                        self.ndim))
+        self._enforce_snapshot_cache()
 

@@ -35,12 +35,43 @@ from .ic import generate_ic
 
 
 class Snapshot:
-    """In-memory snapshot (analogue of SphSnapshot, src/Common/SphSnapshot.cpp)."""
+    """In-memory snapshot with lazy spill/reload (analogue of SphSnapshot
+    + the SimBuffer memory management, src/Common/SphSnapshot.cpp +
+    analysis/SimBuffer.py:30-509: snapshots beyond the cache budget are
+    deallocated and transparently reloaded on access)."""
 
     def __init__(self, t: float, data: Dict[str, np.ndarray], ndim: int):
         self.t = float(t)
-        self.data = data
+        self._data = data
+        self._spill_path = None
         self.ndim = ndim
+
+    @property
+    def data(self) -> Dict[str, np.ndarray]:
+        if self._data is None:
+            loaded = np.load(self._spill_path, allow_pickle=True)
+            self._data = {k: loaded[k] for k in loaded.files}
+        return self._data
+
+    @property
+    def loaded(self) -> bool:
+        return self._data is not None
+
+    def unload(self, cache_dir: str, tag: str) -> None:
+        """Spill the arrays to disk and free the in-memory copy
+        (SimBuffer's deallocation of least-recent snapshots)."""
+        if self._data is None:
+            return
+        if any(not isinstance(v, np.ndarray)
+               for v in self._data.values()):
+            return                 # nested payloads (star dict) stay hot
+        if self._spill_path is None:
+            import os as _os
+
+            _os.makedirs(cache_dir, exist_ok=True)
+            self._spill_path = _os.path.join(cache_dir, tag + ".npz")
+            np.savez(self._spill_path, **self._data)
+        self._data = None
 
     def extract_array(self, name: str) -> np.ndarray:
         """Fetch a named quantity (SphSnapshotBase::ExtractArray)."""
@@ -342,6 +373,22 @@ class SimulationBase:
         if cap > 0.0 and (not np.isfinite(dt) or dt > cap):
             self.state = self.state.replace(
                 dt=jnp.asarray(cap, np.asarray(self.state.dt).dtype))
+
+    def _enforce_snapshot_cache(self):
+        """Keep at most GANDALF_SNAPSHOT_CACHE snapshots hot in memory;
+        older ones spill to a temp cache and lazily reload on access."""
+        cap = int(os.environ.get("GANDALF_SNAPSHOT_CACHE", "64"))
+        hot = [s for s in self.snapshots if s.loaded]
+        if len(hot) <= cap:
+            return
+        import tempfile
+
+        run_id = self.params.stringparams["run_id"] or "sim"
+        cache = os.path.join(tempfile.gettempdir(),
+                             f"gandalf_snapcache_{run_id}_{id(self)}")
+        for i, snap in enumerate(self.snapshots[:-cap]):
+            if snap.loaded:
+                snap.unload(cache, f"snap{i:05d}")
 
     def main_loop_step(self):
         raise NotImplementedError
@@ -1469,6 +1516,7 @@ class GradhSphSimulation(SimulationBase):
     def _take_snapshot(self):
         self.snapshots.append(Snapshot(self.t, self._state_to_host(),
                                        self.ndim))
+        self._enforce_snapshot_cache()
 
 
 

@@ -175,3 +175,45 @@ def test_run_async_wait():
     handle.wait()
     assert handle.poll() == 0
     assert sim.t >= 0.05
+
+
+def test_snapshot_cache_spill_reload(tmp_path, monkeypatch):
+    """Snapshot memory cap (SimBuffer.py:30-509 analogue): snapshots past
+    the cache budget spill to disk and reload transparently."""
+    import numpy as np
+
+    from gandalf_tpu.sim.simulation import Snapshot
+
+    rng = np.random.default_rng(0)
+    data = {"r": rng.random((16, 2)), "rho": rng.random(16)}
+    s = Snapshot(1.0, {k: v.copy() for k, v in data.items()}, 2)
+    assert s.loaded
+    s.unload(str(tmp_path), "snap0")
+    assert not s.loaded
+    np.testing.assert_allclose(s.data["rho"], data["rho"])   # lazy reload
+    assert s.loaded
+    np.testing.assert_allclose(s.extract_array("x"), data["r"][:, 0])
+
+    # controller-level cap
+    monkeypatch.setenv("GANDALF_SNAPSHOT_CACHE", "3")
+    from gandalf_tpu.params import Parameters
+    from gandalf_tpu.sim.simulation import GradhSphSimulation
+
+    p = Parameters()
+    for k, v in {"ndim": 1, "sim": "gradhsph", "ic": "box", "run_id": "",
+                 "dimensionless": 1, "Nlattice1[0]": 16,
+                 "boxmin[0]": 0.0, "boxmax[0]": 1.0,
+                 "boundary_lhs[0]": "periodic",
+                 "boundary_rhs[0]": "periodic",
+                 "rhofluid1": 1.0, "press1": 1.0,
+                 "gas_eos": "energy_eqn", "tend": 1.0}.items():
+        p.set(k, v)
+    sim = GradhSphSimulation(p)
+    sim.SetupSimulation()
+    for _ in range(8):
+        sim._take_snapshot()
+    hot = sum(s.loaded for s in sim.snapshots)
+    assert hot <= 3 + 1
+    # spilled snapshots still readable
+    np.testing.assert_allclose(sim.snapshots[0].data["rho"],
+                               sim.snapshots[-1].data["rho"], rtol=1e-6)
