@@ -615,6 +615,7 @@ class GradhSphSimulation(SimulationBase):
             sink_radius=p.floatparams["sink_radius"],
             create=self.create_sinks,
             accrete=self.sink_particles)
+        self.smooth_accretion = bool(p.intparams["smooth_accretion"])
         # dust drag (reference DustFactory, src/Common/Dust.cpp:1147-1330)
         self.dust_forces = p.stringparams["dust_forces"]
         self.has_dust = self.dust_forces not in ("none", "null", "")
@@ -858,6 +859,7 @@ class GradhSphSimulation(SimulationBase):
             from ..ops.feedback import driver_from_params
 
             mmean = float(np.asarray(ic["m"]).mean())
+            self.mmean = mmean
             self.sn_driver = driver_from_params(self.params, mmean)
             if self.sn_driver is not None:
                 from ..state import FLAG_DEAD
@@ -1277,8 +1279,26 @@ class GradhSphSimulation(SimulationBase):
                         cfg, sinks, s.r, s.v, s.m, s.h, s.rho, s.gpot,
                         alive)
                 if cfg.accrete:
-                    sinks, alive = accrete_to_sinks(
-                        cfg, sinks, s.r, s.v, s.m, alive)
+                    if self.smooth_accretion:
+                        from ..ops.sinks import (apply_smooth_accretion,
+                                                 smooth_accretion_sums)
+
+                        p = self.params
+                        dm_gas, sums = smooth_accretion_sums(
+                            cfg, sinks, s.r, s.v, s.m, s.rho, s.sound,
+                            s.u, alive, dt, self.kern, self.mmean,
+                            alpha_ss=p.floatparams["alpha_ss"],
+                            smooth_accrete_frac=p.floatparams[
+                                "smooth_accrete_frac"],
+                            smooth_accrete_dt=p.floatparams[
+                                "smooth_accrete_dt"])
+                        sinks, m_new, alive = apply_smooth_accretion(
+                            sinks, s.r, s.v, s.m, dm_gas,
+                            sums["claim"], alive)
+                        s = s.replace(m=m_new)
+                    else:
+                        sinks, alive = accrete_to_sinks(
+                            cfg, sinks, s.r, s.v, s.m, alive)
                 s = self._kill_eaten(s, alive)
                 dt_next = self._hybrid_timestep(s, sinks)
                 return (s.replace(t=t, dt=dt_next, nstep=s.nstep + 1),

@@ -200,3 +200,48 @@ class TestBossBodenheimer:
         hist, _ = np.histogram(phi, bins=8, range=(-np.pi, np.pi))
         contrast = (hist.max() - hist.min()) / hist.mean()
         assert contrast > 0.2
+
+
+def test_smooth_accretion():
+    """smooth_accretion = 1 (Sinks.cpp:520-720): fractional mass removal
+    on the taccrete timescale, exact mass+momentum conservation, spin
+    angular momentum collected in the sink ledger."""
+    import numpy as np
+
+    from gandalf_tpu.params import Parameters
+    from gandalf_tpu.sim.simulation import GradhSphSimulation
+
+    p = Parameters()
+    for k, v in dict(ndim=3, sim="sph", neib_search="kdtree",
+                     gas_eos="energy_eqn", dimensionless=1, run_id="",
+                     Nhydro=128, Nstar=4, ic="plummer",
+                     self_gravity=1, hydro_forces=1,
+                     sink_particles=1, create_sinks=0,
+                     smooth_accretion=1, alpha_ss=0.1).items():
+        p.set(k, v)
+    p.set("gasfrac", 0.5)
+    p.set("starfrac", 0.5)
+    sim = GradhSphSimulation(p)
+    sim.SetupSimulation()
+    assert sim.smooth_accretion
+
+    def totals(sim):
+        s = sim.state
+        alive = np.asarray(s.alive)
+        act = np.asarray(sim.sinks.active)
+        return (np.asarray(s.m)[alive].sum()
+                + np.asarray(sim.sinks.m)[act].sum())
+
+    m0 = totals(sim)
+    msink0 = np.asarray(sim.sinks.m)[np.asarray(sim.sinks.active)].sum()
+    for _ in range(10):
+        sim.main_loop_step()
+    m1 = totals(sim)
+    msink1 = np.asarray(sim.sinks.m)[np.asarray(sim.sinks.active)].sum()
+    assert m1 == pytest.approx(m0, rel=1e-10), "mass not conserved"
+    assert msink1 > msink0, "nothing accreted"
+    # fractional: some gas particles lost PART of their mass but live
+    m = np.asarray(sim.state.m)
+    alive = np.asarray(sim.state.alive)
+    partial = alive & (m > 0) & (m < 0.99 * m[alive].max())
+    assert np.isfinite(np.asarray(sim.sinks.angmom)).all()
