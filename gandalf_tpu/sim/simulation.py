@@ -359,6 +359,31 @@ class SimulationBase:
             while self.tsnapnext <= self.t:
                 self.tsnapnext += dt_snap
 
+    def _verify_neighbour_completeness(self, tol: float = 3e-2):
+        """VERIFY_ALL analogue (reference DEBUG_LEVEL=2 expensive runtime
+        checks: NeighbourManager::VerifyNeighbourList +
+        CheckValidNeighbourList, GradhSphTree.cpp:223-225): recompute the
+        density of every alive particle with the all-pairs oracle and
+        fail loudly if the production path missed neighbours.  Enabled
+        with GANDALF_VERIFY_ALL=1; O(N^2) host cost by design."""
+        from ..ops.density import compute_h_bruteforce
+
+        s = self.state
+        alive = np.asarray(s.alive)
+        m_live = jnp.where(s.alive, s.m, 0.0)
+        dens = compute_h_bruteforce(self.kern, self.box, self.h_fac,
+                                    self.h_converge, s.r, s.m, s.h,
+                                    s.r, m_live, active=s.alive)
+        rho_ref = np.asarray(dens.rho)[alive]
+        rho = np.asarray(s.rho)[alive]
+        rel = np.abs(rho / np.maximum(rho_ref, 1e-30) - 1.0)
+        if rel.max() > tol:
+            i = int(rel.argmax())
+            raise RuntimeError(
+                f"VERIFY_ALL: neighbour-completeness violation — "
+                f"production rho deviates {rel.max():.3e} (> {tol}) from "
+                f"the all-pairs oracle at alive particle {i}")
+
     def _clamp_dt_to_tend(self):
         """Bound the global timestep by the remaining run time
         (ComputeGlobalTimestep caps dt with tsnapnext/tend,
@@ -1520,6 +1545,9 @@ class GradhSphSimulation(SimulationBase):
                             "neighbour overflow persists after 4 replans")
         self.Nsteps += 1
         self.t = float(self.state.t)
+        if self.use_celllist \
+                and os.environ.get("GANDALF_VERIFY_ALL", "0") == "1":
+            self._verify_neighbour_completeness()
 
     def _state_to_host(self) -> Dict[str, np.ndarray]:
         s = self.state

@@ -95,3 +95,38 @@ def test_celllist_run_stable():
     v = np.asarray(sim.state.v)
     mom = np.abs((m[:, None] * v).sum(0)).max()
     assert mom < 1e-10
+
+
+def test_verify_all_neighbour_completeness(monkeypatch):
+    """GANDALF_VERIFY_ALL=1 (reference VERIFY_ALL / DEBUG_LEVEL=2 runtime
+    neighbour verification): a healthy grid run passes the oracle check;
+    a corrupted neighbour capacity trips it."""
+    import numpy as np
+    import pytest
+
+    from gandalf_tpu.params import Parameters
+    from gandalf_tpu.sim.simulation import GradhSphSimulation
+
+    monkeypatch.setenv("GANDALF_VERIFY_ALL", "1")
+    p = Parameters()
+    for k, v in {"ndim": 3, "sim": "gradhsph", "ic": "box", "run_id": "",
+                 "dimensionless": 1, "gas_eos": "energy_eqn",
+                 "rhofluid1": 1.0, "press1": 1.0,
+                 "neib_search": "kdtree", "tend": 1.0}.items():
+        p.set(k, v)
+    for k in range(3):
+        p.set(f"Nlattice1[{k}]", 8)
+        p.set(f"boxmin[{k}]", 0.0)
+        p.set(f"boxmax[{k}]", 1.0)
+        p.set(f"boundary_lhs[{k}]", "periodic")
+        p.set(f"boundary_rhs[{k}]", "periodic")
+    sim = GradhSphSimulation(p)
+    sim.SetupSimulation()
+    sim.main_loop_step()       # healthy: must NOT raise
+
+    # corrupt the production result -> the check must fire
+    import jax.numpy as jnp
+
+    sim.state = sim.state.replace(rho=sim.state.rho * 1.5)
+    with pytest.raises(RuntimeError, match="VERIFY_ALL"):
+        sim._verify_neighbour_completeness()
