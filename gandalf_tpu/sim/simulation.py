@@ -278,6 +278,10 @@ class SimulationBase:
                 from .dist_sim import DistributedGradhSphSimulation
                 return DistributedGradhSphSimulation(params)
             return GradhSphSimulation(params)
+        if params.intparams["Nmpi"] > 1:
+            raise NotImplementedError(
+                f"distributed (Nmpi > 1) mode currently supports the "
+                f"grad-h SPH controller only, not sim = {sim!r}")
         if sim == "sm2012sph":
             return SM2012SphSimulation(params)
         if sim == "nbody":
@@ -358,6 +362,33 @@ class SimulationBase:
             self._take_snapshot()
             while self.tsnapnext <= self.t:
                 self.tsnapnext += dt_snap
+
+    def _gravity_mass(self, s) -> jnp.ndarray:
+        """Gravitating mass per particle: gas + cdm always, dust only for
+        full two-fluid runs, icm/boundary never (gravmask,
+        Particle.cpp:67-69)."""
+        from ..state import BOUNDARY_TYPE, DUST_TYPE, ICM_TYPE
+
+        m = s.m
+        no_grav = (s.ptype == ICM_TYPE) | (s.ptype == BOUNDARY_TYPE)
+        if getattr(self, "dust_forces", "none") != "full_twofluid":
+            no_grav = no_grav | (s.ptype == DUST_TYPE)
+        return jnp.where(no_grav, 0.0, m)
+
+    def _pin_static_types(self, s, prev):
+        """Boundary-type particles are static walls: restore their
+        kinematics after the step (reference boundary particles are
+        never integrated)."""
+        from ..state import BOUNDARY_TYPE
+
+        fixed = s.ptype == BOUNDARY_TYPE
+        fx = fixed[:, None]
+        return s.replace(r=jnp.where(fx, prev.r, s.r),
+                         v=jnp.where(fx, 0.0 * s.v, s.v),
+                         r0=jnp.where(fx, prev.r, s.r0),
+                         v0=jnp.where(fx, 0.0 * s.v, s.v0),
+                         a=jnp.where(fx, 0.0 * s.a, s.a),
+                         a0=jnp.where(fx, 0.0 * s.a, s.a0))
 
     def _verify_neighbour_completeness(self, tol: float = 3e-2):
         """VERIFY_ALL analogue (reference DEBUG_LEVEL=2 expensive runtime
@@ -865,6 +896,13 @@ class GradhSphSimulation(SimulationBase):
             if "ptype" in ic:
                 self.state = self.state.replace(
                     ptype=jnp.asarray(np.asarray(ic["ptype"], np.int32)))
+                from ..state import BOUNDARY_TYPE, CDM_TYPE, ICM_TYPE
+
+                pt = np.asarray(ic["ptype"])
+                if np.isin(pt, [ICM_TYPE, CDM_TYPE,
+                                BOUNDARY_TYPE]).any():
+                    # per-type masks are wired into the all-pairs path
+                    self.use_celllist = False
             # initial artificial-viscosity alpha (SphSimulation.cpp:252-257)
             alpha0 = (self.visc.alpha_visc_min if self.integ.td_avisc
                       else self.visc.alpha_visc)
@@ -997,7 +1035,8 @@ class GradhSphSimulation(SimulationBase):
                 elif self.treespec.mac == "eigenmac":
                     mac_kw["gpot_prev"] = s.gpot
                 a_g, gpot, overflow = tree_gravity_grouped(
-                    self.treespec, s.bucket_map, s.r, s.m, s.h, self.kern,
+                    self.treespec, s.bucket_map, s.r,
+                    self._gravity_mass(s), s.h, self.kern,
                     alive=s.alive, zh=s.zeta * s.hfactor,
                     periodic_extent=pext,
                     ewald_table=self.ewald_table if self.use_ewald
@@ -1007,7 +1046,8 @@ class GradhSphSimulation(SimulationBase):
             else:
                 from ..ops.sph_gravity import direct_sph_gravity
 
-                g = direct_sph_gravity(self.kern, s.r, s.m, s.h,
+                g = direct_sph_gravity(self.kern, s.r,
+                                       self._gravity_mass(s), s.h,
                                        s.zeta, s.hfactor)
                 a_g, gpot = g.a, g.gpot
                 if self.use_ewald:
@@ -1068,20 +1108,29 @@ class GradhSphSimulation(SimulationBase):
                 neib_overflow=s_g.neib_overflow | s_d.neib_overflow)
         # ghost images for mirror walls; periodic handled by min-image;
         # dead (accreted) particles carry zero mass and skip the h loop
-        from ..state import DUST_TYPE
+        from ..state import (BOUNDARY_TYPE, CDM_TYPE, DUST_TYPE,
+                             ICM_TYPE)
 
         alive = s.alive
         is_dust = s.ptype == DUST_TYPE
+        is_cdm = s.ptype == CDM_TYPE
+        # icm/boundary types are INERT for hydro/gravity sums (the
+        # reference registers no masks for them, Particle.cpp:31-71);
+        # boundary particles additionally never move (static walls)
+        inert = (s.ptype == ICM_TYPE) | (s.ptype == BOUNDARY_TYPE)
         m_live = jnp.where(alive, s.m, 0.0)
-        m_gas = jnp.where(is_dust, 0.0, m_live)
-        scalars = {"m": m_gas}
+        # hmask: gas/cdm h sums gather gas + cdm (Particle.cpp:47-56);
+        # hydromask: only gas exerts hydro forces (:49)
+        m_gas = jnp.where(is_dust | inert, 0.0, m_live)
+        m_force = jnp.where(is_dust | inert | is_cdm, 0.0, m_live)
+        scalars = {"m": m_gas, "mf": m_force}
         if self.has_dust:
             scalars["md"] = jnp.where(is_dust, m_live, 0.0)
         r_ext, v_ext, sc_ext, _ = extend_with_mirror_images(
             box, s.r, s.v, scalars)
         dens = compute_h_bruteforce(kern, box, self.h_fac, self.h_converge,
                                     s.r, s.m, s.h, r_ext, sc_ext["m"],
-                                    active=alive & ~is_dust)
+                                    active=alive & ~is_dust & ~inert)
         eos_r = s.r
         if self.has_dust:
             # dust is a pressureless fluid with its own h from dust
@@ -1122,7 +1171,7 @@ class GradhSphSimulation(SimulationBase):
                              div_v=jnp.zeros_like(s.div_v))
         # rebuild extended views with post-density fields (gas-only masses:
         # dust exerts no hydro force)
-        fields = {"m": m_gas, "h": s.h, "rho": s.rho, "u": s.u,
+        fields = {"m": m_force, "h": s.h, "rho": s.rho, "u": s.u,
                   "pressure": s.pressure, "sound": s.sound,
                   "invomega": s.invomega, "hfactor": s.hfactor,
                   "alpha": s.alpha}
@@ -1133,11 +1182,10 @@ class GradhSphSimulation(SimulationBase):
                                  s.pressure, s.sound, s.invomega,
                                  s.hfactor, s.alpha, nb)
         a, dudt, div_v = f.a, f.dudt, f.div_v
-        if self.has_dust:
-            gasless = is_dust[:, None]
-            a = jnp.where(gasless, 0.0, a)
-            dudt = jnp.where(is_dust, 0.0, dudt)
-            div_v = jnp.where(is_dust, 0.0, div_v)
+        nohydro = is_dust | is_cdm | inert
+        a = jnp.where(nohydro[:, None], 0.0, a)
+        dudt = jnp.where(nohydro, 0.0, dudt)
+        div_v = jnp.where(nohydro, 0.0, div_v)
         return s.replace(a=a, dudt=dudt, div_v=div_v)
 
     def _sink_coupled_pass(self, s: SphState, sinks):
@@ -1508,6 +1556,9 @@ class GradhSphSimulation(SimulationBase):
                 self.state, self.sinks = self._step_fn(prev, self.sinks)
             else:
                 self.state = self._step_fn(prev)
+            from ..state import BOUNDARY_TYPE as _BT
+            if bool((np.asarray(prev.ptype) == _BT).any()):
+                self.state = self._pin_static_types(self.state, prev)
             # neighbour-capacity overflow: replan the grid (and regrow the
             # tree caps) and redo the step from the pre-step state
             # (reference analogue: Nneibmax doubling, GradhSphTree.cpp:172).

@@ -31,10 +31,25 @@ CDM_TYPE = 2
 DUST_TYPE = 3
 BOUNDARY_TYPE = 4
 
-# status flag bits (reference src/Headers/Flags.h:29-60)
+# status flag bits (reference src/Headers/Flags.h:29-60, same layout)
 FLAG_DEAD = 1 << 0
 FLAG_ACTIVE = 1 << 1
-FLAG_POTMIN = 1 << 2
+FLAG_END_TIMESTEP = 1 << 2
+FLAG_POTMIN = 1 << 3
+FLAG_UPDATE_DENSITY = 1 << 4     # meshless
+FLAG_BAD_GRADIENTS = 1 << 5      # meshless
+FLAG_X_PERIODIC_LHS = 1 << 7
+FLAG_Y_PERIODIC_LHS = 1 << 8
+FLAG_Z_PERIODIC_LHS = 1 << 9
+FLAG_X_PERIODIC_RHS = 1 << 10
+FLAG_Y_PERIODIC_RHS = 1 << 11
+FLAG_Z_PERIODIC_RHS = 1 << 12
+FLAG_X_MIRROR_LHS = 1 << 13
+FLAG_Y_MIRROR_LHS = 1 << 14
+FLAG_Z_MIRROR_LHS = 1 << 15
+FLAG_X_MIRROR_RHS = 1 << 16
+FLAG_Y_MIRROR_RHS = 1 << 17
+FLAG_Z_MIRROR_RHS = 1 << 18
 
 
 @jax.tree_util.register_dataclass

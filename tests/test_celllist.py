@@ -130,3 +130,57 @@ def test_verify_all_neighbour_completeness(monkeypatch):
     sim.state = sim.state.replace(rho=sim.state.rho * 1.5)
     with pytest.raises(RuntimeError, match="VERIFY_ALL"):
         sim._verify_neighbour_completeness()
+
+
+def test_particle_type_masks():
+    """icm/cdm/boundary type semantics (ParticleTypeRegister,
+    Particle.cpp:31-71): cdm feels gravity but exerts/receives no hydro
+    force; boundary particles are inert static walls."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from gandalf_tpu.params import Parameters
+    from gandalf_tpu.sim.simulation import GradhSphSimulation
+    from gandalf_tpu.state import BOUNDARY_TYPE, CDM_TYPE, GAS_TYPE
+
+    p = Parameters()
+    for k, v in {"ndim": 3, "sim": "gradhsph", "ic": "python",
+                 "run_id": "", "dimensionless": 1,
+                 "gas_eos": "energy_eqn", "hydro_forces": 1,
+                 "self_gravity": 1, "neib_search": "kdtree",
+                 "Nhydro": 80, "tend": 1.0}.items():
+        p.set(k, v)
+    rng = np.random.default_rng(3)
+    N = 80
+    r = rng.random((N, 3))
+    ptype = np.full(N, GAS_TYPE)
+    ptype[:8] = CDM_TYPE
+    ptype[8:12] = BOUNDARY_TYPE
+    sim = GradhSphSimulation(p)
+    sim.ImportArray(r[:, 0], "x")
+    sim.ImportArray(r[:, 1], "y")
+    sim.ImportArray(r[:, 2], "z")
+    sim.ImportArray(np.full(N, 1.0 / N), "m")
+    sim.ImportArray(np.full(N, 0.1), "u")
+    sim.restart_data["ptype"] = ptype
+    sim.SetupSimulation()
+    assert not sim.use_celllist   # exotic types fall back to all-pairs
+
+    s = sim.state
+    is_cdm = np.asarray(s.ptype) == CDM_TYPE
+    is_bnd = np.asarray(s.ptype) == BOUNDARY_TYPE
+    a = np.asarray(s.a)
+    dudt = np.asarray(s.dudt)
+    # cdm: gravity only -> nonzero a (gravity), zero dudt
+    assert np.abs(a[is_cdm]).max() > 0.0
+    assert np.abs(dudt[is_cdm]).max() == 0.0
+    # boundary: inert
+    assert np.abs(dudt[is_bnd]).max() == 0.0
+
+    r_b0 = np.asarray(s.r)[is_bnd].copy()
+    for _ in range(3):
+        sim.main_loop_step()
+    r_b1 = np.asarray(sim.state.r)[is_bnd]
+    np.testing.assert_allclose(r_b1, r_b0, atol=1e-14)   # static walls
+    # gas still evolves
+    assert np.abs(np.asarray(sim.state.v)[~(is_cdm | is_bnd)]).max() > 0
