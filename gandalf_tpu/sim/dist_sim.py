@@ -9,10 +9,12 @@ src/Mpi/MpiKDTreeDecomposition.cpp:289).
 
 Selected with the `Nmpi` parameter (> 1): the particle state is sharded
 into z-slab blocks over a jax Mesh and the WHOLE step — leapfrog predict,
-sharded binning + ppermute halo hydro, distributed tree gravity with psum
-force return, corrector, pmin timestep — runs as one shard_map-jitted
-program.  Re-decomposition (the migration/load-balance analogue) happens
-every `ntreebuildstep` steps on the host.
+sharded binning + (multi-ring) ppermute halo hydro, distributed tree
+gravity (LET or replicated fallback), replicated sinks/stars with psum'd
+star sums and collectively-chosen creation, corrector, pmin timestep —
+runs as one shard_map-jitted program.  Re-decomposition (the
+migration/load-balance analogue) happens every `ntreebuildstep` steps on
+the host.
 """
 
 from __future__ import annotations

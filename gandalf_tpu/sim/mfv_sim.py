@@ -11,8 +11,11 @@ one global-timestep MUSCL step is
   5. gradients + slope limiting for the NEXT step (UpdateGradientMatrices),
   6. new timestep from vsig_max.
 
-Currently the all-pairs (mirror-image/min-image) neighbour path; the
-structured-grid path plugs in exactly like the SPH one.
+Neighbour paths: the structured 27-shift grid (ops/mfv_grid27, the
+MeshlessFVTree analogue) in production, with the all-pairs
+mirror-image/min-image views as the oracle and the mirror-wall path;
+self-gravity walks the same Barnes-Hut bucket tree as SPH with the MFV
+zeta scaling.
 """
 
 from __future__ import annotations
@@ -92,9 +95,7 @@ class MfvMusclSimulation(SimulationBase):
                 return jnp.tile(x, (n_img,))
             return jnp.concatenate([x] * n_img, axis=0)
 
-        out = {}
-        for k, x in fields.items():
-            out[k] = ext(x)[None, :].repeat(1, axis=0) if False else ext(x)
+        out = {k: ext(x) for k, x in fields.items()}
         return dr, v_ext, out
 
     def _density_pass(self, s: MfvState) -> MfvState:
