@@ -140,6 +140,13 @@ def _march(spec, field: Array, r0: Array, dirs: Array, lengths: Array,
     pos = r0[:, None, None, :] + (lengths[..., None, None]
                                   * ts[None, None, :, None]
                                   * dirs[:, :, None, :])
+    # periodic dims wrap the samples back into the box; open dims mask
+    # out-of-domain samples to zero
+    ext = jnp.asarray(spec.extents)
+    for k in range(nd):
+        if spec.periodic[k]:
+            pos = pos.at[..., k].set(
+                lo[k] + jnp.mod(pos[..., k] - lo[k], ext[k]))
     ix = jnp.floor((pos - lo) * inv_cell).astype(jnp.int32)
     inside = jnp.all((ix >= 0) & (ix < jnp.asarray(ncells)), axis=-1)
     ix = jnp.clip(ix, 0, jnp.asarray(ncells) - 1)
@@ -178,8 +185,14 @@ def treeray_ionisation(spec, nh2_cell: Array, r: Array,
     the recombinations along the path:
         ndot_s / (4 pi d_is^2)  >=  alphaB * int_0^d n_H^2 dl .
     Returns the (N,) ionised mask (any source)."""
-    # rays from each particle TOWARD each source
+    # rays from each particle TOWARD each source (min-imaged on
+    # periodic dims so the ray takes the short way round)
     dr = r_src[None, :, :] - r[:, None, :]           # (N, S, 3)
+    ext = jnp.asarray(spec.extents)
+    for k in range(spec.ndim):
+        if spec.periodic[k]:
+            dr = dr.at[..., k].add(
+                -ext[k] * jnp.round(dr[..., k] / ext[k]))
     d = jnp.sqrt(jnp.sum(dr * dr, axis=-1))
     dirs = dr / jnp.maximum(d, 1e-30)[..., None]
     integral = _march(spec, nh2_cell, r, dirs, d, n_steps)   # (N, S)
