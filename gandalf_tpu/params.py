@@ -189,6 +189,7 @@ _FLOAT_DEFAULTS: Dict[str, float] = {
     "kefrac": 0.0,
     "radius": 1.0,
     "angvel": 0.0,
+    "omega": 0.0,
     "mcloud": 1.0,
     "mplummer": 1.0,
     "rplummer": 1.0,

@@ -624,7 +624,29 @@ def isothermsphere_ic(params, eos) -> Dict[str, np.ndarray]:
         u0 = fp["press1"] / rhofluid / gammam1
     m = np.full(N, mcloud / N)
     h = fp["h_fac"] * (m / rhofluid) ** (1.0 / ndim)
-    return {"r": r, "v": np.zeros((N, ndim)), "m": m, "h": h,
+    v = np.zeros((N, ndim))
+    name = params.stringparams["ic"]
+    if name == "rotisothermsphere" and ndim == 3:
+        # solid-body rotation about z at angular velocity omega
+        # (IsothermalSphereIc.cpp:123-215 rotisothermsphere branch)
+        omega = fp["omega"] or fp["angvel"]
+        v[:, 0] = -omega * r[:, 1]
+        v[:, 1] = omega * r[:, 0]
+    elif name == "turbisothermsphere" and ndim == 3:
+        # turbulent velocities scaled to alpha_turb * |Egrav|
+        # (IsothermalSphereIc.cpp:216-330)
+        gridsize = ip.get("gridsize", 32) if hasattr(ip, "get") else 32
+        vgrid = turbulent_velocity_field(gridsize, fp["power_turb"],
+                                         ip["randseed"])
+        # trilinear-free nearest-cell sample of the periodic field
+        scale = (r / (2.0 * radius) + 0.5) * (gridsize - 1)
+        idx = np.clip(scale.astype(np.int64), 0, gridsize - 1)
+        v = vgrid[idx[:, 0], idx[:, 1], idx[:, 2]]
+        keturb = 0.5 * (m[:, None] * v ** 2).sum()
+        gpecloud = 3.0 / 5.0 * mcloud ** 2 / radius
+        v *= np.sqrt(fp["alpha_turb"] * gpecloud
+                     / max(keturb, 1e-30))
+    return {"r": r, "v": v, "m": m, "h": h,
             "u": np.full(N, u0)}
 
 

@@ -133,3 +133,26 @@ def test_regularise_uniform_box():
                         box_lo=[0.0] * 3, box_hi=[1.0] * 3)
     sc1 = rho_scatter(reg["r"], base["m"], base["h"])
     assert sc1 < 0.7 * sc0, f"scatter {sc0} -> {sc1}"
+
+
+def test_isothermsphere_variants():
+    """rotisothermsphere spins about z; turbisothermsphere carries a
+    turbulent field with KE scaled to alpha_turb |Egrav|
+    (IsothermalSphereIc.cpp:123-330)."""
+    p = _params(ic="rotisothermsphere", Nhydro=500, mcloud=1.0,
+                radius=1.0, omega=2.0, gas_eos="energy_eqn", press1=1.0)
+    ic = generate_ic(p, eos_factory(p))
+    r, v = ic["r"], ic["v"]
+    # v = omega x r (z axis): vx = -w y, vy = w x
+    np.testing.assert_allclose(v[:, 0], -2.0 * r[:, 1], rtol=1e-12)
+    np.testing.assert_allclose(v[:, 1], 2.0 * r[:, 0], rtol=1e-12)
+    assert np.abs(v[:, 2]).max() == 0.0
+
+    p2 = _params(ic="turbisothermsphere", Nhydro=500, mcloud=1.0,
+                 radius=1.0, alpha_turb=0.3, power_turb=-4.0,
+                 gas_eos="energy_eqn", press1=1.0, randseed=2)
+    ic2 = generate_ic(p2, eos_factory(p2))
+    ke = 0.5 * (ic2["m"][:, None] * ic2["v"] ** 2).sum()
+    gpe = 0.6 * 1.0 / 1.0
+    assert ke == pytest.approx(0.3 * gpe, rel=1e-6)
+    assert np.abs(ic2["v"]).max() > 0
