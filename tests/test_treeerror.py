@@ -148,3 +148,44 @@ class TestMacOptions:
         # and they must actually engage (strictly tighter on this config)
         assert errs["gadget2"] < 0.7 * errs["geometric"], errs
         assert errs["eigenmac"] < 0.9 * errs["geometric"], errs
+
+
+def test_grid_path_subquadratic_scaling():
+    """treescaling.py analogue (tests/paper_tests/treescaling.py:20-60):
+    measured WALL TIME of the production path must scale sub-quadratically
+    with N (the all-pairs path is O(N^2)).  Lenient 0.6*quadratic bound —
+    this is a scaling smoke test, not a microbenchmark."""
+    import time
+
+    import numpy as np
+
+    from gandalf_tpu.params import Parameters
+    from gandalf_tpu.sim.simulation import GradhSphSimulation
+
+    def run(n_side, steps=3):
+        p = Parameters()
+        for k, v in {"ndim": 3, "sim": "gradhsph", "ic": "box",
+                     "run_id": "", "dimensionless": 1,
+                     "gas_eos": "energy_eqn", "rhofluid1": 1.0,
+                     "press1": 1.0, "self_gravity": 1,
+                     "neib_search": "kdtree", "tend": 1e30}.items():
+            p.set(k, v)
+        for k in range(3):
+            p.set(f"Nlattice1[{k}]", n_side)
+            p.set(f"boxmin[{k}]", 0.0)
+            p.set(f"boxmax[{k}]", 1.0)
+            p.set(f"boundary_lhs[{k}]", "periodic")
+            p.set(f"boundary_rhs[{k}]", "periodic")
+        sim = GradhSphSimulation(p)
+        sim.SetupSimulation()
+        sim.main_loop_step()          # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            sim.main_loop_step()
+        return (time.perf_counter() - t0) / steps
+
+    t_small = run(10)        # N = 1000
+    t_big = run(20)          # N = 8000 (8x)
+    ratio = t_big / max(t_small, 1e-9)
+    # O(N^2) would be 64x; O(N) is 8x.  Allow generous noise headroom.
+    assert ratio < 0.6 * 64, f"scaling ratio {ratio:.1f} (quadratic=64)"
