@@ -24,6 +24,7 @@ import dataclasses
 from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
+from numpy import prod as np_prod
 
 from ..kernels.smoothing import SmoothingKernel
 from ..state import DUST_TYPE, GAS_TYPE, DomainBox
@@ -284,3 +285,151 @@ def drag_pass_grid(kern: SmoothingKernel, law: DragLaw, spec, dt,
                               jnp.where(ag.mask, cid, 0), nb, ag.mask,
                               test_particle=test_particle,
                               dudt_size=s.N)
+
+
+def drag_pass_dense(kern: SmoothingKernel, law: DragLaw, spec, dt,
+                    binning, s, alive: Array, test_particle: bool,
+                    ghost_fn=None) -> DragResult:
+    """Gas-dust drag over DENSE shifted cell tensors (shard_map-safe:
+    fields travel as ghosted tensors, no gather-by-global-id).  Same
+    physics as drag_twofluid_view; the dust->gas energy deposit is
+    re-expressed as a GATHER at the gas target (w_drag is symmetric in
+    the pair since it always uses the gas side's h, Dust.cpp:1046-1050):
+    each dust particle's payload P = m dEk / norm is exchanged through
+    the ghost rings and gas targets sum wraw * P / rho."""
+    from . import sph_grid27 as g
+
+    nd = s.ndim
+    ghost = ghost_fn or g.add_ghost_layers
+    d = lambda x: g.to_dense(spec, binning, x)
+    back = lambda x: g.from_dense(spec, binning, x)
+    fill = g.dense_fill_mask(spec, binning) & d(alive)
+    K = spec.k_cell
+    shifts = g._shifts(nd, spec.qz)
+
+    r_d = d(s.r)
+    vk_d = d(s.v - 0.5 * dt * s.a0)
+    a_d = d(s.a)
+    gasf = d((s.ptype == GAS_TYPE).astype(s.r.dtype))
+    dustf = d((s.ptype == DUST_TYPE).astype(s.r.dtype))
+    # packed scalar channels: [m, h, rho, sound, gasf, dustf]
+    pk = jnp.stack([d(s.m), d(s.h), d(s.rho), d(s.sound), gasf, dustf],
+                   axis=-1)
+    vec = jnp.concatenate([vk_d, a_d], axis=-1)
+
+    rp = ghost(spec, r_d, shift_vec=True)
+    vecp = ghost(spec, vec)
+    pkp = ghost(spec, pk)
+    fp_ = ghost(spec, fill)
+
+    flat = lambda x: x.reshape((-1,) + x.shape[nd + 1:])
+    Np = int(np_prod(spec.ncells)) * K
+    r_f = flat(r_d)
+    vk_f = flat(vk_d)
+    a_f = flat(a_d)
+    h_f = flat(pk[..., 1])
+    rho_f = flat(pk[..., 2])
+    snd_f = flat(pk[..., 3])
+    m_f = flat(pk[..., 0])
+    fill_f = flat(fill)
+    is_gas_t = flat(gasf) > 0.5
+    is_dust_t = flat(dustf) > 0.5
+    is_gas_t = is_gas_t & fill_f
+    is_dust_t = is_dust_t & fill_f
+
+    def bc(x):
+        return jnp.broadcast_to(
+            x[..., None, :], x.shape[:nd] + (K,) + x.shape[nd:]
+        ).reshape((Np, K) + x.shape[nd + 1:])
+
+    def bcv(x):
+        return jnp.broadcast_to(
+            x[..., None, :, :], x.shape[:nd] + (K,) + x.shape[nd:]
+        ).reshape((Np, K) + x.shape[nd + 1:])
+
+    def pair_geom(sh):
+        """Per-shift pair mask / kernel / geometry shared by both loops."""
+        r_nb = g._shift_view(spec, rp, sh)
+        pk_nb = g._shift_view(spec, pkp, sh)
+        f_nb = g._shift_view(spec, fp_, sh)
+        drij = (r_d[..., :, None, :]
+                - r_nb[..., None, :, :]).reshape(Np, K, nd)   # r_i - r_j
+        drsqd = jnp.sum(drij * drij, axis=-1)
+        pkb = bcv(pk_nb)
+        ok = bc(f_nb)
+        gas_j = pkb[..., 4] > 0.5
+        dust_j = pkb[..., 5] > 0.5
+        pair = ((is_gas_t[:, None] & dust_j)
+                | (is_dust_t[:, None] & gas_j)) & ok & (drsqd > 0.0)
+        drmag = jnp.sqrt(jnp.where(drsqd > 0, drsqd, 1.0))
+        unit = drij / drmag[..., None]
+        h_gas = jnp.where(is_gas_t[:, None], h_f[:, None], pkb[..., 1])
+        invh = 1.0 / jnp.maximum(h_gas, 1e-30)
+        wraw = jnp.where(pair, (invh ** nd) * kern.wdrag(drmag * invh),
+                         0.0)
+        return pkb, pair, unit, wraw
+
+    a_drag = jnp.zeros((Np, nd), r_f.dtype)
+    norm = jnp.zeros((Np,), r_f.dtype)
+    sound_d = jnp.zeros((Np,), r_f.dtype)
+    divv_d = jnp.zeros((Np,), r_f.dtype)
+    dt_safe = jnp.maximum(dt, 1e-30)
+    for sh in shifts:
+        pkb, pair, unit, wraw = pair_geom(sh)
+        vec_nb = bcv(g._shift_view(spec, vecp, sh))
+        wkern = wraw * pkb[..., 0] / jnp.maximum(pkb[..., 2], 1e-30)
+        dv = vk_f[:, None, :] - vec_nb[..., :nd]
+        da = a_f[:, None, :] - vec_nb[..., nd:]
+        dvdr = jnp.sum(dv * unit, axis=-1)
+        dadr = jnp.sum(da * unit, axis=-1)
+        grho = jnp.where(is_gas_t[:, None], rho_f[:, None], pkb[..., 2])
+        drho = jnp.where(is_gas_t[:, None], pkb[..., 2], rho_f[:, None])
+        gsound = jnp.where(is_gas_t[:, None], snd_f[:, None],
+                           pkb[..., 3])
+        if test_particle:
+            drho = jnp.zeros_like(drho)
+        t_s = jnp.maximum(law.t_stop(grho, drho, gsound), 1e-30)
+        rho_t = grho + drho
+        tau = dt / t_s
+        xi_big = (1.0 - jnp.exp(-tau)) / (dt_safe * rho_t)
+        lam_big = (dt + t_s) * xi_big - 1.0 / rho_t
+        xi_small0 = (1.0 - 0.5 * tau * (1.0 - tau / 3.0)) / rho_t
+        lam_small = (1.0 + tau) * xi_small0 - 1.0 / rho_t
+        xi_small = xi_small0 / t_s
+        big = tau > 1e-3
+        Xi = jnp.where(big, xi_big, xi_small)
+        Lam = jnp.where(big, lam_big, lam_small)
+        S = (dvdr + dt * dadr) * Xi - dadr * Lam
+        contrib = jnp.where(pair, nd * pkb[..., 2] * S * wkern, 0.0)
+        a_drag = a_drag - jnp.sum(contrib[..., None] * unit, axis=1)
+        norm = norm + jnp.sum(wkern, axis=1)
+        sound_d = jnp.maximum(sound_d,
+                              jnp.max(jnp.where(pair, gsound, 0.0), 1))
+        dvmag = jnp.sqrt(jnp.maximum(jnp.sum(dv * dv, -1), 0.0))
+        divv_d = jnp.maximum(divv_d,
+                             jnp.max(jnp.where(pair, dvmag, 0.0), 1))
+    divv_d = divv_d / jnp.maximum(h_f, 1e-30)
+    if test_particle:
+        a_drag = jnp.where(is_dust_t[:, None], a_drag, 0.0)
+
+    dudt = jnp.zeros((Np,), r_f.dtype)
+    if law.use_energy_term and not test_particle:
+        v_end = vk_f + a_f * dt
+        dEk = jnp.sum(a_drag * (v_end + 0.5 * a_drag * dt), axis=-1)
+        dudt = jnp.where(is_gas_t, -dEk, 0.0)
+        payload = jnp.where(is_dust_t,
+                            m_f * dEk / jnp.maximum(norm, 1e-30), 0.0)
+        pp = ghost(spec, payload.reshape(spec.ncells + (K,)))
+        dep = jnp.zeros((Np,), r_f.dtype)
+        for sh in shifts:
+            _, pair, _, wraw = pair_geom(sh)
+            p_nb = bc(g._shift_view(spec, pp, sh))
+            dep = dep + jnp.sum(jnp.where(pair, wraw * p_nb, 0.0), 1)
+        dudt = dudt - dep / jnp.maximum(rho_f, 1e-30)
+
+    shp = spec.ncells + (K,)
+    z = lambda x: jnp.where(alive, back(x.reshape(shp)), 0.0)
+    return DragResult(
+        a_drag=jnp.where(alive[:, None],
+                         back(a_drag.reshape(shp + (nd,))), 0.0),
+        dudt=z(dudt), sound=z(sound_d), div_v=z(divv_d))

@@ -218,6 +218,16 @@ def cullen_dehnen_alpha(kern: SmoothingKernel, visc: ArtificialViscosity,
     rr = jnp.einsum("nk,nki,nkj->nij", w, dr, dr)
     dvw = jnp.einsum("nk,nki,nkj->nij", w, dr, dv)
     daw = jnp.einsum("nk,nki,nkj->nij", w, dr, da)
+    return _cd2010_finalize(visc, rr, dvw, daw, h, sound, alpha)
+
+
+def _cd2010_finalize(visc: ArtificialViscosity, rr, dvw, daw,
+                     h, sound, alpha):
+    """Pointwise tail of the Cullen & Dehnen switch, shared by the
+    all-pairs and dense-shift accumulators (the two paths cannot
+    drift)."""
+    ndim = rr.shape[-1]
+    invh = 1.0 / h
 
     # guarded inversion + condition check (Sph.h:403-420)
     eye = jnp.eye(ndim)
@@ -252,3 +262,76 @@ def cullen_dehnen_alpha(kern: SmoothingKernel, visc: ArtificialViscosity,
                 * (jnp.maximum(visc.alpha_visc_min, alpha_loc) - alpha_new)
                 * invh)
     return alpha_new, dalphadt
+
+
+def cullen_dehnen_dense(kern: SmoothingKernel, visc: ArtificialViscosity,
+                        spec, binning, r, v, a, m, h, rho, sound,
+                        hfactor, alpha, alive, ghost_fn=None):
+    """Cullen & Dehnen switch over DENSE shifted cell tensors
+    (shard_map-safe O(N K) replacement for the (N, N) pass): the three
+    weighted outer-product sums rr/dvw/daw are accumulated over the
+    shift stencil, then the shared pointwise finale runs per particle
+    (Sph::ComputeCullenAndDehnenViscosity, src/Headers/Sph.h:360-456).
+    Inputs/outputs in particle order; returns (alpha_new, dalphadt)."""
+    import numpy as _np
+
+    from . import sph_grid27 as g
+
+    nd = r.shape[1]
+    ghost = ghost_fn or g.add_ghost_layers
+    d = lambda x: g.to_dense(spec, binning, x)
+    back = lambda x: g.from_dense(spec, binning, x)
+    fill = g.dense_fill_mask(spec, binning) & d(alive)
+    K = spec.k_cell
+    shifts = g._shifts(nd, spec.qz)
+
+    r_d = d(r)
+    # packed per-neighbour channels: [v (nd), a (nd), m]
+    pk = jnp.concatenate([d(v), d(a), d(m)[..., None]], axis=-1)
+    rp = ghost(spec, r_d, shift_vec=True)
+    pkp = ghost(spec, pk)
+    fp_ = ghost(spec, fill)
+
+    flat = lambda x: x.reshape((-1,) + x.shape[nd + 1:])
+    Np = int(_np.prod(spec.ncells)) * K
+    r_f = flat(r_d)
+    v_f = flat(d(v))
+    a_f = flat(d(a))
+    h_f = jnp.maximum(flat(d(h)), 1e-30)
+    coef_f = flat(d(hfactor / jnp.maximum(rho, 1e-30)))
+    invh_f = 1.0 / h_f
+
+    rr = jnp.zeros((Np, nd, nd), r_f.dtype)
+    dvw = jnp.zeros((Np, nd, nd), r_f.dtype)
+    daw = jnp.zeros((Np, nd, nd), r_f.dtype)
+    for sh in shifts:
+        r_nb = g._shift_view(spec, rp, sh)
+        pk_nb = g._shift_view(spec, pkp, sh)
+        f_nb = g._shift_view(spec, fp_, sh)
+        dr = (r_nb[..., None, :, :]
+              - r_d[..., :, None, :]).reshape(Np, K, nd)     # r_j - r_i
+        drsqd = jnp.sum(dr * dr, axis=-1)
+        ok = jnp.broadcast_to(
+            f_nb[..., None, :],
+            f_nb.shape[:nd] + (K, K)).reshape(Np, K) & (drsqd > 0.0)
+        drmag = jnp.sqrt(jnp.where(drsqd > 0, drsqd, 1.0))
+        pkb = jnp.broadcast_to(
+            pk_nb[..., None, :, :],
+            pk_nb.shape[:nd] + (K,) + pk_nb.shape[nd:]
+        ).reshape(Np, K, 2 * nd + 1)
+        w = pkb[..., -1] * (invh_f * coef_f)[:, None] \
+            * kern.w1(drmag * invh_f[:, None])
+        w = jnp.where(ok, w, 0.0)
+        dv = pkb[..., :nd] - v_f[:, None, :]
+        da = pkb[..., nd:2 * nd] - a_f[:, None, :]
+        rr = rr + jnp.einsum("nk,nki,nkj->nij", w, dr, dr)
+        dvw = dvw + jnp.einsum("nk,nki,nkj->nij", w, dr, dv)
+        daw = daw + jnp.einsum("nk,nki,nkj->nij", w, dr, da)
+
+    al_f = flat(d(alpha))
+    snd_f = flat(d(sound))
+    alpha_new, dalphadt = _cd2010_finalize(visc, rr, dvw, daw, h_f,
+                                           snd_f, al_f)
+    shp = spec.ncells + (K,)
+    z = lambda x, v0: jnp.where(alive, back(x.reshape(shp)), v0)
+    return z(alpha_new, alpha), z(dalphadt, 0.0)

@@ -243,3 +243,132 @@ def sm2012_hydro_pass_grid(kern: SmoothingKernel,
                      dudt=sane(f.dudt, 0.0),
                      div_v=sane(f.div_v, 0.0),
                      neib_overflow=s.neib_overflow | overflow), q
+
+
+# ---------------------------------------------------------------------------
+# Dense 27-shift grid pass (shard_map-compatible: fields travel as ghosted
+# cell tensors, so ppermute halos provide remote neighbours — the
+# gather-by-id pass above cannot see across shards)
+# ---------------------------------------------------------------------------
+
+def sm2012_pass_dense(kern: SmoothingKernel, visc: ArtificialViscosity,
+                      gamma: float, spec, h_fac: float, h_converge: float,
+                      binning, s, alive, hydro_forces: bool,
+                      ghost_fn=None):
+    """SM2012 hydro pass over DENSE shifted cell tensors: h-rho iteration
+    via density_grid27, then the q sum and the view force kernel
+    accumulated over the (2qz+1)*3^(nd-1) shifts.  `binning` is the
+    particle binning for `spec` (local slab inside shard_map).  Returns
+    the updated SphState."""
+    import dataclasses as _dc
+
+    from . import sph_grid27 as g
+
+    nd = s.ndim
+    ghost = ghost_fn or g.add_ghost_layers
+    d = lambda x: g.to_dense(spec, binning, x)
+    back = lambda x: g.from_dense(spec, binning, x)
+    fill = g.dense_fill_mask(spec, binning) & d(alive)
+    hmax = g.hmax_of(spec, kern.kernrange)
+
+    r_d, m_d, h_d = d(s.r), d(s.m), d(s.h)
+    dens = g.density_grid27(kern, spec, h_fac, h_converge,
+                            r_d, m_d, h_d, fill, hmax, ghost_fn=ghost)
+
+    # dense q sum + forces over the shift stencil, accumulated through
+    # the shared view kernel (flattened (cells*K, K_nb) views per shift)
+    K = spec.k_cell
+    shifts = g._shifts(nd, spec.qz)
+    pressure = (gamma - 1.0) * jnp.maximum(dens.rho, 1e-30) * d(s.u)
+    sound = jnp.sqrt(gamma * (gamma - 1.0) * jnp.maximum(d(s.u), 1e-30))
+    invh = 1.0 / jnp.maximum(dens.h, 1e-30)
+    hfactor = invh ** (nd + 1)
+
+    # packed neighbour tensor: [m, u, h, rho, hfactor, sound, alpha]
+    pk = jnp.stack([m_d, d(s.u), dens.h, dens.rho, hfactor, sound,
+                    d(s.alpha)], axis=-1)
+    rp = ghost(spec, r_d, shift_vec=True)
+    vp = ghost(spec, d(s.v))
+    pkp = ghost(spec, pk)
+    fp_ = ghost(spec, fill)
+
+    flat = lambda x: x.reshape((-1,) + x.shape[nd + 1:])
+    h_f = flat(jnp.maximum(dens.h, 1e-30))
+    u_f = flat(d(s.u))
+    rho_f = flat(dens.rho)
+    hfac_f = flat(hfactor)
+    snd_f = flat(sound)
+    al_f = flat(d(s.alpha))
+    v_f = flat(d(s.v))
+    r_f = flat(r_d)
+    Np = r_f.shape[0]
+
+    # pass 1: q sum
+    q = jnp.zeros((Np,), r_f.dtype)
+    for sh in shifts:
+        r_nb = g._shift_view(spec, rp, sh)
+        pk_nb = g._shift_view(spec, pkp, sh)
+        f_nb = g._shift_view(spec, fp_, sh)
+        dr = r_nb[..., None, :, :] - r_d[..., :, None, :]
+        drsqd = jnp.sum(dr * dr, axis=-1).reshape(-1, K)
+        mu_nb = (pk_nb[..., 0] * pk_nb[..., 1])[..., None, :]
+        mu_f = jnp.broadcast_to(mu_nb, dr.shape[:-1]).reshape(-1, K)
+        ok = jnp.broadcast_to(f_nb[..., None, :],
+                              dr.shape[:-1]).reshape(-1, K)
+        ssqd = drsqd * (1.0 / h_f ** 2)[:, None]
+        q = q + jnp.sum(jnp.where(ok, mu_f * kern.w0_s2(ssqd), 0.0), -1)
+    q = q * (1.0 / h_f) ** nd
+    q_safe = jnp.maximum(q, 1e-30)
+
+    a = jnp.zeros((Np, nd), r_f.dtype)
+    dudt = jnp.zeros((Np,), r_f.dtype)
+    div_v = jnp.zeros((Np,), r_f.dtype)
+    if hydro_forces:
+        qp = ghost(spec, q.reshape(spec.ncells + (K,)))
+        for sh in shifts:
+            r_nb = g._shift_view(spec, rp, sh)
+            v_nb = g._shift_view(spec, vp, sh)
+            pk_nb = g._shift_view(spec, pkp, sh)
+            q_nb = g._shift_view(spec, qp, sh)
+            f_nb = g._shift_view(spec, fp_, sh)
+            dr = (r_nb[..., None, :, :]
+                  - r_d[..., :, None, :]).reshape(-1, K, nd)
+            bshape = (Np, K)
+            bc = lambda x: jnp.broadcast_to(
+                x[..., None, :], x.shape[:nd] + (K,)
+                + x.shape[nd:]).reshape(bshape + x.shape[nd + 1:])
+            nb = {
+                "v": jnp.broadcast_to(
+                    v_nb[..., None, :, :],
+                    v_nb.shape[:nd] + (K, K, nd)).reshape(Np, K, nd),
+                "m": bc(pk_nb[..., 0]), "u": bc(pk_nb[..., 1]),
+                "h": jnp.maximum(bc(pk_nb[..., 2]), 1e-30),
+                "rho": bc(pk_nb[..., 3]), "hfactor": bc(pk_nb[..., 4]),
+                "sound": bc(pk_nb[..., 5]), "alpha": bc(pk_nb[..., 6]),
+                "q": jnp.maximum(bc(q_nb), 1e-30),
+            }
+            mask = bc(f_nb)
+            f = sm2012_forces_view(kern, visc, gamma, v_f, u_f, h_f,
+                                   rho_f, q_safe, hfac_f, snd_f, al_f,
+                                   dr, nb, mask)
+            a = a + f.a
+            dudt = dudt + f.dudt
+            div_v = div_v + f.div_v
+
+    shp = spec.ncells + (K,)
+    sane = lambda x, v0: jnp.where(alive, back(x.reshape(shp)), v0)
+    sanev = lambda x, v0: jnp.where(alive[:, None],
+                                    back(x.reshape(shp + (nd,))), v0)
+    press_p = jnp.where(alive, back(pressure), 0.0)
+    sound_p = jnp.where(alive, back(sound), 0.0)
+    out = s.replace(
+        h=jnp.where(alive, back(dens.h), 1.0),
+        rho=jnp.where(alive, back(dens.rho), 1.0),
+        pressure=press_p, sound=sound_p,
+        hfactor=jnp.where(alive, back(hfactor), 0.0),
+        invomega=jnp.ones_like(s.invomega),
+        zeta=jnp.zeros_like(s.zeta),
+        a=sanev(a, jnp.zeros_like(s.a)),
+        dudt=sane(dudt, 0.0), div_v=sane(div_v, 0.0),
+        neib_overflow=s.neib_overflow | dens.overflow | binning.overflow)
+    return out

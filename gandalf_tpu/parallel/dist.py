@@ -167,15 +167,11 @@ def state_shardings(mesh: Mesh, s: SphState, lead_dims=None):
     return jax.tree_util.tree_map(rule, s)
 
 
-def dist_hydro_pass(mesh: Mesh, plan: DistPlan, kern, visc, box, eos,
-                    h_fac: float, h_converge: float, hydro_forces: bool,
-                    s: SphState, alive: Array):
-    """Sharded density+EOS+hydro-forces pass: per-shard binning/scatter
-    into the local z-slab grid, ppermute halo layers, shard-local pair
-    kernels.  Runs INSIDE shard_map (applied by the caller)."""
+def _shard_local_binning(plan: DistPlan, box, s: SphState, alive: Array):
+    """Per-shard slab spec + seam-unwrapped positions + binning (shared
+    by the scheme-specific sharded passes).  Runs INSIDE shard_map."""
     spec = plan.global_spec
     local = plan.local_spec
-    nd = s.ndim
     cell0 = spec.extents[0] / spec.ncells[0]
     nz_loc = local.ncells[0]
 
@@ -202,13 +198,71 @@ def dist_hydro_pass(mesh: Mesh, plan: DistPlan, kern, visc, box, eos,
     # padding slots are routed to the virtual overflow cell — they must
     # not consume fill capacity (a cap's worth of pads share one position)
     b = g.bin_particles(loc, r_loc, discard=~alive)
+    return loc, r_loc, b
+
+
+def dist_sm2012_pass(mesh: Mesh, plan: DistPlan, kern, visc,
+                     gamma: float, box, h_fac: float, h_converge: float,
+                     hydro_forces: bool, s: SphState, alive: Array):
+    """Sharded SM2012 hydro pass: the dense 27-shift q/force kernels
+    (ops/sm2012.sm2012_pass_dense) over the local slab with ppermute
+    halos.  Runs INSIDE shard_map."""
+    from ..ops.sm2012 import sm2012_pass_dense
+
+    loc, r_loc, b = _shard_local_binning(plan, box, s, alive)
+    ghost = make_halo_ghost_fn("dp", plan.global_spec, plan.local_spec)
+    out = sm2012_pass_dense(kern, visc, gamma, loc, h_fac, h_converge,
+                            b, s.replace(r=r_loc), alive, hydro_forces,
+                            ghost_fn=ghost)
+    overflow = lax.pmax(out.neib_overflow.astype(jnp.int32), "dp") > 0
+    return out.replace(r=s.r, neib_overflow=overflow)
+
+
+def dist_cd2010_pass(plan: DistPlan, kern, visc, box,
+                     s: SphState, alive: Array):
+    """Sharded Cullen & Dehnen (2010) viscosity switch: dense-shift
+    rr/dvw/daw accumulation over the local slab with ppermute halos
+    (ops/forces.cullen_dehnen_dense).  Runs INSIDE shard_map; returns
+    (alpha_new, dalphadt) in local particle order."""
+    from ..ops.forces import cullen_dehnen_dense
+
+    loc, r_loc, b = _shard_local_binning(plan, box, s, alive)
+    ghost = make_halo_ghost_fn("dp", plan.global_spec, plan.local_spec)
+    return cullen_dehnen_dense(kern, visc, loc, b, r_loc, s.v, s.a,
+                               s.m, s.h, s.rho, s.sound, s.hfactor,
+                               s.alpha, alive, ghost_fn=ghost)
+
+
+def dist_drag_pass(plan: DistPlan, kern, law, box, dt,
+                   s: SphState, alive: Array, test_particle: bool):
+    """Sharded gas-dust drag: the dense 27-shift drag kernels
+    (ops/dust.drag_pass_dense — gather-only reformulation of the
+    dust->gas energy deposit) over the local slab with ppermute halos.
+    Runs INSIDE shard_map; returns a per-local-particle DragResult."""
+    from ..ops.dust import drag_pass_dense
+
+    loc, r_loc, b = _shard_local_binning(plan, box, s, alive)
+    ghost = make_halo_ghost_fn("dp", plan.global_spec, plan.local_spec)
+    return drag_pass_dense(kern, law, loc, dt, b, s.replace(r=r_loc),
+                           alive, test_particle, ghost_fn=ghost)
+
+
+def dist_hydro_pass(mesh: Mesh, plan: DistPlan, kern, visc, box, eos,
+                    h_fac: float, h_converge: float, hydro_forces: bool,
+                    s: SphState, alive: Array):
+    """Sharded density+EOS+hydro-forces pass: per-shard binning/scatter
+    into the local z-slab grid, ppermute halo layers, shard-local pair
+    kernels.  Runs INSIDE shard_map (applied by the caller)."""
+    spec = plan.global_spec
+    nd = s.ndim
+    loc, r_loc, b = _shard_local_binning(plan, box, s, alive)
     hmax = g.hmax_of(spec, kern.kernrange)
     d = lambda x: g.to_dense(loc, b, x)
     fill = g.dense_fill_mask(loc, b) & d(alive)
     r_d, v_d, m_d, h_d = d(r_loc), d(s.v), d(s.m), d(s.h)
 
-    ghost = make_halo_ghost_fn("dp", spec, local)
-    dens = g.density_grid27(kern, local, h_fac, h_converge,
+    ghost = make_halo_ghost_fn("dp", spec, plan.local_spec)
+    dens = g.density_grid27(kern, loc, h_fac, h_converge,
                             r_d, m_d, h_d, fill, hmax, ghost_fn=ghost)
     u_d, press_d, sound_d = eos.thermal_update(
         jnp.maximum(dens.rho, 1e-30), d(s.u))
@@ -218,7 +272,7 @@ def dist_hydro_pass(mesh: Mesh, plan: DistPlan, kern, visc, box, eos,
                   "sound": sound_d, "invomega": dens.invomega,
                   "hfactor": dens.hfactor, "alpha": d(s.alpha)}
         a_d, dudt_d, div_v_d, _ = g.forces_grid27(
-            kern, visc, local, fields, fill, ghost_fn=ghost)
+            kern, visc, loc, fields, fill, ghost_fn=ghost)
     else:
         a_d = jnp.zeros_like(r_d)
         dudt_d = jnp.zeros_like(m_d)
@@ -241,7 +295,7 @@ def dist_hydro_pass(mesh: Mesh, plan: DistPlan, kern, visc, box, eos,
 
 def dist_tree_gravity(treespec, bucket_map: Array, s: SphState,
                       kern, alive: Array, n_shards: int,
-                      periodic_extent=None):
+                      periodic_extent=None, ewald_table=None):
     """Distributed Barnes-Hut gravity inside shard_map: all_gather the
     (r, m, h, zh) source arrays, build the replicated implicit tree, walk
     only this shard's contiguous group range, and psum the partial
@@ -277,7 +331,9 @@ def dist_tree_gravity(treespec, bucket_map: Array, s: SphState,
     g0 = idx * G_loc
     res, overflow = tree_gravity(
         treespec, tree, r_s, m_s, alive_s, h_s, kern, zh_s,
-        group_range=(g0, G_loc))
+        group_range=(g0, G_loc), ewald_table=ewald_table,
+        ewald_extent=periodic_extent if ewald_table is not None
+        else None)
 
     # scatter local groups' results into the global array and sum
     N_tot = r_all.shape[0]

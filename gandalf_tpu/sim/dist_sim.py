@@ -56,16 +56,10 @@ class DistributedGradhSphSimulation(GradhSphSimulation):
         unsupported = []
         if self.use_block:
             unsupported.append("block timesteps (Nlevels > 1)")
-        if p.stringparams["dust_forces"] not in ("none", "null", ""):
-            unsupported.append("dust")
-        if self.use_ewald:
-            unsupported.append("Ewald periodic gravity")
         if not self.use_celllist:
             unsupported.append("bruteforce neighbour search")
         if self.box.mirror_walls():
             unsupported.append("mirror boundaries")
-        if self.td_avisc_type == "cd2010" and self.integ.td_avisc:
-            unsupported.append("cd2010 viscosity switch")
         if unsupported:
             raise NotImplementedError(
                 "distributed mode does not yet support: "
@@ -97,6 +91,13 @@ class DistributedGradhSphSimulation(GradhSphSimulation):
         theta_sqd = p.floatparams["thetamaxsqd"]
         h_max = float(np.asarray(self.state.h).max()) \
             if self.state is not None else 0.0
+        if self.use_ewald:
+            # the Ewald walk min-images every MAC/cell/pair interaction;
+            # the LET halo bands are one-sided and do not carry wrapped
+            # images, so periodic gravity uses the replicated tree
+            self.letplan = None
+            self._plan_replicated_tree(r_sharded, mp, theta_sqd)
+            return
         prev_let = getattr(self, "letplan", None)
         self.letplan = let_mod.plan_let(
             np.asarray(r_sharded, np.float64), self.distplan.perm,
@@ -168,24 +169,59 @@ class DistributedGradhSphSimulation(GradhSphSimulation):
         src/Mpi/MpiControl.cpp:365-381)."""
         box, sim = self.box, self
         plan = self.distplan
-        s = dist.dist_hydro_pass(
-            self.mesh, plan, sim.kern, sim.visc, box, sim.eos,
-            sim.h_fac, sim.h_converge, sim.hydro_forces, s, alive)
+        if getattr(sim, "scheme", "gradh") == "sm2012":
+            s = dist.dist_sm2012_pass(
+                self.mesh, plan, sim.kern, sim.visc, sim.gamma, box,
+                sim.h_fac, sim.h_converge, sim.hydro_forces, s, alive)
+        elif getattr(sim, "has_dust", False):
+            # two TYPE-MASKED passes, the single-chip split
+            # (simulation.py _hydro_only_pass): gas density/EOS/forces
+            # from gas sources; dust gets h from dust neighbours only
+            from ..state import DUST_TYPE
+
+            is_dust = s.ptype == DUST_TYPE
+            s_g = dist.dist_hydro_pass(
+                self.mesh, plan, sim.kern, sim.visc, box, sim.eos,
+                sim.h_fac, sim.h_converge, sim.hydro_forces, s,
+                alive & ~is_dust)
+            s_d = dist.dist_hydro_pass(
+                self.mesh, plan, sim.kern, sim.visc, box, sim.eos,
+                sim.h_fac, sim.h_converge, False, s, alive & is_dust)
+            pick = lambda g, d: jnp.where(is_dust, d, g)
+            z = jnp.zeros_like(s.u)
+            s = s.replace(
+                h=pick(s_g.h, s_d.h), rho=pick(s_g.rho, s_d.rho),
+                invomega=pick(s_g.invomega, s_d.invomega),
+                zeta=pick(s_g.zeta, s_d.zeta),
+                hfactor=pick(s_g.hfactor, s_d.hfactor),
+                u=pick(s_g.u, z), pressure=pick(s_g.pressure, z),
+                sound=pick(s_g.sound, z),
+                a=jnp.where(is_dust[:, None], 0.0, s_g.a),
+                dudt=pick(s_g.dudt, z), div_v=pick(s_g.div_v, z),
+                neib_overflow=s_g.neib_overflow | s_d.neib_overflow)
+        else:
+            s = dist.dist_hydro_pass(
+                self.mesh, plan, sim.kern, sim.visc, box, sim.eos,
+                sim.h_fac, sim.h_converge, sim.hydro_forces, s, alive)
         if sim.self_gravity:
             pdims = box.periodic_dims()
             pext = [box.size[k] if k in pdims else 0.0
                     for k in range(s.ndim)] if pdims else None
+            m_grav = sim._gravity_mass(s)
             if sim.letplan is not None:
                 from ..parallel.let import let_gravity
 
                 a_g, gpot, ovg = let_gravity(
-                    sim.letplan, s.bucket_map, s.r, s.m, s.h,
+                    sim.letplan, s.bucket_map, s.r, m_grav, s.h,
                     s.zeta * s.hfactor, alive, sim.kern,
                     periodic_extent=pext)
             else:
                 a_g, gpot, ovg = dist.dist_tree_gravity(
-                    sim.treespec, s.bucket_map, s, sim.kern, alive,
-                    plan.n_shards, periodic_extent=pext)
+                    sim.treespec, s.bucket_map, s.replace(m=m_grav),
+                    sim.kern, alive, plan.n_shards,
+                    periodic_extent=pext,
+                    ewald_table=sim.ewald_table if sim.use_ewald
+                    else None)
             s = s.replace(a=s.a + a_g, gpot=gpot,
                           neib_overflow=s.neib_overflow | ovg)
         if sim.extpot != "none":
@@ -220,6 +256,32 @@ class DistributedGradhSphSimulation(GradhSphSimulation):
                 gpot=s.gpot + jnp.where(alive, gp_gs, 0.0))
         return s, sinks
 
+    def _dist_apply_drag(self, s: SphState, dt, alive):
+        """Sharded analogue of SimulationBase._apply_drag: dense-shift
+        drag kernels with halo ghosts (runs INSIDE shard_map)."""
+        from ..state import DUST_TYPE
+
+        tp = self.dust_forces == "test_particle"
+        d = dist.dist_drag_pass(self.distplan, self.kern, self.drag_law,
+                                self.box, dt, s, alive, tp)
+        is_dust = s.ptype == DUST_TYPE
+        return s.replace(
+            a=s.a + d.a_drag, dudt=s.dudt + d.dudt,
+            sound=jnp.where(is_dust, d.sound, s.sound),
+            div_v=jnp.where(is_dust, d.div_v, s.div_v))
+
+    def _dist_td_avisc(self, s: SphState, alive):
+        """Sharded analogue of SimulationBase._td_avisc (runs INSIDE
+        shard_map): cd2010 raises alpha instantly via the dense halo
+        pass; mm97 evolves it pointwise."""
+        if not self.integ.td_avisc:
+            return s, jnp.zeros_like(s.alpha)
+        if self.td_avisc_type == "cd2010":
+            alpha_new, dal = dist.dist_cd2010_pass(
+                self.distplan, self.kern, self.visc, self.box, s, alive)
+            return s.replace(alpha=alpha_new), dal
+        return s, self._dalphadt(s)
+
     def _dist_dt(self, s: SphState, sinks, alive):
         dt_part = jnp.where(alive,
                             sph_timestep(self.integ, s, self.hydro_forces),
@@ -246,11 +308,15 @@ class DistributedGradhSphSimulation(GradhSphSimulation):
                 s = s.replace(r=r, r0=box.wrap(s.r0))
             alive = s.alive
             s, _ = self._dist_force_pass(s, None, alive)
+            if sim.has_dust:
+                dt_drag = jnp.asarray(0.0, s.r.dtype) if bootstrap else dt
+                s = self._dist_apply_drag(s, dt_drag, alive)
             if bootstrap:
                 s = s.replace(a0=s.a, dudt0=s.dudt, u0=s.u, r0=s.r,
                               v0=s.v)
             else:
-                s = correct(integ, s, dt, self._dalphadt(s))
+                s, dal = self._dist_td_avisc(s, alive)
+                s = correct(integ, s, dt, dal)
             dt_next = self._dist_dt(s, None, alive)
             if bootstrap:
                 return s.replace(dt=dt_next)
@@ -270,13 +336,17 @@ class DistributedGradhSphSimulation(GradhSphSimulation):
                 s = s.replace(r=box.wrap(s.r), r0=box.wrap(s.r0))
             alive = s.alive
             s, sinks = self._dist_force_pass(s, sinks, alive)
+            if sim.has_dust:
+                dt_drag = jnp.asarray(0.0, s.r.dtype) if bootstrap else dt
+                s = self._dist_apply_drag(s, dt_drag, alive)
             if bootstrap:
                 s = s.replace(a0=s.a, dudt0=s.dudt, u0=s.u, r0=s.r,
                               v0=s.v)
                 sinks = sinks._replace(a0=sinks.a, r0=sinks.r, v0=sinks.v)
                 return (s.replace(dt=self._dist_dt(s, sinks, alive)),
                         sinks)
-            s = correct(integ, s, dt, self._dalphadt(s))
+            s, dal = self._dist_td_avisc(s, alive)
+            s = correct(integ, s, dt, dal)
             v_c = sinks.v + 0.5 * dt * (sinks.a - sinks.a0)
             sinks = sinks._replace(v=v_c, r0=sinks.r, v0=v_c, a0=sinks.a)
             cfg = sim.sink_cfg
@@ -335,6 +405,9 @@ class DistributedGradhSphSimulation(GradhSphSimulation):
             ic = generate_ic(self.params, self.eos)
             state = make_sph_state(ic["r"], ic["v"], ic["m"], ic["h"],
                                    ic["u"])
+            if "ptype" in ic:
+                state = state.replace(
+                    ptype=jnp.asarray(np.asarray(ic["ptype"], np.int32)))
             self._n_orig = state.N
             # sinks/stars: replicated on every shard (they are few); the
             # collective pieces live in the jitted step
@@ -421,10 +494,27 @@ class DistributedGradhSphSimulation(GradhSphSimulation):
         host = dist.unshard_state(self.distplan, self.state, self._n_orig)
         out = {k: np.asarray(getattr(host, k))
                for k in ("r", "v", "a", "m", "h", "rho", "u", "dudt",
-                         "pressure", "sound", "div_v")}
+                         "pressure", "sound", "div_v", "gpot")}
         if getattr(self, "has_sinks", False):
             out["alive"] = np.asarray(host.alive)
             act = np.asarray(self.sinks.active)
             out["star"] = {k: np.asarray(getattr(self.sinks, k))[act]
                            for k in ("r", "v", "a", "m", "h")}
         return out
+
+
+class DistributedSM2012Simulation(DistributedGradhSphSimulation):
+    """Saitoh-Makino (2012) SPH over the sharded z-slab runtime: the
+    dense 27-shift q/force kernels (ops/sm2012.sm2012_pass_dense) run
+    shard-local with ppermute halos (the reference's MPI mode covers all
+    SPH flavours, src/SM2013/SM2012SphSimulation.cpp + MpiControl)."""
+
+    scheme = "sm2012"
+
+    def process_parameters(self):
+        super().process_parameters()
+        self.gamma = self.params.floatparams["gamma_eos"]
+        if self.params.stringparams["gas_eos"] not in ("energy_eqn",
+                                                       "isothermal"):
+            raise ValueError("sm2012sph supports energy_eqn/isothermal "
+                             "only")

@@ -278,12 +278,15 @@ class SimulationBase:
                 from .dist_sim import DistributedGradhSphSimulation
                 return DistributedGradhSphSimulation(params)
             return GradhSphSimulation(params)
+        if sim == "sm2012sph":
+            if params.intparams["Nmpi"] > 1:
+                from .dist_sim import DistributedSM2012Simulation
+                return DistributedSM2012Simulation(params)
+            return SM2012SphSimulation(params)
         if params.intparams["Nmpi"] > 1:
             raise NotImplementedError(
                 f"distributed (Nmpi > 1) mode currently supports the "
-                f"grad-h SPH controller only, not sim = {sim!r}")
-        if sim == "sm2012sph":
-            return SM2012SphSimulation(params)
+                f"grad-h and SM2012 SPH controllers, not sim = {sim!r}")
         if sim == "nbody":
             from .nbody_sim import NbodySimulation
             return NbodySimulation(params)
@@ -1456,6 +1459,17 @@ class GradhSphSimulation(SimulationBase):
         if not self.integ.td_avisc:
             return s, jnp.zeros_like(s.alpha)
         if self.td_avisc_type == "cd2010":
+            if self.use_celllist:
+                # O(N K) dense-shift accumulation on the grid
+                from ..ops import sph_grid27 as g
+                from ..ops.forces import cullen_dehnen_dense
+
+                b = g.bin_particles(self.gridspec, s.r, discard=~s.alive)
+                alpha_new, dal = cullen_dehnen_dense(
+                    self.kern, self.visc, self.gridspec, b, s.r, s.v,
+                    s.a, s.m, s.h, s.rho, s.sound, s.hfactor, s.alpha,
+                    s.alive)
+                return s.replace(alpha=alpha_new), dal
             from ..ops.forces import cullen_dehnen_alpha
 
             m_live = jnp.where(s.alive, s.m, 0.0)
@@ -1604,7 +1618,7 @@ class GradhSphSimulation(SimulationBase):
         s = self.state
         out = {k: np.asarray(getattr(s, k))
                for k in ("r", "v", "a", "m", "h", "rho", "u", "dudt",
-                         "pressure", "sound", "div_v")}
+                         "pressure", "sound", "div_v", "gpot")}
         if getattr(self, "has_sinks", False):
             out["alive"] = np.asarray(s.alive)
             act = np.asarray(self.sinks.active)

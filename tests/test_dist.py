@@ -37,10 +37,10 @@ def box_params(n_side=16, nmpi=0, grav=0, **over):
     return p
 
 
-def _jitter_ic(sim, seed=11):
+def _jitter_ic(sim, seed=11, dust_frac=0.0):
     """Perturbed ICs so the run does real work (deterministic)."""
     from gandalf_tpu.sim.ic import generate_ic
-    from gandalf_tpu.state import make_sph_state
+    from gandalf_tpu.state import DUST_TYPE, GAS_TYPE, make_sph_state
 
     ic = generate_ic(sim.params, sim.eos)
     rng = np.random.default_rng(seed)
@@ -48,14 +48,19 @@ def _jitter_ic(sim, seed=11):
     ic["r"] = np.mod(ic["r"] + 0.2 / n_side
                      * rng.standard_normal(ic["r"].shape), 1.0)
     ic["v"] = 0.05 * rng.standard_normal(ic["v"].shape)
+    if dust_frac > 0.0:
+        N = len(ic["r"])
+        pt = np.full(N, GAS_TYPE, np.int32)
+        pt[rng.permutation(N)[: int(dust_frac * N)]] = DUST_TYPE
+        ic["ptype"] = pt
     return ic
 
 
-def _run(nmpi, grav, n_steps=3, n_side=16, **over):
+def _run(nmpi, grav, n_steps=3, n_side=16, dust_frac=0.0, **over):
     sim = SimulationBase.factory(box_params(n_side=n_side, nmpi=nmpi,
                                             grav=grav, **over))
     sim.process_parameters()
-    ic = _jitter_ic(sim)
+    ic = _jitter_ic(sim, dust_frac=dust_frac)
     # inject the jittered ICs through the normal setup path (patch both
     # the ic module and simulation.py's module-level import of the name)
     import gandalf_tpu.sim.ic as ic_mod
@@ -215,3 +220,77 @@ class TestDistributedConservation:
         # distributed drift must not exceed single-chip by more than the
         # scheme's own error scale
         assert drifts[4] < max(3.0 * drifts[0], 2e-3), drifts
+
+
+class TestDistributedSM2012:
+    def test_matches_single_device(self):
+        """SM2012 (density-independent) SPH over the sharded runtime must
+        match the single-chip controller to roundoff (reference MPI mode
+        covers all SPH flavours, SM2012SphSimulation + MpiControl)."""
+        s1 = _sorted_state(_run(0, grav=0, sim="sm2012sph"))
+        s8 = _sorted_state(_run(4, grav=0, sim="sm2012sph"))
+        for k in ("r", "v", "rho", "u", "h"):
+            np.testing.assert_allclose(s8[k], s1[k], rtol=2e-10, atol=1e-11,
+                                       err_msg=k)
+
+    def test_self_gravity_runs(self):
+        """sm2012 + distributed tree gravity: finite fields, mass
+        conserved."""
+        sim = _run(4, grav=1, n_steps=2, sim="sm2012sph")
+        d = sim._state_to_host()
+        assert np.isfinite(d["rho"]).all() and np.isfinite(d["u"]).all()
+        assert d["m"].sum() == pytest.approx(1.0, rel=1e-12)
+
+
+class TestDistributedDust:
+    def test_dusty_box_matches_single_device(self):
+        """3D jittered box with 25% dust (full two-fluid fixed drag):
+        distributed must match the single-chip grid path (two type-masked
+        density passes + drag) to roundoff."""
+        over = dict(dust_forces="full_twofluid", drag_law="fixed",
+                    drag_coeff=2.0)
+        s1 = _sorted_state(_run(0, grav=0, dust_frac=0.25, **over))
+        s8 = _sorted_state(_run(4, grav=0, dust_frac=0.25, **over))
+        for k in ("r", "v", "rho", "u", "h"):
+            np.testing.assert_allclose(s8[k], s1[k], rtol=2e-10,
+                                       atol=1e-11, err_msg=k)
+
+    def test_test_particle_dust_gravity(self):
+        """Test-particle dust + self-gravity: dust must not gravitate
+        (gravmask) and the run stays finite."""
+        over = dict(dust_forces="test_particle", drag_law="fixed",
+                    drag_coeff=1.0)
+        sim = _run(4, grav=1, n_steps=2, dust_frac=0.25, **over)
+        d = sim._state_to_host()
+        assert np.isfinite(d["rho"]).all() and np.isfinite(d["v"]).all()
+        assert d["m"].sum() == pytest.approx(1.0, rel=1e-12)
+
+
+class TestDistributedCD2010:
+    def test_matches_single_device(self):
+        """cd2010 viscosity switch over the sharded runtime (dense-shift
+        rr/dvw/daw accumulation with halos) must match the single-chip
+        grid path to roundoff."""
+        over = dict(time_dependent_avisc="cd2010")
+        s1 = _sorted_state(_run(0, grav=0, **over))
+        s8 = _sorted_state(_run(4, grav=0, **over))
+        for k in ("r", "v", "rho", "u", "h"):
+            np.testing.assert_allclose(s8[k], s1[k], rtol=2e-10,
+                                       atol=1e-11, err_msg=k)
+
+
+class TestDistributedEwald:
+    def test_matches_single_chip_truncation(self):
+        """Periodic (Ewald) self-gravity in distributed mode: the
+        replicated tree walk min-images MAC/cells/pairs identically to
+        the single-chip walk, so the potentials agree to multipole
+        truncation (different bucket plans, like the reference's MPI
+        domain trees vs serial).  Without the corrections the periodic
+        potential would be off at the ~10% level."""
+        s1 = _sorted_state(_run(0, grav=1, n_steps=1, ewald=1))
+        s8 = _sorted_state(_run(4, grav=1, n_steps=1, ewald=1))
+        gp1, gp8 = s1["gpot"], s8["gpot"]
+        err = np.abs(gp8 - gp1) / np.maximum(np.abs(gp1), 1e-30)
+        assert np.median(err) < 2e-3, f"median {np.median(err)}"
+        assert np.percentile(err, 99) < 3e-2, \
+            f"p99 {np.percentile(err, 99)}"
