@@ -295,7 +295,8 @@ def dist_hydro_pass(mesh: Mesh, plan: DistPlan, kern, visc, box, eos,
 
 def dist_tree_gravity(treespec, bucket_map: Array, s: SphState,
                       kern, alive: Array, n_shards: int,
-                      periodic_extent=None, ewald_table=None):
+                      periodic_extent=None, ewald_table=None,
+                      zeta_scaling: str = "sph"):
     """Distributed Barnes-Hut gravity inside shard_map: all_gather the
     (r, m, h, zh) source arrays, build the replicated implicit tree, walk
     only this shard's contiguous group range, and psum the partial
@@ -333,7 +334,7 @@ def dist_tree_gravity(treespec, bucket_map: Array, s: SphState,
         treespec, tree, r_s, m_s, alive_s, h_s, kern, zh_s,
         group_range=(g0, G_loc), ewald_table=ewald_table,
         ewald_extent=periodic_extent if ewald_table is not None
-        else None)
+        else None, zeta_scaling=zeta_scaling)
 
     # scatter local groups' results into the global array and sum
     N_tot = r_all.shape[0]
@@ -355,3 +356,89 @@ def dist_tree_gravity(treespec, bucket_map: Array, s: SphState,
     a_loc = lax.dynamic_slice_in_dim(a_glob, p0, cap)
     gp_loc = lax.dynamic_slice_in_dim(gp_glob, p0, cap)
     return a_loc, gp_loc, overflow
+
+
+# -- distributed meshless finite-volume passes ---------------------------
+def _dist_mfv_binning(plan: DistPlan, box, s, alive: Array):
+    """MFV variant of _shard_local_binning (duck-typed on .r) plus the
+    dense/back converters and halo ghost fn shared by the three MFV
+    passes.  Runs INSIDE shard_map."""
+    loc, r_loc, b = _shard_local_binning(plan, box, s, alive)
+    ghost = make_halo_ghost_fn("dp", plan.global_spec, plan.local_spec)
+    d = lambda x: g.to_dense(loc, b, x)
+    back = lambda x: g.from_dense(loc, b, x)
+    fill = g.dense_fill_mask(loc, b) & d(alive)
+    return loc, r_loc, b, ghost, d, back, fill
+
+
+def dist_mfv_density_pass(plan: DistPlan, kern, box, h_fac: float,
+                          h_converge: float, eos, s, alive: Array):
+    """Sharded MFV number-density/h pass + EOS refresh
+    (MeshlessFVTree::UpdateAllProperties over MPI ghosts).  Runs INSIDE
+    shard_map."""
+    from ..ops.mfv_grid27 import density_mfv_grid27
+
+    loc, r_loc, b, ghost, d, back, fill = _dist_mfv_binning(
+        plan, box, s, alive)
+    hmax = g.hmax_of(plan.global_spec, kern.kernrange)
+    dens = density_mfv_grid27(kern, loc, h_fac, h_converge, d(r_loc),
+                              d(s.m), d(s.h), fill, hmax, ghost_fn=ghost)
+    sane = lambda x, v0: jnp.where(alive, back(x), v0)
+    rho = sane(dens.rho, 1.0)
+    u, pressure, sound = eos.thermal_update(jnp.maximum(rho, 1e-30), s.u)
+    overflow = lax.pmax((dens.overflow | b.overflow).astype(jnp.int32),
+                        "dp") > 0
+    return s.replace(
+        h=sane(dens.h, 1.0), ndens=sane(dens.ndens, 1.0), rho=rho,
+        invomega=sane(dens.invomega, 1.0), zeta=sane(dens.zeta, 0.0),
+        hfactor=sane(dens.hfactor, 0.0),
+        u=jnp.where(alive, u, 0.0),
+        pressure=jnp.where(alive, pressure, 0.0),
+        sound=jnp.where(alive, sound, 0.0),
+        neib_overflow=s.neib_overflow | overflow)
+
+
+def dist_mfv_gradient_pass(plan: DistPlan, kern, box, s, alive: Array):
+    """Sharded MFV least-squares gradients + slope limiter
+    (MeshlessFVTree::UpdateGradientMatrices).  Runs INSIDE shard_map."""
+    from ..ops.mfv_grid27 import gradients_mfv_grid27
+
+    loc, r_loc, b, ghost, d, back, fill = _dist_mfv_binning(
+        plan, box, s, alive)
+    dense = {"r": d(r_loc), "h": d(s.h), "ndens": d(s.ndens),
+             "Wprim": d(s.Wprim), "sound": d(s.sound)}
+    res = gradients_mfv_grid27(kern, loc, dense, fill, ghost_fn=ghost)
+    sane = lambda x, v0: jnp.where(alive, back(x), v0)
+    B = back(res.B)
+    grad = back(res.grad)
+    alpha = back(res.alpha_slope)
+    overflow = lax.pmax(b.overflow.astype(jnp.int32), "dp") > 0
+    return s.replace(
+        B=jnp.where(alive[:, None, None], B, 0.0),
+        grad=jnp.where(alive[:, None, None], grad, 0.0),
+        alpha_slope=jnp.where(alive[:, None], alpha, 0.0),
+        vsig_max=sane(res.vsig_max, 1.0),
+        bad_grad=jnp.where(alive, back(res.bad).astype(s.h.dtype), 1.0),
+        neib_overflow=s.neib_overflow | overflow)
+
+
+def dist_mfv_flux_pass(plan: DistPlan, kern, cfg, box, dt, s,
+                       alive: Array):
+    """Sharded MUSCL Godunov flux accumulation
+    (MeshlessFVTree::UpdateGodunovFluxes).  Runs INSIDE shard_map;
+    returns a FluxResult in local particle order."""
+    from ..ops.mfv import FluxResult
+    from ..ops.mfv_grid27 import fluxes_mfv_grid27
+
+    loc, r_loc, b, ghost, d, back, fill = _dist_mfv_binning(
+        plan, box, s, alive)
+    dense = {"r": d(r_loc), "h": d(s.h), "ndens": d(s.ndens),
+             "hfactor": d(s.hfactor), "Wprim": d(s.Wprim),
+             "sound": d(s.sound), "a0": d(s.a0), "B": d(s.B),
+             "grad": d(s.grad), "alpha_slope": d(s.alpha_slope),
+             "bad": d(s.bad_grad.astype(s.h.dtype))}
+    res = fluxes_mfv_grid27(kern, cfg, loc, dt, dense, fill,
+                            ghost_fn=ghost)
+    dQdt = jnp.where(alive[:, None], back(res.dQdt), 0.0)
+    rdmdt = jnp.where(alive[:, None], back(res.rdmdt_dot), 0.0)
+    return FluxResult(dQdt=dQdt, rdmdt_dot=rdmdt)

@@ -283,17 +283,22 @@ class SimulationBase:
                 from .dist_sim import DistributedSM2012Simulation
                 return DistributedSM2012Simulation(params)
             return SM2012SphSimulation(params)
-        if params.intparams["Nmpi"] > 1:
-            raise NotImplementedError(
-                f"distributed (Nmpi > 1) mode currently supports the "
-                f"grad-h and SM2012 SPH controllers, not sim = {sim!r}")
         if sim == "nbody":
+            if params.intparams["Nmpi"] > 1:
+                raise NotImplementedError(
+                    "distributed (Nmpi > 1) N-body is not supported")
             from .nbody_sim import NbodySimulation
             return NbodySimulation(params)
         if sim in ("meshlessfv", "mfvmuscl"):
+            if params.intparams["Nmpi"] > 1:
+                from .dist_mfv import DistributedMfvSimulation
+                return DistributedMfvSimulation(params)
             from .mfv_sim import MfvMusclSimulation
             return MfvMusclSimulation(params)
         if sim == "mfvrk":
+            if params.intparams["Nmpi"] > 1:
+                from .dist_mfv import DistributedMfvRK2Simulation
+                return DistributedMfvRK2Simulation(params)
             from .mfv_sim import MfvRungeKuttaSimulation
             return MfvRungeKuttaSimulation(params)
         raise ValueError(f"Unrecognised or not-yet-implemented sim: {sim!r}")
@@ -631,6 +636,14 @@ class GradhSphSimulation(SimulationBase):
             self.stellar_table = load_stellar_table("stellar.dat") \
                 if _os.path.exists("stellar.dat") else \
                 default_stellar_table()
+            # monochromatic MC cross-section: the reference's fixed
+            # 7.9e-18 cm^2 scaled to code length units
+            # (MonochromaticIonisationMonteCarlo.cpp:71)
+            if self.units.dimensionless:
+                self.mc_across = 7.9e-18
+            else:
+                r_cm = self.units.r.outscale * self.units.r.outSI * 100.0
+                self.mc_across = 7.9e-18 / (r_cm * r_cm)
         elif self.radiation not in ("none", "null", ""):
             raise NotImplementedError(
                 f"radiation scheme {self.radiation!r} not implemented "
@@ -1509,6 +1522,40 @@ class GradhSphSimulation(SimulationBase):
                                    self.ion_cfg.mu_bar)
             ion = tr.treeray_ionisation(spec, nh2, s.r, sk.r, ndot,
                                         sk.active, self.ion_cfg.alphaB)
+        elif self.radiation == "monoionisation":
+            # Monte-Carlo photon packets on the radiation grid
+            # (MonochromaticIonisationMonteCarlo + KDRadiationTree,
+            # src/Thermal/MonochromaticIonisationMonteCarlo.cpp; the
+            # cross-section is the reference's fixed 7.9e-18 cm^2
+            # scaled to code length units, :71)
+            from ..ops import sph_grid27 as g27
+            from ..ops import treeray as tr
+            from ..ops.mcrt import (_flat_cell_index,
+                                    monochromatic_ionisation_mc)
+
+            spec = self.gridspec
+            if spec is None:
+                from ..ops.sph_grid27 import plan_grid27
+
+                h_np = np.asarray(s.h)
+                spec = plan_grid27(self.box, np.asarray(s.r),
+                                   float(h_np.max()) * 1.3,
+                                   self.kern.kernrange)
+            b = g27.bin_particles(spec, s.r, discard=~s.alive)
+            rho_cell, _ = tr.cell_field(spec, b, s.m, s.rho,
+                                        self.ion_cfg.mu_bar)
+            nH_cell = rho_cell / self.ion_cfg.mu_bar
+            across = self.mc_across
+            p = self.params
+            n_pack = max(int(p.floatparams["Nphotonratio"]) * s.N, 4096)
+            key = jax.random.PRNGKey(p.intparams["randseed"]
+                                     + 7919 * self.Nsteps)
+            xHI = monochromatic_ionisation_mc(
+                spec, nH_cell, sk.r, ndot, key, n_packets=n_pack,
+                sigma=across, alphaB=self.ion_cfg.alphaB,
+                n_iter=max(p.intparams["Nraditerations"], 4))
+            flat, inside = _flat_cell_index(spec, s.r)
+            ion = inside & (xHI.reshape(-1)[flat] < 0.5) & s.alive
         else:
             ion = multi_source_ionisation(self.ion_cfg, s.r, s.m, s.rho,
                                           sk.r, ndot, sk.active)

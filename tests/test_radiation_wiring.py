@@ -114,3 +114,26 @@ def test_mcradiation_eos_blend():
     expect = np.asarray(f) * u_ion + (1 - np.asarray(f)) * u_base
     np.testing.assert_allclose(np.asarray(u_n), expect, rtol=1e-12)
     assert (np.diff(np.asarray(p_n)) > 0).all()
+
+
+def test_monoionisation_mc_transport_runs():
+    """radiation=monoionisation drives the Monte-Carlo packet transport
+    (ops/mcrt, the MonochromaticIonisationMonteCarlo + KDRadiationTree
+    analogue): the run stays finite and produces a fractional per-cell
+    ionisation field mapped onto the particles."""
+    p = _hybrid(radiation="monoionisation", temp_ion=1.0, mu_ion=1.0,
+                arecomb=1e-6, Ndotmin=0, Nhydro=128)
+    sim = GradhSphSimulation(p)
+    sim.SetupSimulation()
+    # dimensionless cross-section so the cloud is moderately optically
+    # thick (the cgs default is transparent in code units, exactly as
+    # the reference's fixed 7.9e-18 cm^2 would be)
+    sim.mc_across = 1.0
+    for _ in range(2):
+        sim.main_loop_step()
+    ion = np.asarray(sim.state.ionfrac)
+    u = np.asarray(sim.state.u)
+    assert np.isfinite(u).all()
+    assert ion.min() >= 0.0 and ion.max() <= 1.0
+    # absorbed MC flux ionises the gas around the source
+    assert ion.max() == 1.0
