@@ -69,3 +69,33 @@ def time_derivative(quantity: str, id: int = 0, sim: str = "current"):
     ts = np.array([s.t for s in snaps])
     qs = np.array([s.extract_array(quantity)[id] for s in snaps])
     return ts[1:], np.diff(qs) / np.diff(ts)
+
+
+def energy_error(sim: str = "current"):
+    """Relative total-energy drift across the stored snapshots
+    (reference analysis/compute.py energy_error; the reference tracks
+    the error against the initial diagnostics, Simulation.cpp
+    UpdateDiagnostics): returns (times, |E - E0| / |E0|)."""
+    from .facade import SimBuffer
+
+    simulation = SimBuffer.get_sim(sim)
+    snaps = simulation.snapshots
+    if not snaps:
+        raise ValueError("no snapshots stored")
+
+    def total_energy(s):
+        m = s.extract_array("m")
+        v2 = (s.data["v"] ** 2).sum(axis=-1)
+        E = 0.5 * (m * v2).sum()
+        if "u" in s.data:
+            E += (m * s.data["u"]).sum()
+        if "gpot" in s.data:
+            # gpot is the per-particle potential; the pair sum counts
+            # each pair twice
+            E += 0.5 * (m * s.data["gpot"]).sum() * (-1.0)
+        return E
+
+    ts = np.array([s.t for s in snaps])
+    Es = np.array([total_energy(s) for s in snaps])
+    E0 = Es[0] if Es[0] != 0.0 else 1.0
+    return ts, np.abs(Es - E0) / np.abs(E0)

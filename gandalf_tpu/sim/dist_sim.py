@@ -408,6 +408,12 @@ class DistributedGradhSphSimulation(GradhSphSimulation):
             if "ptype" in ic:
                 state = state.replace(
                     ptype=jnp.asarray(np.asarray(ic["ptype"], np.int32)))
+            # initial artificial-viscosity alpha (SphSimulation.cpp:
+            # 252-257 — same init as the single-chip setup)
+            alpha0 = (self.visc.alpha_visc_min if self.integ.td_avisc
+                      else self.visc.alpha_visc)
+            state = state.replace(
+                alpha=jnp.full_like(state.alpha, alpha0))
             self._n_orig = state.N
             # sinks/stars: replicated on every shard (they are few); the
             # collective pieces live in the jitted step

@@ -1357,7 +1357,8 @@ class GradhSphSimulation(SimulationBase):
                 r, v = box.reflect(r, s.v)
                 s = s.replace(r=r, v=v, r0=box.wrap(s.r0))
                 s, sinks = self._sink_coupled_pass(s, sinks)
-                s = correct(integ, s, dt, self._dalphadt(s))
+                s, dal = self._td_avisc(s)
+                s = correct(integ, s, dt, dal)
                 v_c = sinks.v + 0.5 * dt * (sinks.a - sinks.a0)
                 sinks = sinks._replace(v=v_c, r0=sinks.r, v0=v_c,
                                        a0=sinks.a)
@@ -1413,7 +1414,8 @@ class GradhSphSimulation(SimulationBase):
             s = self._hydro_pass(s)
             if self.has_dust:
                 s = self._apply_drag(s, dt)
-            s = correct(integ, s, dt, self._dalphadt(s))
+            s, dal = self._td_avisc(s)
+            s = correct(integ, s, dt, dal)
             if self.use_radws_energy:
                 s = self._radws_equilibrium(s)
                 s = s.replace(u0=s.u, dudt0=s.dudt)

@@ -217,3 +217,23 @@ def test_snapshot_cache_spill_reload(tmp_path, monkeypatch):
     # spilled snapshots still readable
     np.testing.assert_allclose(sim.snapshots[0].data["rho"],
                                sim.snapshots[-1].data["rho"], rtol=1e-6)
+
+
+def test_energy_error_tracks_drift():
+    """compute.energy_error: zero for identical snapshots, positive when
+    kinetic energy changes (reference analysis/compute.py)."""
+    from types import SimpleNamespace
+
+    from gandalf_tpu.analysis.compute import energy_error
+
+    s0 = make_snap(seed=1)
+    s1 = make_snap(seed=1)
+    s1.t = 1.0
+    s1.data["v"] = s1.data["v"] * 2.0
+    sim = SimpleNamespace(snapshots=[s0, s1])
+    facade.SimBuffer.reset()
+    facade.SimBuffer.add_sim(sim)
+    ts, err = energy_error()
+    assert err[0] == 0.0
+    assert err[1] > 0.0
+    assert ts[1] == 1.0
