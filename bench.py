@@ -32,6 +32,30 @@ import time
 import numpy as np
 
 
+def _cache_dir() -> str:
+    """Persistent XLA compile cache, inside the repo so a warm cache laid
+    down by the builder session survives /tmp cleanup and is hit by the
+    driver's fresh `python bench.py` run (same jit signatures + flags)."""
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".jax_bench_cache")
+
+
+def _probe() -> int:
+    """Backend-liveness probe child: compile + run a tiny program and
+    read a value back through the host.  Distinguishes 'TPU down' (the
+    round-3 failure mode: axon init hangs ~10 min then raises
+    UNAVAILABLE) from 'slow compile'."""
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir", _cache_dir())
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    x = jnp.ones((256, 256), jnp.float32)
+    y = jax.jit(lambda a: (a @ a).sum())(x)
+    assert np.isfinite(float(y))
+    print("BENCH_PROBE_OK", jax.devices()[0].platform)
+    return 0
+
+
 def build_sim(n_side: int, self_gravity: int = 1):
     from gandalf_tpu.params import Parameters
     from gandalf_tpu.sim.simulation import GradhSphSimulation
@@ -64,8 +88,9 @@ def measure(n_side: int, n_steps: int, neib: str = "kdtree",
     import jax
 
     # persistent compile cache: repeated bench runs skip the slow
-    # remote compile on this host
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    # remote compile on this host.  Lives INSIDE the repo so it survives
+    # /tmp cleanup between the builder session and the driver run.
+    jax.config.update("jax_compilation_cache_dir", _cache_dir())
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     from gandalf_tpu.sim.ic import generate_ic
@@ -184,23 +209,50 @@ def _emit(best, gravity: bool) -> None:
 
 # Per-size child timeouts (seconds), smallest first.  Sized for a COLD
 # compile cache (each size's first compile is 2-6 min on this host's
-# remote-compile tunnel); with a warm /tmp/jax_bench_cache a full rerun
+# remote-compile tunnel); with a warm .jax_bench_cache a full rerun
 # takes ~3 min.  The total is still clipped by BENCH_BUDGET.
-CHILD_TIMEOUTS = {16: 240, 32: 300, 64: 420, 100: 600}
+CHILD_TIMEOUTS = {16: 420, 32: 420, 64: 540, 100: 720}
 
 
 def main() -> None:
     if os.environ.get("BENCH_CHILD") == "1":
         sys.exit(_child())
+    if os.environ.get("BENCH_PROBE") == "1":
+        sys.exit(_probe())
 
     sizes = [int(s) for s in os.environ.get(
         "BENCH_SIZES", "16,64,100").split(",")]
     n_steps = os.environ.get("BENCH_NSTEPS", "10")
     gravity = bool(int(os.environ.get("BENCH_GRAVITY", "1")))
     t_start = time.perf_counter()
-    budget = float(os.environ.get("BENCH_BUDGET", "1140"))
+    budget = float(os.environ.get("BENCH_BUDGET", "1500"))
     best = None
     _emit(best, gravity)
+
+    # Backend liveness gate: the round-3 failure mode was an axon backend
+    # whose init hangs ~10 min then raises UNAVAILABLE — every size then
+    # eats its full timeout and the bench reports 0.0 with no diagnosis.
+    # A tiny-compile child distinguishes "down" from "slow" up front.
+    probe_t = float(os.environ.get("BENCH_PROBE_TIMEOUT", "300"))
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=dict(os.environ, BENCH_PROBE="1"),
+            capture_output=True, text=True, timeout=probe_t)
+        alive = proc.returncode == 0 and "BENCH_PROBE_OK" in proc.stdout
+        if not alive:
+            print("bench: probe failed\n" + proc.stderr[-2000:],
+                  file=sys.stderr)
+    except subprocess.TimeoutExpired:
+        alive = False
+        print(f"bench: probe timed out after {probe_t}s", file=sys.stderr)
+    if not alive:
+        name = "sphgrav3d" if gravity else "sph3d"
+        print(json.dumps({
+            "metric": f"{name}_particle_steps_per_sec", "value": 0.0,
+            "unit": "particle-steps/s/chip", "vs_baseline": 0.0,
+            "error": "tpu-unavailable"}), flush=True)
+        return
     for n_side in sizes:
         remaining = budget - (time.perf_counter() - t_start)
         child_t = min(CHILD_TIMEOUTS.get(n_side, 480), max(remaining, 0))

@@ -113,13 +113,17 @@ class TestSM2012Dense:
         box = _box3()
         visc = ArtificialViscosity()
         gamma = 1.4
-        spec = g.plan_grid27(box, r, float(np.asarray(s.h).max()) * 1.3,
-                             kern.kernrange)
-        sg = sm2012_hydro_pass_grid(kern, visc, gamma, spec, 1.2, 0.01,
-                                    s, s.alive, True)
+        # plan with headroom ABOVE the converged h (~1.2*(m/rho)^(1/3)
+        # ~= 0.16-0.19 here): if converged h exceeds the grid's hmax the
+        # two paths clamp differently and parity is meaningless (both
+        # would also raise neib_overflow in a real run)
+        spec = g.plan_grid27(box, r, 0.25, kern.kernrange)
+        sg, _ = sm2012_hydro_pass_grid(kern, visc, gamma, spec, 1.2, 0.01,
+                                       s, s.alive, True)
         b = g.bin_particles(spec, s.r, discard=~s.alive)
         sd = sm2012_pass_dense(kern, visc, gamma, spec, 1.2, 0.01, b, s,
                                s.alive, True)
+        assert not bool(sg.neib_overflow) and not bool(sd.neib_overflow)
         for f in ("h", "rho", "a", "dudt", "div_v"):
             x = np.asarray(getattr(sg, f))
             y = np.asarray(getattr(sd, f))
