@@ -68,14 +68,20 @@ def _pow2(e: Array) -> Array:
     return jnp.left_shift(jnp.int32(1), jnp.clip(e, 0, 30))
 
 
-def init_schedule(cfg: BlockConfig, s: SphState,
-                  dt_part: Array) -> Tuple[SphState, BlockSchedule]:
+def init_schedule(cfg: BlockConfig, s: SphState, dt_part: Array,
+                  dt_extra: Array = None
+                  ) -> Tuple[SphState, BlockSchedule]:
     """Build the initial ladder (the n == nresync resync branch at n = 0;
-    Simulation.cpp:1795-1927)."""
+    Simulation.cpp:1795-1927).  `dt_extra` is an optional scalar timestep
+    bound from non-gas integrators (sinks/stars: the reference folds
+    N-body dt into the same ladder, Simulation.cpp:1860-1873) — it deepens
+    the ladder so dt_base stays below it."""
     alive = s.alive
     big = jnp.asarray(1e30, dt_part.dtype)
     dtp = jnp.where(alive, dt_part, big)
     dt_min = jnp.min(dtp)
+    if dt_extra is not None:
+        dt_min = jnp.minimum(dt_min, dt_extra)
     level_max = jnp.asarray(cfg.nlevels - 1, jnp.int32)
     dt_max = dt_min * _pow2(level_max).astype(dt_min.dtype)
     level = jnp.minimum(compute_timestep_level(dtp, dt_max), level_max)
@@ -93,18 +99,29 @@ def init_schedule(cfg: BlockConfig, s: SphState,
     return s, sched
 
 
-def advance(s: SphState, B: BlockSchedule, energy_integration: bool
+def advance(s: SphState, B: BlockSchedule, u_mode
             ) -> Tuple[SphState, Array, Array]:
     """One tick of drift for ALL particles (AdvanceParticles,
-    SphLeapfrogKDK.cpp:96-123).  Returns (state, active mask, new t)."""
+    SphLeapfrogKDK.cpp:96-123).  Returns (state, active mask, new t).
+
+    u_mode: "none" | "energy" (explicit du/dt forward integration) |
+    "radws" (exponential relaxation toward radiative equilibrium,
+    EnergyRadws::EnergyIntegration, EnergyRadws.cpp:107-130)."""
+    if isinstance(u_mode, bool):        # legacy bool: energy on/off
+        u_mode = "energy" if u_mode else "none"
     n = B.n + 1
     t = s.t + B.dt_base
     dtp = (t - s.tlast)[:, None]
     r = s.r0 + s.v0 * dtp + 0.5 * s.a0 * dtp * dtp
     v = s.v0 + s.a0 * dtp
     out = {"r": r, "v": v}
-    if energy_integration:
+    if u_mode == "energy":
         out["u"] = s.u0 + s.dudt0 * dtp[:, 0]
+    elif u_mode == "radws":
+        from ..ops.radws import radws_energy_integration
+
+        out["u"] = radws_energy_integration(s.u0, s.ueq, s.dt_therm,
+                                            dtp[:, 0])
     active = ((n - s.nlast) == B.nstep_part) & s.alive
     return s.replace(**out), active, t
 
@@ -131,13 +148,20 @@ def check_timesteps(cfg: BlockConfig, s: SphState, B: BlockSchedule,
 
 def end_timestep(cfg: BlockConfig, s: SphState, B: BlockSchedule,
                  active: Array, level: Array, nstep_part: Array,
-                 dt_crit: Array, t: Array, energy_integration: bool
+                 dt_crit: Array, t: Array, u_mode,
+                 dt_extra: Array = None
                  ) -> Tuple[SphState, BlockSchedule]:
     """Correction kick + level/ladder update for particles ending their
     step (EndTimestep SphLeapfrogKDK.cpp:227-271 + ComputeBlockTimesteps
     Simulation.cpp:1795-2160).  `level`/`nstep_part` carry any Saitoh-
     Makino reductions; `dt_crit` is the freshly evaluated per-particle
-    timestep criterion (used only where active)."""
+    timestep criterion (used only where active).  `dt_extra` is an
+    optional scalar non-gas (sink/star) timestep bound: it deepens the
+    ladder at resync AND can grow level_max mid-interval, mirroring the
+    reference forcing N-body levels >= hydro levels
+    (Simulation.cpp:1860-1873)."""
+    if isinstance(u_mode, bool):
+        u_mode = "energy" if u_mode else "none"
     n = B.n + 1
     alive = s.alive
     dt_p = jnp.where(active, t - s.tlast, 0.0)
@@ -149,12 +173,17 @@ def end_timestep(cfg: BlockConfig, s: SphState, B: BlockSchedule,
            "r0": jnp.where(active[:, None], s.r, s.r0),
            "v0": jnp.where(active[:, None], v, s.v0),
            "a0": jnp.where(active[:, None], s.a, s.a0)}
-    if energy_integration:
+    if u_mode == "energy":
         u = s.u + 0.5 * (s.dudt - s.dudt0) * dt_p
         u = jnp.where(u <= 0.0, s.u0 + s.dudt0 * dt_p, u)
         u = jnp.where(active, u, s.u)
         upd["u"] = u
         upd["u0"] = jnp.where(active, u, s.u0)
+        upd["dudt0"] = jnp.where(active, s.dudt, s.dudt0)
+    elif u_mode == "radws":
+        # relaxation already wrote u in advance(); freeze the new start
+        # point (EnergyRadws::EndTimestep, EnergyRadws.cpp:153-190)
+        upd["u0"] = jnp.where(active, s.u, s.u0)
         upd["dudt0"] = jnp.where(active, s.dudt, s.dudt0)
 
     dt_next = jnp.where(active, dt_crit, B.dt_next)
@@ -164,6 +193,8 @@ def end_timestep(cfg: BlockConfig, s: SphState, B: BlockSchedule,
     big = jnp.asarray(1e30, dt_next.dtype)
     dtp_sync = jnp.where(alive, dt_next, big)
     dt_min = jnp.min(dtp_sync)
+    if dt_extra is not None:
+        dt_min = jnp.minimum(dt_min, dt_extra)
     lmax_sync = jnp.asarray(cfg.nlevels - 1, jnp.int32)
     dtmax_sync = dt_min * _pow2(lmax_sync).astype(dt_min.dtype)
     lvl_sync = jnp.minimum(compute_timestep_level(dtp_sync, dtmax_sync),
@@ -189,6 +220,13 @@ def end_timestep(cfg: BlockConfig, s: SphState, B: BlockSchedule,
     # level_max bookkeeping + integer-time rescaling (Simulation.cpp:2098-2135)
     lmax_old = B.level_max
     lmax_occ = jnp.max(jnp.where(alive, lvl_adj, 0))
+    if dt_extra is not None:
+        # sinks/stars always step at dt_base: deepen the ladder so
+        # dt_base <= dt_extra (clip to +1 level per tick to avoid an
+        # unbounded integer-time rescale from a transient spike)
+        lvl_extra = jnp.minimum(compute_timestep_level(dt_extra, B.dt_max),
+                                lmax_old + 1)
+        lmax_occ = jnp.maximum(lmax_occ, lvl_extra)
     grow = lmax_occ > lmax_old
     istep = _pow2(lmax_old - lmax_old + 1)      # 2: one-level-up boundary
     shrink = (~grow) & (lmax_occ <= lmax_old - 1) & (lmax_old > 1) \

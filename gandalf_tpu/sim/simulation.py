@@ -703,9 +703,11 @@ class GradhSphSimulation(SimulationBase):
         self.cell_chunk = 256    # cell chunk (dense pipeline)
 
     def _compile(self):
-        if self.use_block and self.use_celllist:
+        if self.use_block and self.use_celllist and not self.has_sinks:
             # active-compacted block tick: separately-jitted pieces driven
-            # from the host (the active set changes shape every tick)
+            # from the host (the active set changes shape every tick).
+            # block+sinks runs the plain (full-pass) tick: sinks couple
+            # every particle through star-gas gravity anyway
             self._build_block_compact()
             self._bootstrap_fn = jax.jit(self._build_bootstrap())
             self._step_fn = None
@@ -725,10 +727,11 @@ class GradhSphSimulation(SimulationBase):
         integ, box = self.integ, self.box
         cfg = BlockConfig(nlevels=self.nlevels,
                           level_diff_max=self.level_diff_max)
-        energy = integ.energy_integration
+        u_mode = "radws" if self.use_radws_energy else (
+            "energy" if integ.energy_integration else "none")
 
         def f_advance(s, B):
-            s, active, t = advance(s, B, energy)
+            s, active, t = advance(s, B, u_mode)
             r = box.wrap(s.r)
             r, v = box.reflect(r, s.v)
             s = s.replace(r=r, v=v, r0=box.wrap(s.r0), t=t)
@@ -736,7 +739,7 @@ class GradhSphSimulation(SimulationBase):
             # consistent with their predicted u (the dense tick recomputes
             # them implicitly; stale thermals cost visible L1 at test
             # resolutions)
-            if energy:
+            if u_mode != "none":
                 eos_kw = {}
                 if getattr(self.eos, "needs_ionfrac", False):
                     eos_kw["ionfrac"] = s.ionfrac
@@ -786,9 +789,16 @@ class GradhSphSimulation(SimulationBase):
             if integ.td_avisc:
                 s = s.replace(alpha=s.alpha
                               + self._dalphadt(s) * B.dt_base)
+            if u_mode == "radws":
+                # refresh (ueq, dt_therm) for particles ending their step
+                # (EnergyRadws::EndTimestep)
+                s2 = self._radws_equilibrium(s)
+                s = s.replace(
+                    ueq=jnp.where(active2, s2.ueq, s.ueq),
+                    dt_therm=jnp.where(active2, s2.dt_therm, s.dt_therm))
             dt_crit = sph_timestep(integ, s, self.hydro_forces)
             s, B = end_timestep(cfg, s, B, active2, level, nstep_p,
-                                dt_crit, s.t, energy)
+                                dt_crit, s.t, u_mode)
             return s.replace(nstep=s.nstep + 1), B
 
         self._f_advance = jax.jit(f_advance)
@@ -985,12 +995,6 @@ class GradhSphSimulation(SimulationBase):
                 far = jnp.where(self.sinks.active[:, None],
                                 self.sinks.r, 1e10)
                 self.eos = _dc.replace(self.eos, star_r=far)
-            if self.has_sinks and self.use_block:
-                # hybrid + block timesteps: fall back to the global scheme
-                # for now (reference couples them via level_max_nbody)
-                print("WARNING: block timesteps with stars/sinks not yet "
-                      "supported; using the global timestep scheme")
-                self.use_block = False
             if "t" in ic:
                 t0 = float(ic["t"])
                 self.state = self.state.replace(
@@ -1023,7 +1027,10 @@ class GradhSphSimulation(SimulationBase):
     def _run_bootstrap(self):
         """Dispatch the jitted bootstrap with whatever extra carries the
         active feature set threads through it (block schedule, sinks)."""
-        if self.use_block:
+        if self.use_block and self.has_sinks:
+            self.state, self.sinks, self._blocksched = \
+                self._bootstrap_fn(self.state, self.sinks)
+        elif self.use_block:
             self.state, self._blocksched = self._bootstrap_fn(self.state)
         elif self.has_sinks:
             self.state, self.sinks = self._bootstrap_fn(self.state,
@@ -1236,6 +1243,70 @@ class GradhSphSimulation(SimulationBase):
             gpot=s.gpot + jnp.where(alive, gp_gs, 0.0))
         return s, sinks
 
+    def _sink_create_accrete(self, s: SphState, sinks, dt):
+        """Sink creation + accretion over one step of size dt
+        (Sinks.cpp:118-520); shared by the global-dt step and the block
+        tick (where dt = dt_base, sinks living on the deepest level)."""
+        from ..ops.sinks import accrete_to_sinks, create_sinks
+
+        cfg = self.sink_cfg
+        alive = s.alive
+        if cfg.create:
+            sinks, alive = create_sinks(
+                cfg, sinks, s.r, s.v, s.m, s.h, s.rho, s.gpot, alive)
+        if cfg.accrete:
+            if self.smooth_accretion:
+                from ..ops.sinks import (apply_smooth_accretion,
+                                         smooth_accretion_sums)
+
+                p = self.params
+                dm_gas, sums = smooth_accretion_sums(
+                    cfg, sinks, s.r, s.v, s.m, s.rho, s.sound,
+                    s.u, alive, dt, self.kern, self.mmean,
+                    alpha_ss=p.floatparams["alpha_ss"],
+                    smooth_accrete_frac=p.floatparams[
+                        "smooth_accrete_frac"],
+                    smooth_accrete_dt=p.floatparams[
+                        "smooth_accrete_dt"])
+                sinks, m_new, alive = apply_smooth_accretion(
+                    sinks, s.r, s.v, s.m, dm_gas, sums["claim"], alive)
+                s = s.replace(m=m_new)
+            else:
+                sinks, alive = accrete_to_sinks(
+                    cfg, sinks, s.r, s.v, s.m, alive)
+        return self._kill_eaten(s, alive), sinks
+
+    def _levelneib_pass(self, s: SphState) -> Array:
+        """Max neighbour timestep level within kernel range — the
+        levelneib accumulation the reference does inside its force loops
+        (GradhSph.cpp:461).  O(N*K) candidate gather on the grid path,
+        O(N^2) min-image on the brute path."""
+        from ..integrate.block import compute_levelneib
+
+        if not self.use_celllist:
+            return compute_levelneib(self.box, s.r, s.h, s.level,
+                                     self.kern.kernrange, s.alive)
+        from ..ops.active_grid import gather_active_candidates
+        from ..ops.sph_grid27 import bin_particles
+
+        b = bin_particles(self.gridspec, s.r, discard=~s.alive)
+        idx = jnp.arange(s.N, dtype=jnp.int32)
+        ag = gather_active_candidates(self.gridspec, b, s.r, idx, s.alive)
+        cid = jnp.maximum(ag.ids, 0)
+        drsqd = jnp.sum(ag.dr * ag.dr, axis=-1)
+        hm = jnp.maximum(s.h[:, None], s.h[cid])
+        near = ag.mask & (drsqd <= (self.kern.kernrange * hm) ** 2)
+        return jnp.max(jnp.where(near, s.level[cid], 0), axis=-1)
+
+    def _sink_timestep(self, sinks) -> Array:
+        """Scalar sink/star acceleration timestep bound
+        (Sinks::Timestep analogue)."""
+        integ = self.integ
+        big = jnp.asarray(1e30, sinks.h.dtype)
+        amag = jnp.sqrt(jnp.sum(sinks.a * sinks.a, axis=-1))
+        dt_sink = integ.accel_mult * jnp.sqrt(sinks.h / (amag + 1e-30))
+        return jnp.min(jnp.where(sinks.active, dt_sink, big))
+
     def _hybrid_timestep(self, s: SphState, sinks) -> Array:
         """Global dt: alive-masked SPH criteria + sink acceleration
         criterion (Sinks::Timestep analogue)."""
@@ -1243,10 +1314,7 @@ class GradhSphSimulation(SimulationBase):
         big = jnp.asarray(1e30, s.h.dtype)
         dt_gas = jnp.where(s.alive,
                            sph_timestep(integ, s, self.hydro_forces), big)
-        amag = jnp.sqrt(jnp.sum(sinks.a * sinks.a, axis=-1))
-        dt_sink = integ.accel_mult * jnp.sqrt(sinks.h / (amag + 1e-30))
-        dt_sink = jnp.where(sinks.active, dt_sink, big)
-        return jnp.minimum(jnp.min(dt_gas), jnp.min(dt_sink))
+        return jnp.minimum(jnp.min(dt_gas), self._sink_timestep(sinks))
 
     @staticmethod
     def _kill_eaten(s: SphState, alive_new: Array) -> SphState:
@@ -1270,18 +1338,34 @@ class GradhSphSimulation(SimulationBase):
         """Initial force/timestep pass (PostInitialConditionsSetup)."""
         integ = self.integ
 
-        if self.use_radws_energy and (self.use_block or self.has_sinks):
+        if self.use_radws_energy and self.has_sinks:
             raise NotImplementedError(
-                "radws energy integration is wired to the global-timestep "
-                "gas-only path")
+                "radws energy integration + sinks is wired to the "
+                "global-timestep path")
         if self.use_block:
             from ..integrate.block import BlockConfig, init_schedule
 
             cfg = BlockConfig(nlevels=self.nlevels,
                               level_diff_max=self.level_diff_max)
 
+            if self.has_sinks:
+                def bootstrap(s: SphState, sinks):
+                    s, sinks = self._sink_coupled_pass(s, sinks)
+                    s = s.replace(a0=s.a, dudt0=s.dudt, u0=s.u,
+                                  r0=s.r, v0=s.v)
+                    sinks = sinks._replace(a0=sinks.a, r0=sinks.r,
+                                           v0=sinks.v)
+                    dt_part = sph_timestep(integ, s, self.hydro_forces)
+                    s, sched = init_schedule(
+                        cfg, s, dt_part,
+                        dt_extra=self._sink_timestep(sinks))
+                    return s.replace(dt=sched.dt_base), sinks, sched
+                return bootstrap
+
             def bootstrap(s: SphState):
                 s = self._hydro_pass(s)
+                if self.use_radws_energy:
+                    s = self._radws_equilibrium(s)
                 s = s.replace(a0=s.a, dudt0=s.dudt, u0=s.u, r0=s.r, v0=s.v)
                 dt_part = sph_timestep(integ, s, self.hydro_forces)
                 s, sched = init_schedule(cfg, s, dt_part)
@@ -1314,38 +1398,75 @@ class GradhSphSimulation(SimulationBase):
 
         if self.use_block:
             from ..integrate.block import (BlockConfig, advance,
-                                           check_timesteps,
-                                           compute_levelneib, end_timestep)
+                                           check_timesteps, end_timestep)
 
             cfg = BlockConfig(nlevels=self.nlevels,
                               level_diff_max=self.level_diff_max)
-            energy = integ.energy_integration
-            kernrange = self.kern.kernrange
+            u_mode = "radws" if self.use_radws_energy else (
+                "energy" if integ.energy_integration else "none")
+
+            if self.has_sinks:
+                def tick(s: SphState, sinks, B):
+                    s, active, t = advance(s, B, u_mode)
+                    dtb = B.dt_base
+                    # sinks ALWAYS step at dt_base: the reference forces
+                    # N-body levels >= hydro level_max
+                    # (Simulation.cpp:1860-1873); dt_extra below keeps
+                    # dt_base within the sink criterion
+                    sinks = sinks._replace(
+                        r=sinks.r0 + sinks.v0 * dtb
+                        + 0.5 * sinks.a0 * dtb * dtb,
+                        v=sinks.v0 + sinks.a0 * dtb)
+                    r = box.wrap(s.r)
+                    r, v = box.reflect(r, s.v)
+                    s = s.replace(r=r, v=v, r0=box.wrap(s.r0))
+                    s, sinks = self._sink_coupled_pass(s, sinks)
+                    s = s.replace(levelneib=self._levelneib_pass(s))
+                    if integ.td_avisc:
+                        s = s.replace(alpha=s.alpha
+                                      + self._dalphadt(s) * dtb)
+                    active, nstep_p, level = check_timesteps(
+                        cfg, s, B, active)
+                    dt_crit = sph_timestep(integ, s, self.hydro_forces)
+                    # sink correction kick every tick
+                    v_c = sinks.v + 0.5 * dtb * (sinks.a - sinks.a0)
+                    sinks = sinks._replace(v=v_c, r0=sinks.r, v0=v_c,
+                                           a0=sinks.a)
+                    s, sinks = self._sink_create_accrete(s, sinks, dtb)
+                    s, B = end_timestep(
+                        cfg, s, B, active, level, nstep_p, dt_crit, t,
+                        u_mode, dt_extra=self._sink_timestep(sinks))
+                    return s.replace(nstep=s.nstep + 1), sinks, B
+                return tick
 
             def tick(s: SphState, B):
-                s, active, t = advance(s, B, energy)
+                s, active, t = advance(s, B, u_mode)
                 r = box.wrap(s.r)
                 r, v = box.reflect(r, s.v)
                 s = s.replace(r=r, v=v, r0=box.wrap(s.r0))
                 s = self._hydro_pass(s)
-                s = s.replace(levelneib=compute_levelneib(
-                    box, s.r, s.h, s.level, kernrange, s.alive))
+                s = s.replace(levelneib=self._levelneib_pass(s))
                 if integ.td_avisc:
                     # alpha advanced once per tick (AdvanceParticles,
                     # SphLeapfrogKDK.cpp:111)
                     s = s.replace(alpha=s.alpha
                                   + self._dalphadt(s) * B.dt_base)
                 active, nstep_p, level = check_timesteps(cfg, s, B, active)
+                if self.use_radws_energy:
+                    # refresh (ueq, dt_therm) for particles ending their
+                    # step (EnergyRadws::EndTimestep)
+                    s2 = self._radws_equilibrium(s)
+                    s = s.replace(
+                        ueq=jnp.where(active, s2.ueq, s.ueq),
+                        dt_therm=jnp.where(active, s2.dt_therm,
+                                           s.dt_therm))
                 dt_crit = sph_timestep(integ, s, self.hydro_forces)
                 s, B = end_timestep(cfg, s, B, active, level, nstep_p,
-                                    dt_crit, t, energy)
+                                    dt_crit, t, u_mode)
                 return s.replace(nstep=s.nstep + 1), B
             return tick
 
         if self.has_sinks:
-            from ..ops.sinks import accrete_to_sinks, create_sinks
-            cfg = self.sink_cfg
-
             def step(s: SphState, sinks):
                 dt = s.dt
                 t = s.t + dt
@@ -1362,34 +1483,7 @@ class GradhSphSimulation(SimulationBase):
                 v_c = sinks.v + 0.5 * dt * (sinks.a - sinks.a0)
                 sinks = sinks._replace(v=v_c, r0=sinks.r, v0=v_c,
                                        a0=sinks.a)
-                # sink creation + accretion (Sinks.cpp:118-520)
-                alive = s.alive
-                if cfg.create:
-                    sinks, alive = create_sinks(
-                        cfg, sinks, s.r, s.v, s.m, s.h, s.rho, s.gpot,
-                        alive)
-                if cfg.accrete:
-                    if self.smooth_accretion:
-                        from ..ops.sinks import (apply_smooth_accretion,
-                                                 smooth_accretion_sums)
-
-                        p = self.params
-                        dm_gas, sums = smooth_accretion_sums(
-                            cfg, sinks, s.r, s.v, s.m, s.rho, s.sound,
-                            s.u, alive, dt, self.kern, self.mmean,
-                            alpha_ss=p.floatparams["alpha_ss"],
-                            smooth_accrete_frac=p.floatparams[
-                                "smooth_accrete_frac"],
-                            smooth_accrete_dt=p.floatparams[
-                                "smooth_accrete_dt"])
-                        sinks, m_new, alive = apply_smooth_accretion(
-                            sinks, s.r, s.v, s.m, dm_gas,
-                            sums["claim"], alive)
-                        s = s.replace(m=m_new)
-                    else:
-                        sinks, alive = accrete_to_sinks(
-                            cfg, sinks, s.r, s.v, s.m, alive)
-                s = self._kill_eaten(s, alive)
+                s, sinks = self._sink_create_accrete(s, sinks, dt)
                 dt_next = self._hybrid_timestep(s, sinks)
                 return (s.replace(t=t, dt=dt_next, nstep=s.nstep + 1),
                         sinks)
@@ -1593,10 +1687,15 @@ class GradhSphSimulation(SimulationBase):
             with self.timing.block("SUPERNOVA"):
                 self.state = self.sn_driver.apply(self.state, self.ndim)
                 if self.use_block:
-                    raise NotImplementedError(
-                        "supernova feedback + block timesteps")
-                self.state = self._bootstrap_fn(self.state) \
-                    if not self.has_sinks else self.state
+                    # injection invalidates the timestep ladder (the hot
+                    # bubble needs a far deeper level): full level resync
+                    # via a fresh bootstrap (the reference re-levels the
+                    # injected region and resyncs at the next ladder
+                    # boundary, Simulation.cpp:1763-2197 + the SN call
+                    # order SphSimulation.cpp:600-604)
+                    self._run_bootstrap()
+                elif not self.has_sinks:
+                    self.state = self._bootstrap_fn(self.state)
         # gravity-tree bucket rebuild cadence (ntreebuildstep analogue)
         if self.treespec is not None and self.Nsteps > 0:
             ntb = max(self.params.intparams["ntreebuildstep"], 1)
@@ -1607,12 +1706,16 @@ class GradhSphSimulation(SimulationBase):
         self._clamp_dt_to_tend()
         with self.timing.block("MAIN_LOOP"):
             prev = self.state
-            if self.use_block and self.use_celllist:
+            if self.use_block and self.use_celllist \
+                    and not self.has_sinks:
                 self._block_step_compact()
                 self.Nsteps += 1
                 self.t = float(self.state.t)
                 return
-            if self.use_block:
+            if self.use_block and self.has_sinks:
+                self.state, self.sinks, self._blocksched = self._step_fn(
+                    prev, self.sinks, self._blocksched)
+            elif self.use_block:
                 self.state, self._blocksched = self._step_fn(
                     prev, self._blocksched)
             elif self.has_sinks:
@@ -1644,7 +1747,11 @@ class GradhSphSimulation(SimulationBase):
                         # bucket_map — step from self.state, not the
                         # stale prev copy
                         cur = self.state
-                        if self.use_block:
+                        if self.use_block and self.has_sinks:
+                            (self.state, self.sinks,
+                             self._blocksched) = self._step_fn(
+                                cur, self.sinks, self._blocksched)
+                        elif self.use_block:
                             self.state, self._blocksched = self._step_fn(
                                 cur, self._blocksched)
                         elif self.has_sinks:

@@ -51,6 +51,55 @@ def test_sedov_test_driver_injects_energy_and_mass():
     assert vrad[inner].mean() > 0.0
 
 
+def test_sedov_driver_block_timesteps():
+    """SN injection under hierarchical block timesteps (Nlevels=3): the
+    injection triggers a full level resync (fresh ladder via bootstrap),
+    energy is conserved after injection, and the blast expands (reference
+    call order: snDriver->Update before the block-step machinery,
+    SphSimulation.cpp:600-604)."""
+    p = Parameters()
+    for k, v in {
+            "ndim": 3, "sim": "sph", "ic": "box", "dimensionless": 1,
+            "run_id": "",
+            "Nlattice1[0]": 8, "Nlattice1[1]": 8, "Nlattice1[2]": 8,
+            "boxmin[0]": -0.5, "boxmax[0]": 0.5,
+            "boxmin[1]": -0.5, "boxmax[1]": 0.5,
+            "boxmin[2]": -0.5, "boxmax[2]": 0.5,
+            "boundary_lhs[0]": "periodic", "boundary_rhs[0]": "periodic",
+            "boundary_lhs[1]": "periodic", "boundary_rhs[1]": "periodic",
+            "boundary_lhs[2]": "periodic", "boundary_rhs[2]": "periodic",
+            "rhofluid1": 1.0, "press1": 1e-5,
+            "gas_eos": "energy_eqn", "gamma_eos": 1.6666667,
+            "hydro_forces": 1, "neib_search": "bruteforce",
+            "supernova_feedback": "sedov_test", "tsupernova": 0.001,
+            "Nlevels": 3, "level_diff_max": 1,
+    }.items():
+        p.set(k, v)
+    sim = GradhSphSimulation(p)
+    sim.SetupSimulation()
+    assert sim.use_block
+    N = sim.state.N
+    E0 = float((np.asarray(sim.state.m) * np.asarray(sim.state.u)).sum())
+    # cold box: the first tick blows past tsupernova; injection applies
+    # at the top of the following step
+    n = 0
+    while int(np.asarray(sim.state.alive).sum()) < N and n < 50:
+        sim.main_loop_step()
+        n += 1
+    for _ in range(10):                     # evolve the blast
+        sim.main_loop_step()
+    s = sim.state
+    assert int(np.asarray(s.alive).sum()) == N     # spares activated
+    m, v, u = np.asarray(s.m), np.asarray(s.v), np.asarray(s.u)
+    E = 0.5 * (m * (v ** 2).sum(-1)).sum() + (m * u).sum()
+    assert E == pytest.approx(E0 + 0.01, rel=2e-3)
+    assert np.isfinite(v).all()
+    # after injection the hot bubble must occupy a deeper level than the
+    # cold background: the ladder actually stratifies
+    lvl = np.asarray(s.level)
+    assert lvl.max() > lvl.min()
+
+
 def test_random_sedov_driver():
     """RandomSedovTestDriver: SNe queued at (k+0.5) tsupernova at random
     box positions (SupernovaDriver.cpp RandomSedovTestDriver::Update)."""

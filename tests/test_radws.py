@@ -103,6 +103,32 @@ class TestRadwsSimulation:
         T = np.asarray(sim.state.u) * (2.0 / 3.0)
         assert np.allclose(T, 10.0, rtol=0.1)   # table-resolution limited
 
+    def test_block_timesteps_hot_box_cools(self):
+        """radws energy integration under hierarchical block timesteps
+        (Nlevels=3): the hot box relaxes to ambient exactly as the
+        global-dt run does (the reference runs EnergyRadws under
+        ComputeBlockTimesteps as a matter of course,
+        Simulation.cpp:1763-2197)."""
+        ref = GradhSphSimulation(_radws_box(press=66.67))
+        ref.SetupSimulation()
+        for _ in range(20):
+            ref.main_loop_step()
+        t_target = ref.t
+
+        sim = GradhSphSimulation(_radws_box(press=66.67, Nlevels=3,
+                                            level_diff_max=1))
+        sim.SetupSimulation()
+        assert sim.use_block          # must NOT fall back to global dt
+        n = 0
+        while sim.t < t_target and n < 4000:
+            sim.main_loop_step()
+            n += 1
+        assert sim.t >= t_target
+        T = np.asarray(sim.state.u) * (2.0 / 3.0)
+        T_ref = np.asarray(ref.state.u) * (2.0 / 3.0)
+        assert np.allclose(T_ref, 10.0, rtol=0.1)
+        assert np.allclose(T, 10.0, rtol=0.1)
+
     def test_cold_box_heats_to_ambient(self):
         sim = GradhSphSimulation(_radws_box(press=1.0))     # T0 = 1.5
         sim.SetupSimulation()

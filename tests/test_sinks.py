@@ -175,6 +175,45 @@ class TestSinkCreation:
         assert m1 == pytest.approx(m_gas0, rel=1e-12)
 
 
+class TestBlockSinks:
+    def test_block_matches_global_sink_masses(self):
+        """Hybrid Plummer with accretion under hierarchical block
+        timesteps (Nlevels=3): mass conserved, and sink masses at equal
+        physical time match the global-dt run (the reference runs its
+        star-formation flagship block-stepped,
+        SphSimulation.cpp:574-880)."""
+        ref = GradhSphSimulation(_hybrid_plummer(sink_particles=1,
+                                                 create_sinks=0))
+        ref.SetupSimulation()
+        for _ in range(12):
+            ref.main_loop_step()
+        t_target = ref.t
+
+        sim = GradhSphSimulation(_hybrid_plummer(
+            sink_particles=1, create_sinks=0, Nlevels=3,
+            level_diff_max=1))
+        sim.SetupSimulation()
+        assert sim.use_block          # must NOT fall back to global dt
+        m0, _ = _total_mass_momentum(sim)
+        n = 0
+        while sim.t < t_target and n < 2000:
+            sim.main_loop_step()
+            n += 1
+        assert sim.t >= t_target
+        m1, _ = _total_mass_momentum(sim)
+        assert m1 == pytest.approx(m0, rel=1e-12)
+        # both runs accreted, and agree on how much (accretion-event
+        # ordering differs between tick sizes; compare totals)
+        ms_ref = float(np.asarray(ref.sinks.m)[
+            np.asarray(ref.sinks.active)].sum())
+        ms_blk = float(np.asarray(sim.sinks.m)[
+            np.asarray(sim.sinks.active)].sum())
+        assert ms_blk > 0 and ms_ref > 0
+        assert ms_blk == pytest.approx(ms_ref, rel=0.15)
+        assert np.isfinite(np.asarray(sim.state.r)).all()
+        assert np.isfinite(np.asarray(sim.sinks.r)).all()
+
+
 class TestBossBodenheimer:
     def test_bb_ic_shape_and_rotation(self):
         from gandalf_tpu.sim.ic import generate_ic
