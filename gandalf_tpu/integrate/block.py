@@ -30,6 +30,7 @@ from __future__ import annotations
 from typing import NamedTuple, Tuple
 
 import jax.numpy as jnp
+from jax import lax
 
 from ..state import SphState
 
@@ -69,17 +70,21 @@ def _pow2(e: Array) -> Array:
 
 
 def init_schedule(cfg: BlockConfig, s: SphState, dt_part: Array,
-                  dt_extra: Array = None
+                  dt_extra: Array = None, axis_name: str = None
                   ) -> Tuple[SphState, BlockSchedule]:
     """Build the initial ladder (the n == nresync resync branch at n = 0;
     Simulation.cpp:1795-1927).  `dt_extra` is an optional scalar timestep
     bound from non-gas integrators (sinks/stars: the reference folds
     N-body dt into the same ladder, Simulation.cpp:1860-1873) — it deepens
-    the ladder so dt_base stays below it."""
+    the ladder so dt_base stays below it.  `axis_name` makes the scalar
+    ladder reductions collective for a shard_map caller (the reference's
+    dt MPI_Allreduce, Simulation.cpp:1736-1747)."""
     alive = s.alive
     big = jnp.asarray(1e30, dt_part.dtype)
     dtp = jnp.where(alive, dt_part, big)
     dt_min = jnp.min(dtp)
+    if axis_name is not None:
+        dt_min = lax.pmin(dt_min, axis_name)
     if dt_extra is not None:
         dt_min = jnp.minimum(dt_min, dt_extra)
     level_max = jnp.asarray(cfg.nlevels - 1, jnp.int32)
@@ -149,7 +154,7 @@ def check_timesteps(cfg: BlockConfig, s: SphState, B: BlockSchedule,
 def end_timestep(cfg: BlockConfig, s: SphState, B: BlockSchedule,
                  active: Array, level: Array, nstep_part: Array,
                  dt_crit: Array, t: Array, u_mode,
-                 dt_extra: Array = None
+                 dt_extra: Array = None, axis_name: str = None
                  ) -> Tuple[SphState, BlockSchedule]:
     """Correction kick + level/ladder update for particles ending their
     step (EndTimestep SphLeapfrogKDK.cpp:227-271 + ComputeBlockTimesteps
@@ -159,7 +164,9 @@ def end_timestep(cfg: BlockConfig, s: SphState, B: BlockSchedule,
     optional scalar non-gas (sink/star) timestep bound: it deepens the
     ladder at resync AND can grow level_max mid-interval, mirroring the
     reference forcing N-body levels >= hydro levels
-    (Simulation.cpp:1860-1873)."""
+    (Simulation.cpp:1860-1873).  `axis_name` makes the scalar ladder
+    reductions (dt_min / level_max occupancy) collective for a shard_map
+    caller so every shard agrees on the schedule."""
     if isinstance(u_mode, bool):
         u_mode = "energy" if u_mode else "none"
     n = B.n + 1
@@ -193,6 +200,8 @@ def end_timestep(cfg: BlockConfig, s: SphState, B: BlockSchedule,
     big = jnp.asarray(1e30, dt_next.dtype)
     dtp_sync = jnp.where(alive, dt_next, big)
     dt_min = jnp.min(dtp_sync)
+    if axis_name is not None:
+        dt_min = lax.pmin(dt_min, axis_name)
     if dt_extra is not None:
         dt_min = jnp.minimum(dt_min, dt_extra)
     lmax_sync = jnp.asarray(cfg.nlevels - 1, jnp.int32)
@@ -220,6 +229,8 @@ def end_timestep(cfg: BlockConfig, s: SphState, B: BlockSchedule,
     # level_max bookkeeping + integer-time rescaling (Simulation.cpp:2098-2135)
     lmax_old = B.level_max
     lmax_occ = jnp.max(jnp.where(alive, lvl_adj, 0))
+    if axis_name is not None:
+        lmax_occ = lax.pmax(lmax_occ, axis_name)
     if dt_extra is not None:
         # sinks/stars always step at dt_base: deepen the ladder so
         # dt_base <= dt_extra (clip to +1 level per tick to avoid an

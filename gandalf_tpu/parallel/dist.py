@@ -131,6 +131,25 @@ def shard_state(plan: DistPlan, s: SphState) -> SphState:
     return dataclasses.replace(s, **kw)
 
 
+def unshard_array(plan: DistPlan, x, n_orig: int) -> np.ndarray:
+    """Padded shard-major order -> original particle order (host-side;
+    for per-particle arrays carried OUTSIDE the SphState, e.g. the block
+    schedule's nstep_part/dt_next)."""
+    inv = np.full(n_orig, 0, np.int64)
+    src = plan.perm >= 0
+    inv[plan.perm[src]] = np.nonzero(src)[0]
+    return np.asarray(x)[inv]
+
+
+def shard_array(plan: DistPlan, x, fill) -> np.ndarray:
+    """Original particle order -> padded shard-major order (host-side)."""
+    x = np.asarray(x)
+    out = np.full((len(plan.perm),) + x.shape[1:], fill, x.dtype)
+    src = plan.perm >= 0
+    out[src] = x[plan.perm[src]]
+    return out
+
+
 def unshard_state(plan: DistPlan, s: SphState, n_orig: int) -> SphState:
     """Back to the original particle order (for snapshots/restart)."""
     inv = np.full(n_orig, 0, np.int64)
@@ -291,6 +310,56 @@ def dist_hydro_pass(mesh: Mesh, plan: DistPlan, kern, visc, box, eos,
         a=jnp.where(live[:, None], back(a_d), 0.0),
         dudt=sane(dudt_d, 0.0), div_v=sane(div_v_d, 0.0),
         neib_overflow=overflow)
+
+
+def dist_levelneib_pass(plan: DistPlan, kern, box, s: SphState,
+                        alive: Array) -> Array:
+    """Sharded max-neighbour-timestep-level pass (the levelneib
+    accumulation the reference does inside its force loops,
+    GradhSph.cpp:461, exchanged over MPI ghosts): dense 27-shift
+    max-reduction over the local slab with ppermute halos.  Runs INSIDE
+    shard_map; returns levelneib in local particle order."""
+    loc, r_loc, b = _shard_local_binning(plan, box, s, alive)
+    ghost = make_halo_ghost_fn("dp", plan.global_spec, plan.local_spec)
+    nd = s.ndim
+    d = lambda x: g.to_dense(loc, b, x)
+    back = lambda x: g.from_dense(loc, b, x)
+    fill = g.dense_fill_mask(loc, b) & d(alive)
+    K = loc.k_cell
+    r_d = d(r_loc)
+    # packed per-neighbour channels: [h, level (as float)]
+    pk = jnp.stack([d(s.h), d(s.level).astype(r_d.dtype)], axis=-1)
+    rp = ghost(loc, r_d, shift_vec=True)
+    pkp = ghost(loc, pk)
+    fp_ = ghost(loc, fill)
+
+    flat = lambda x: x.reshape((-1,) + x.shape[nd + 1:])
+    Np = int(np.prod(loc.ncells)) * K
+    r_f = flat(r_d)
+    h_f = flat(d(s.h))
+    kr2 = kern.kernrange * kern.kernrange
+    lvl_max = jnp.zeros((Np,), jnp.int32)
+    for sh in g._shifts(nd, loc.qz):
+        r_nb = g._shift_view(loc, rp, sh)
+        pk_nb = g._shift_view(loc, pkp, sh)
+        f_nb = g._shift_view(loc, fp_, sh)
+        dr = (r_nb[..., None, :, :]
+              - r_d[..., :, None, :]).reshape(Np, K, nd)
+        drsqd = jnp.sum(dr * dr, axis=-1)
+        pkb = jnp.broadcast_to(
+            pk_nb[..., None, :, :],
+            pk_nb.shape[:nd] + (K,) + pk_nb.shape[nd:]).reshape(Np, K, 2)
+        ok = jnp.broadcast_to(
+            f_nb[..., None, :],
+            f_nb.shape[:nd] + (K, K)).reshape(Np, K)
+        hm = jnp.maximum(h_f[:, None], pkb[..., 0])
+        near = ok & (drsqd <= kr2 * hm * hm)
+        lvl_max = jnp.maximum(
+            lvl_max, jnp.max(jnp.where(near, pkb[..., 1], -1.0), axis=-1)
+            .astype(jnp.int32))
+    lvl_max = jnp.maximum(lvl_max, 0)
+    shp = loc.ncells + (K,)
+    return jnp.where(alive, back(lvl_max.reshape(shp)), s.levelneib)
 
 
 def dist_tree_gravity(treespec, bucket_map: Array, s: SphState,

@@ -231,13 +231,22 @@ def _mp_eval(dr, m, q6, tri, ndim):
 
 def let_gravity(plan: LetPlan, gmap_loc: Array, r: Array, m: Array,
                 h: Array, zh: Array, alive: Array, kern,
-                periodic_extent=None, axis_name: str = "dp"):
+                periodic_extent=None, ewald_table=None,
+                axis_name: str = "dp"):
     """Distributed ring-LET gravity for this shard's particles.
 
     Runs INSIDE shard_map.  r/m/h/zh/alive are the (cap, ...) local
     blocks; gmap_loc is this shard's (G_loc, L) bucket gather map of
     LOCAL slot ids.  Returns (a, gpot, overflow) in local slot order —
     nothing O(N_total) is ever materialised.
+
+    With `ewald_table` the walk runs in true-periodic mode: the combined
+    (ring) tree walk min-images + Ewald-corrects every MAC/cell/pair
+    interaction (ops/tree.py handles this), and the far-shard summary
+    walk below min-images its MAC geometry and adds the monopole-level
+    Ewald correction for accepted cells — the same treatment the
+    replicated walk gives accepted cells (reference Ewald.cpp:500 called
+    from the cell loop, GradhSphTree.cpp:900-1020).
     """
     spec = plan.spec_comb
     S = plan.n_shards
@@ -308,7 +317,9 @@ def let_gravity(plan: LetPlan, gmap_loc: Array, r: Array, m: Array,
     tree_c = build_tree(spec, r_c, m_c, alive_c)
     res, overflow = tree_gravity(
         spec, tree_c, r_c, m_c, alive_c, h_c, kern, zh_c,
-        group_range=(local_block * G_loc, G_loc))
+        group_range=(local_block * G_loc, G_loc),
+        ewald_table=ewald_table,
+        ewald_extent=periodic_extent if ewald_table is not None else None)
     a_sorted = res.a                              # (G_loc*L, ndim)
     pot_sorted = res.gpot
 
@@ -346,7 +357,13 @@ def let_gravity(plan: LetPlan, gmap_loc: Array, r: Array, m: Array,
                     com = tab[:, 1:1 + ndim]
                     half = tab[:, 1 + ndim:1 + 2 * ndim]
                     q6 = tab[:, 1 + 2 * ndim:] if nq else None
-                    gap = jnp.maximum(jnp.abs(com - gc) - gh, 0.0)
+                    dcc = com - gc
+                    if ewald_table is not None:
+                        # periodic walk geometry: a cell CLOSE through
+                        # the seam must be opened (ops/tree.py:386-391)
+                        _Lg = jnp.asarray(periodic_extent, dtype)
+                        dcc = dcc - _Lg * jnp.round(dcc / _Lg)
+                    gap = jnp.maximum(jnp.abs(dcc) - gh, 0.0)
                     dsqd = jnp.sum(gap * gap, axis=-1)
                     rmax_sqd = jnp.sum(half * half, axis=-1)
                     occn = mm > 0.0
@@ -360,9 +377,18 @@ def let_gravity(plan: LetPlan, gmap_loc: Array, r: Array, m: Array,
                         open_ = jnp.zeros_like(accept)
                     m_a = jnp.where(accept, mm, 0.0)
                     dr = com[None, :, :] - rt[:, None, :]
+                    if ewald_table is not None:
+                        _L = jnp.asarray(periodic_extent, dtype)
+                        dr = dr - _L * jnp.round(dr / _L)
                     a_f, p_f = _mp_eval(
                         dr, m_a[None, :],
                         q6[None] if q6 is not None else None, tri, ndim)
+                    if ewald_table is not None:
+                        from ..ops.ewald import ewald_correction
+
+                        e_a, e_p = ewald_correction(ewald_table, dr)
+                        a_f = a_f + m_a[None, :, None] * e_a
+                        p_f = p_f + m_a[None, :] * e_p
                     a_acc = a_acc + jnp.sum(a_f, axis=1)
                     pot_acc = pot_acc + jnp.sum(p_f, axis=1)
                     if ell < p_d:

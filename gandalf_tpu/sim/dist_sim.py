@@ -54,8 +54,10 @@ class DistributedGradhSphSimulation(GradhSphSimulation):
         if self.n_shards > n_dev:
             raise ValueError(f"Nmpi={self.n_shards} > {n_dev} devices")
         unsupported = []
-        if self.use_block:
-            unsupported.append("block timesteps (Nlevels > 1)")
+        if self.use_block and getattr(self, "use_radws_energy", False):
+            unsupported.append("block timesteps + radws energy")
+        if self.use_block and getattr(self, "has_dust", False):
+            unsupported.append("block timesteps + dust drag")
         if not self.use_celllist:
             unsupported.append("bruteforce neighbour search")
         if self.box.mirror_walls():
@@ -81,9 +83,12 @@ class DistributedGradhSphSimulation(GradhSphSimulation):
         """Plan distributed gravity.  Preferred: the memory-scalable LET
         decomposition (parallel/let.py — per-shard local trees + pruned
         interior summaries + ring halo bands, the analogue of the
-        reference's pruned trees, HydroTree.cpp:1044-1238).  Fallback
-        when the geometry can't support it (tiny slabs): the replicated
-        all_gather path below."""
+        reference's pruned trees, HydroTree.cpp:1044-1238), including
+        Ewald (true-periodic) mode: the combined ring walk min-images +
+        Ewald-corrects every interaction and the far-shard summary walk
+        min-images its MAC and corrects accepted cells.  Fallback when
+        the geometry can't support it (tiny slabs / S < 2): the
+        replicated all_gather path below."""
         from ..parallel import let as let_mod
 
         p = self.params
@@ -91,13 +96,6 @@ class DistributedGradhSphSimulation(GradhSphSimulation):
         theta_sqd = p.floatparams["thetamaxsqd"]
         h_max = float(np.asarray(self.state.h).max()) \
             if self.state is not None else 0.0
-        if self.use_ewald:
-            # the Ewald walk min-images every MAC/cell/pair interaction;
-            # the LET halo bands are one-sided and do not carry wrapped
-            # images, so periodic gravity uses the replicated tree
-            self.letplan = None
-            self._plan_replicated_tree(r_sharded, mp, theta_sqd)
-            return
         prev_let = getattr(self, "letplan", None)
         self.letplan = let_mod.plan_let(
             np.asarray(r_sharded, np.float64), self.distplan.perm,
@@ -214,7 +212,9 @@ class DistributedGradhSphSimulation(GradhSphSimulation):
                 a_g, gpot, ovg = let_gravity(
                     sim.letplan, s.bucket_map, s.r, m_grav, s.h,
                     s.zeta * s.hfactor, alive, sim.kern,
-                    periodic_extent=pext)
+                    periodic_extent=pext,
+                    ewald_table=sim.ewald_table if sim.use_ewald
+                    else None)
             else:
                 a_g, gpot, ovg = dist.dist_tree_gravity(
                     sim.treespec, s.bucket_map, s.replace(m=m_grav),
@@ -294,6 +294,155 @@ class DistributedGradhSphSimulation(GradhSphSimulation):
             dt_sink = jnp.where(sinks.active, dt_sink, 1e30)
             dt_next = jnp.minimum(dt_next, jnp.min(dt_sink))
         return dt_next
+
+    def _sched_specs(self):
+        """PartitionSpecs for the BlockSchedule carry: per-particle arrays
+        (nstep_part, dt_next) shard with the particles; the scalar ladder
+        bookkeeping is replicated (every shard computes it identically via
+        the collective reductions inside init_schedule/end_timestep)."""
+        from ..integrate.block import BlockSchedule
+
+        return BlockSchedule(n=P(), level_max=P(), nresync=P(),
+                             dt_base=P(), dt_max=P(),
+                             nstep_part=P("dp"), dt_next=P("dp"))
+
+    def _dist_sink_create_accrete(self, s: SphState, sinks, alive):
+        """Collective sink creation + accretion (shared by the global-dt
+        and block-tick sink steps; runs INSIDE shard_map).  Creation picks
+        the global best candidate via all_gather; accretion psums the
+        per-shard mass/momentum sums (reference MPI sink sync,
+        MpiControl::UpdateSinksAfterAccretion, MpiControl.cpp:408-431).
+        Returns (state, sinks, alive)."""
+        from ..ops.sinks import (accretion_sums, apply_accretion,
+                                 apply_sink_creation, sink_candidate)
+
+        cfg = self.sink_cfg
+        if cfg.create:
+            cand, gi = sink_candidate(cfg, s.r, s.v, s.m, s.h,
+                                      s.rho, alive)
+            cands = lax.all_gather(cand, "dp")     # (S, row)
+            win = jnp.argmax(cands[:, -1])
+            sinks, created = apply_sink_creation(sinks, cands[win],
+                                                 s.r.shape[1])
+            my_idx = lax.axis_index("dp")
+            kill = created & (win == my_idx)
+            alive = alive.at[gi].set(jnp.where(kill, False, alive[gi]))
+        if cfg.accrete:
+            dm, dmom, dmr, eaten = accretion_sums(
+                cfg, sinks, s.r, s.v, s.m, alive)
+            dm = lax.psum(dm, "dp")
+            dmom = lax.psum(dmom, "dp")
+            dmr = lax.psum(dmr, "dp")
+            sinks = apply_accretion(sinks, dm, dmom, dmr)
+            alive = alive & ~eaten
+        s = self._kill_eaten(s, alive)
+        return s, sinks, alive
+
+    def _build_dist_block(self, bootstrap: bool):
+        """Hierarchical block timesteps over the sharded runtime (the
+        reference runs ComputeBlockTimesteps under MPI as a matter of
+        course, Simulation.cpp:1763-2197 + dt Allreduce :1736-1747).
+        Per-particle levels shard trivially; the scalar ladder reductions
+        (dt_min, occupied level_max) are pmin/pmax inside the tick.  The
+        tick is the full-pass variant (every particle's forces refreshed
+        each tick, like the single-chip bruteforce block tick) — the
+        active-compacted host-driven path is single-chip-only."""
+        from ..integrate.block import (BlockConfig, advance,
+                                       check_timesteps, end_timestep,
+                                       init_schedule)
+
+        integ, box = self.integ, self.box
+        sim = self
+        cfg = BlockConfig(nlevels=self.nlevels,
+                          level_diff_max=self.level_diff_max)
+        u_mode = "energy" if integ.energy_integration else "none"
+
+        def local_gas_block(s: SphState):
+            alive = s.alive
+            s, _ = self._dist_force_pass(s, None, alive)
+            s = s.replace(a0=s.a, dudt0=s.dudt, u0=s.u, r0=s.r, v0=s.v)
+            dt_part = sph_timestep(integ, s, self.hydro_forces)
+            s, sched = init_schedule(cfg, s, dt_part, axis_name="dp")
+            return s.replace(dt=sched.dt_base), sched
+
+        def local_gas_tick(s: SphState, B):
+            s, active, t = advance(s, B, u_mode)
+            s = s.replace(r=box.wrap(s.r), r0=box.wrap(s.r0), t=t)
+            alive = s.alive
+            s, _ = self._dist_force_pass(s, None, alive)
+            s = s.replace(levelneib=dist.dist_levelneib_pass(
+                self.distplan, sim.kern, box, s, alive))
+            if integ.td_avisc:
+                s = s.replace(alpha=s.alpha
+                              + self._dalphadt(s) * B.dt_base)
+            active, nstep_p, level = check_timesteps(cfg, s, B, active)
+            dt_crit = sph_timestep(integ, s, self.hydro_forces)
+            s, B = end_timestep(cfg, s, B, active, level, nstep_p,
+                                dt_crit, t, u_mode, axis_name="dp")
+            return s.replace(nstep=s.nstep + 1), B
+
+        def local_sinks_block(s: SphState, sinks):
+            alive = s.alive
+            s, sinks = self._dist_force_pass(s, sinks, alive)
+            s = s.replace(a0=s.a, dudt0=s.dudt, u0=s.u, r0=s.r, v0=s.v)
+            sinks = sinks._replace(a0=sinks.a, r0=sinks.r, v0=sinks.v)
+            dt_part = sph_timestep(integ, s, self.hydro_forces)
+            s, sched = init_schedule(
+                cfg, s, dt_part, dt_extra=self._sink_timestep(sinks),
+                axis_name="dp")
+            return s.replace(dt=sched.dt_base), sinks, sched
+
+        def local_sinks_tick(s: SphState, sinks, B):
+            s, active, t = advance(s, B, u_mode)
+            dtb = B.dt_base
+            # sinks ALWAYS step at dt_base (the reference forces N-body
+            # levels >= hydro level_max, Simulation.cpp:1860-1873)
+            sinks = sinks._replace(
+                r=sinks.r0 + sinks.v0 * dtb + 0.5 * sinks.a0 * dtb * dtb,
+                v=sinks.v0 + sinks.a0 * dtb)
+            s = s.replace(r=box.wrap(s.r), r0=box.wrap(s.r0), t=t)
+            alive = s.alive
+            s, sinks = self._dist_force_pass(s, sinks, alive)
+            s = s.replace(levelneib=dist.dist_levelneib_pass(
+                self.distplan, sim.kern, box, s, alive))
+            if integ.td_avisc:
+                s = s.replace(alpha=s.alpha + self._dalphadt(s) * dtb)
+            active, nstep_p, level = check_timesteps(cfg, s, B, active)
+            dt_crit = sph_timestep(integ, s, self.hydro_forces)
+            v_c = sinks.v + 0.5 * dtb * (sinks.a - sinks.a0)
+            sinks = sinks._replace(v=v_c, r0=sinks.r, v0=v_c, a0=sinks.a)
+            s, sinks, alive = self._dist_sink_create_accrete(s, sinks,
+                                                             alive)
+            s, B = end_timestep(cfg, s, B, active, level, nstep_p,
+                                dt_crit, t, u_mode,
+                                dt_extra=self._sink_timestep(sinks),
+                                axis_name="dp")
+            return s.replace(nstep=s.nstep + 1), sinks, B
+
+        specs = self._dist_specs()
+        sspecs = self._sched_specs()
+        if getattr(self, "has_sinks", False):
+            sink_specs = jax.tree_util.tree_map(lambda x: P(), self.sinks)
+            if bootstrap:
+                fn, in_specs = local_sinks_block, (specs, sink_specs)
+                out_specs = (specs, sink_specs, sspecs)
+            else:
+                fn = local_sinks_tick
+                in_specs = (specs, sink_specs, sspecs)
+                out_specs = (specs, sink_specs, sspecs)
+        elif bootstrap:
+            fn, in_specs, out_specs = (local_gas_block, (specs,),
+                                       (specs, sspecs))
+        else:
+            fn, in_specs, out_specs = (local_gas_tick, (specs, sspecs),
+                                       (specs, sspecs))
+        try:
+            sm = shard_map(fn, mesh=self.mesh, in_specs=in_specs,
+                           out_specs=out_specs, check_vma=False)
+        except TypeError:  # older jax spells it check_rep
+            sm = shard_map(fn, mesh=self.mesh, in_specs=in_specs,
+                           out_specs=out_specs, check_rep=False)
+        return jax.jit(sm)
 
     def _build_dist_step(self, bootstrap: bool):
         integ, box = self.integ, self.box
@@ -391,8 +540,10 @@ class DistributedGradhSphSimulation(GradhSphSimulation):
         return jax.jit(sm)
 
     def _compile(self):
-        self._step_fn = self._build_dist_step(bootstrap=False)
-        self._bootstrap_fn = self._build_dist_step(bootstrap=True)
+        build = self._build_dist_block if self.use_block \
+            else self._build_dist_step
+        self._step_fn = build(bootstrap=False)
+        self._bootstrap_fn = build(bootstrap=True)
 
     # -- host lifecycle ----------------------------------------------------
     def SetupSimulation(self):
@@ -449,21 +600,49 @@ class DistributedGradhSphSimulation(GradhSphSimulation):
 
     def _run_dist(self, bootstrap: bool):
         fn = self._bootstrap_fn if bootstrap else self._step_fn
-        if self.has_sinks:
+        if self.use_block:
+            if bootstrap:
+                if self.has_sinks:
+                    self.state, self.sinks, self._blocksched = \
+                        fn(self.state, self.sinks)
+                else:
+                    self.state, self._blocksched = fn(self.state)
+            elif self.has_sinks:
+                self.state, self.sinks, self._blocksched = \
+                    fn(self.state, self.sinks, self._blocksched)
+            else:
+                self.state, self._blocksched = fn(self.state,
+                                                  self._blocksched)
+        elif self.has_sinks:
             self.state, self.sinks = fn(self.state, self.sinks)
         else:
             self.state = fn(self.state)
 
     def _place(self):
+        from jax.sharding import NamedSharding
+
         shardings = dist.state_shardings(self.mesh, self.state,
                                          self._sharded_lead_dims())
         self.state = jax.tree_util.tree_map(
             lambda x, sh: jax.device_put(x, sh), self.state, shardings)
+        sched = getattr(self, "_blocksched", None)
+        if self.use_block and sched is not None:
+            self._blocksched = jax.tree_util.tree_map(
+                lambda x, sp: jax.device_put(
+                    x, NamedSharding(self.mesh, sp)),
+                sched, self._sched_specs())
 
     def _replan(self, growth: float = 1.3, grow_caps: bool = False):
         """Gather, re-decompose (migration + load balance), re-shard."""
         from ..parallel.let import grow_let_caps
 
+        sched = getattr(self, "_blocksched", None)
+        if self.use_block and sched is not None:
+            # per-particle schedule arrays migrate with the particles
+            nstep_h = dist.unshard_array(self.distplan, sched.nstep_part,
+                                         self._n_orig)
+            dtnext_h = dist.unshard_array(self.distplan, sched.dt_next,
+                                          self._n_orig)
         host = dist.unshard_state(self.distplan, self.state, self._n_orig)
         alive = np.asarray(host.alive)
         r_np = np.asarray(host.r)[alive]
@@ -471,6 +650,12 @@ class DistributedGradhSphSimulation(GradhSphSimulation):
         self._plan_all(np.asarray(host.r), h_np, growth=growth)
         host = host.replace(neib_overflow=jnp.asarray(False))
         self.state = dist.shard_state(self.distplan, host)
+        if self.use_block and sched is not None:
+            self._blocksched = sched._replace(
+                nstep_part=jnp.asarray(dist.shard_array(
+                    self.distplan, nstep_h, 1)),
+                dt_next=jnp.asarray(dist.shard_array(
+                    self.distplan, dtnext_h, 1e30)))
         if self.self_gravity:
             if grow_caps and self.letplan is not None:
                 self.letplan = grow_let_caps(self.letplan)
@@ -486,11 +671,14 @@ class DistributedGradhSphSimulation(GradhSphSimulation):
         with self.timing.block("MAIN_LOOP"):
             prev = self.state
             prev_sinks = self.sinks
+            prev_sched = getattr(self, "_blocksched", None)
             self._run_dist(bootstrap=False)
             if bool(self.state.neib_overflow):
                 with self.timing.block("GRID_REPLAN"):
                     self.state = prev
                     self.sinks = prev_sinks
+                    if prev_sched is not None:
+                        self._blocksched = prev_sched
                     self._replan(growth=1.3, grow_caps=True)
                     self._run_dist(bootstrap=False)
         self.Nsteps += 1

@@ -141,6 +141,45 @@ class TestDistributedHydro:
         assert sim.t > 0
 
 
+class TestDistributedBlock:
+    """Hierarchical block timesteps in distributed mode (the reference
+    runs ComputeBlockTimesteps under MPI as a matter of course,
+    Simulation.cpp:1763-2197 with the dt Allreduce at :1736-1747):
+    per-particle levels shard with the particles; the scalar ladder
+    reductions are pmin/pmax inside the tick."""
+
+    def test_matches_single_device_nlevels3(self):
+        """8 ticks of jittered-box hydro at Nlevels=3: distributed block
+        tick == the single-chip full-pass (bruteforce) block tick to
+        roundoff.  (The single-chip grid path uses the host-compacted
+        active-subset tick, which legitimately keeps inactive neighbours'
+        densities frozen mid-step; the full-pass tick is the parity
+        oracle.)"""
+        over = dict(Nlevels=3)
+        s1 = _sorted_state(_run(0, grav=0, n_steps=8,
+                                neib_search="bruteforce", **over))
+        s8 = _sorted_state(_run(4, grav=0, n_steps=8, **over))
+        for k in ("r", "v", "rho", "u", "h"):
+            np.testing.assert_allclose(s8[k], s1[k], rtol=2e-10, atol=1e-11,
+                                       err_msg=k)
+
+    def test_levels_stratify_and_replan(self):
+        """Self-gravitating run at Nlevels=4: the ladder actually occupies
+        more than one level, re-decomposition mid-interval carries the
+        schedule, and energy bookkeeping stays finite."""
+        sim = _run(4, grav=1, n_steps=2, Nlevels=4)
+        lv = np.asarray(sim.state.level)[np.asarray(sim.state.alive)]
+        assert int(sim._blocksched.level_max) >= 1
+        sim.params.intparams["ntreebuildstep"] = 2
+        m0 = sim._state_to_host()["m"].sum()
+        for _ in range(4):
+            sim.main_loop_step()
+        d = sim._state_to_host()
+        assert d["m"].sum() == pytest.approx(m0, rel=1e-12)
+        assert np.isfinite(d["rho"]).all() and np.isfinite(d["v"]).all()
+        assert sim.t > 0
+
+
 class TestDistributedSinks:
     """Sinks/stars in distributed mode (reference MPI sink sync,
     MpiControl::UpdateSinksAfterAccretion src/Mpi/MpiControl.cpp:408-431):
@@ -284,14 +323,19 @@ class TestDistributedCD2010:
 
 class TestDistributedEwald:
     def test_matches_single_chip_truncation(self):
-        """Periodic (Ewald) self-gravity in distributed mode: the
-        replicated tree walk min-images MAC/cells/pairs identically to
-        the single-chip walk, so the potentials agree to multipole
+        """Periodic (Ewald) self-gravity in distributed mode runs on the
+        memory-scalable LET path (ring halo bands + min-imaged,
+        Ewald-corrected far-shard summary walk — nothing O(N_total) is
+        materialised, unlike the old replicated-tree fallback) and the
+        potentials agree with the single-chip walk to multipole
         truncation (different bucket plans, like the reference's MPI
         domain trees vs serial).  Without the corrections the periodic
         potential would be off at the ~10% level."""
         s1 = _sorted_state(_run(0, grav=1, n_steps=1, ewald=1))
-        s8 = _sorted_state(_run(4, grav=1, n_steps=1, ewald=1))
+        sim8 = _run(4, grav=1, n_steps=1, ewald=1)
+        assert sim8.letplan is not None, \
+            "Ewald gravity fell back to the replicated tree"
+        s8 = _sorted_state(sim8)
         gp1, gp8 = s1["gpot"], s8["gpot"]
         err = np.abs(gp8 - gp1) / np.maximum(np.abs(gp1), 1e-30)
         assert np.median(err) < 2e-3, f"median {np.median(err)}"
