@@ -189,9 +189,19 @@ def _few_body_forces(r, m, r_pert=None, m_pert=None, r_com=None):
     return a, pot
 
 
+def predict_cubic(traj, t):
+    """Evaluate the cubic Hermite trajectory r(t) = r0 + v0 t + a0 t^2/2
+    + adot0 t^3/6 (the reference's perturber prediction,
+    NbodySystemTree.cpp:256-420 + Nbody.cpp perturber loops use the
+    stored r0/v0/a0/adot0 of each perturber)."""
+    r0, v0, a0, adot0 = traj
+    return r0 + v0 * t + 0.5 * a0 * t * t + adot0 * (t ** 3) / 6.0
+
+
 def integrate_internal_motion(rel_r, rel_v, m, dt_total,
                               nbody_mult: float = 0.1,
                               r_com=None, r_pert=None, m_pert=None,
+                              pert_traj=None, com_traj=None,
                               max_steps: int = 200000):
     """Integrate the INTERNAL motion of one sub-system over the global
     step dt_total with an adaptive 4th-order Hermite P(EC)^2 scheme
@@ -199,16 +209,28 @@ def integrate_internal_motion(rel_r, rel_v, m, dt_total,
     serial recursion, Nbody.cpp:481-720).
 
     rel_r/rel_v are COM-frame member coordinates; the COM itself is
-    advanced by the GLOBAL integrator.  Perturber tidal forces use frozen
-    end-of-step perturber positions (the reference predicts them along
-    cubic trajectories; frozen positions are the leading-order version).
+    advanced by the GLOBAL integrator.  Perturber tidal forces:
+
+    - with `pert_traj` = (r0, v0, a0, adot0) arrays from the START of the
+      global step, perturber positions are PREDICTED along their cubic
+      Hermite trajectories at each sub-step (the reference's
+      CalculatePerturberForces uses the perturbers' stored derivatives);
+      `com_traj` likewise predicts this system's own COM motion so the
+      tidal residual is evaluated about the moving COM,
+    - otherwise frozen `r_pert` end-of-step positions (leading order).
+
     Returns (rel_r, rel_v)."""
     r = np.array(rel_r, dtype=np.float64)
     v = np.array(rel_v, dtype=np.float64)
     m = np.asarray(m, dtype=np.float64)
 
-    def forces(r, v):
-        a, _ = _few_body_forces(r, m, r_pert, m_pert, r_com)
+    def forces(r, v, t_now):
+        rp, rc = r_pert, r_com
+        if pert_traj is not None:
+            rp = predict_cubic(pert_traj, t_now)
+        if com_traj is not None:
+            rc = predict_cubic(com_traj, t_now)
+        a, _ = _few_body_forces(r, m, rp, m_pert, rc)
         # jerk by direct formula
         n = len(r)
         adot = np.zeros_like(r)
@@ -226,7 +248,7 @@ def integrate_internal_motion(rel_r, rel_v, m, dt_total,
                        * dr).sum(0)
         return a, adot
 
-    a, adot = forces(r, v)
+    a, adot = forces(r, v, 0.0)
     t = 0.0
     steps = 0
     while t < dt_total and steps < max_steps:
@@ -241,7 +263,7 @@ def integrate_internal_motion(rel_r, rel_v, m, dt_total,
         v = v0 + a0 * dt + 0.5 * adot0 * dt * dt
         # P(EC)^2 Hermite corrector (NbodyHermite4::CorrectionTerms)
         for _ in range(2):
-            a, adot = forces(r, v)
+            a, adot = forces(r, v, t + dt)
             a2dot = (-6.0 * (a0 - a) - dt * (4.0 * adot0 + 2.0 * adot)) \
                 / (dt * dt)
             a3dot = (12.0 * (a0 - a) + 6.0 * dt * (adot0 + adot)) \

