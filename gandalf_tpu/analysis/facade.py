@@ -221,8 +221,9 @@ def get_time(snap_no="current", sim="current") -> float:
 def get_render_data(xquantity: str, yquantity: str, quantity: str = "rho",
                     snap_no="current", sim="current",
                     xmin=None, xmax=None, ymin=None, ymax=None,
-                    res: int = 128) -> np.ndarray:
-    """Kernel-interpolated rendering grid (facade.get_render_data)."""
+                    res: int = 128, zslice: float = None) -> np.ndarray:
+    """Kernel-interpolated rendering grid (facade.get_render_data);
+    with `zslice` a true z-plane slice (CreateSliceRenderingGrid)."""
     from .render import render_grid
 
     snapshot, _ = SimBuffer.get_snapshot_and_sim(snap_no, sim)
@@ -234,18 +235,24 @@ def get_render_data(xquantity: str, yquantity: str, quantity: str = "rho",
     ymin = r[:, iy].min() if ymin is None else ymin
     ymax = r[:, iy].max() if ymax is None else ymax
     return render_grid(snapshot, xquantity, yquantity, quantity,
-                       xmin, xmax, ymin, ymax, nx=res, ny=res)
+                       xmin, xmax, ymin, ymax, nx=res, ny=res,
+                       zslice=zslice)
 
 
 def render(x: str = "x", y: str = "y", render_quantity: str = "rho",
-           res: int = 128, snap="current", sim="current", **kw):
-    """Render a quantity to a matplotlib image (facade.render)."""
+           res: int = 128, snap="current", sim="current",
+           zslice: float = None, **kw):
+    """Render a quantity to a matplotlib image (facade.render); with
+    `zslice` a true z-plane slice rather than a column integral
+    (reference facade.render passes zslice through to
+    RenderPlotCommand, analysis/facade.py:419-436)."""
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    grid = get_render_data(x, y, render_quantity, snap, sim, res=res)
+    grid = get_render_data(x, y, render_quantity, snap, sim, res=res,
+                           zslice=zslice)
     fig, axis = plt.subplots()
     im = axis.imshow(grid, origin="lower", aspect="auto")
     fig.colorbar(im, ax=axis, label=render_quantity)
@@ -254,7 +261,57 @@ def render(x: str = "x", y: str = "y", render_quantity: str = "rho",
     return fig
 
 
-renderslice = render
+def renderslice(x: str, y: str, render_quantity: str, zslice: float,
+                **kw):
+    """Slice rendering at plane z = zslice (reference facade.renderslice,
+    analysis/facade.py:419: a thin wrapper around render with zslice)."""
+    return render(x, y, render_quantity, zslice=zslice, **kw)
+
+
+def addrender(x: str, y: str, render_quantity: str, **kw):
+    """Overplot variant of render (reference facade.addrender)."""
+    return render(x, y, render_quantity, **kw)
+
+
+def addrenderslice(x: str, y: str, render_quantity: str, zslice: float,
+                   **kw):
+    """Overplot variant of renderslice (reference facade.addrenderslice)."""
+    return renderslice(x, y, render_quantity, zslice, **kw)
+
+
+def time_plot(x: str, y: str, sim="current", id=None, idx=None, idy=None,
+              **kw):
+    """Plot two quantities as evolved in time, one versus the other
+    (reference facade.time_plot, analysis/facade.py:276): each axis is
+    either a time-defined quantity ('t' or a registered global time
+    series) or a per-particle quantity tracked for particle `id`
+    (`idx`/`idy` override per axis)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    s = SimBuffer.get_sim(sim)
+
+    def series(q, pid):
+        if q == "t":
+            return np.array([snap.t for snap in s.snapshots])
+        if pid is None:
+            pid = 0 if id is None else id
+        _, vals = CreateTimeData(q, id=pid, sim=sim)
+        return vals
+
+    xs = _apply_scale(x, series(x, idx))
+    ys = _apply_scale(y, series(y, idy))
+    fig, axis = plt.subplots()
+    axis.plot(xs, ys, "-")
+    axis.set_xlabel(x)
+    axis.set_ylabel(y)
+    if x in _PLOT_LIMITS:
+        axis.set_xlim(*_PLOT_LIMITS[x])
+    if y in _PLOT_LIMITS:
+        axis.set_ylim(*_PLOT_LIMITS[y])
+    return fig
 
 
 # -- plot windows / limits / unit rescaling (reference facade.py:525-940) ----

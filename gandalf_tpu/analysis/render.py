@@ -20,13 +20,18 @@ from ..kernels.smoothing import kernel_factory
 def render_grid(snap, xquantity: str, yquantity: str, quantity: str,
                 xmin: float, xmax: float, ymin: float, ymax: float,
                 nx: int = 128, ny: int = 128, kernel: str = "m4",
-                column: bool = True) -> np.ndarray:
+                column: bool = True, zslice: float = None) -> np.ndarray:
     """2D rendering grid of `quantity` over the (xquantity, yquantity)
-    plane (CreateColumnRenderingGrid / CreateSliceRenderingGrid).
+    plane (CreateColumnRenderingGrid / CreateSliceRenderingGrid,
+    reference src/Common/Render.cpp:64-232).
 
     For column rendering the 2D column kernel sum uses the 2D kernel
     normalisation (the reference uses dedicated LOS kernels; the 2D kernel
-    is the standard approximation for column plots).
+    is the standard approximation for column plots).  With `zslice` set
+    (3D snapshots) the grid is a true z-plane slice: the FULL-DIMENSIONAL
+    kernel evaluated at the 3D distance including the pixel-to-slice
+    offset (z_j - zslice), matching CreateSliceRenderingGrid
+    (Render.cpp:169-232) rather than a column integral.
     """
     axes = {"x": 0, "y": 1, "z": 2}
     ix = axes[xquantity]
@@ -38,7 +43,6 @@ def render_grid(snap, xquantity: str, yquantity: str, quantity: str,
     h = np.asarray(snap.data["h"])
     A = np.asarray(snap.extract_array(quantity))
 
-    kern2d = kernel_factory(kernel, 2)
     px = jnp.linspace(xmin, xmax, nx)
     py = jnp.linspace(ymin, ymax, ny)
 
@@ -47,13 +51,29 @@ def render_grid(snap, xquantity: str, yquantity: str, quantity: str,
     w = jnp.asarray(m / np.maximum(rho, 1e-300) * A)
     hj = jnp.asarray(h)
 
-    @jax.jit
-    def row(yv):
-        dx = px[:, None] - rx[None, :]
-        dy = yv - ry[None, :]
-        s = jnp.sqrt(dx * dx + dy * dy) / hj[None, :]
-        wk = kern2d.w0(s) / hj[None, :] ** 2
-        return jnp.sum(w[None, :] * wk, axis=-1)
+    if zslice is not None and ndim == 3:
+        iz = ({0, 1, 2} - {ix, iy}).pop()
+        kern3d = kernel_factory(kernel, 3)
+        dz = jnp.asarray(r[:, iz]) - zslice
+
+        @jax.jit
+        def row(yv):
+            dx = px[:, None] - rx[None, :]
+            dy = yv - ry[None, :]
+            s = jnp.sqrt(dx * dx + dy * dy + dz[None, :] ** 2) \
+                / hj[None, :]
+            wk = kern3d.w0(s) / hj[None, :] ** 3
+            return jnp.sum(w[None, :] * wk, axis=-1)
+    else:
+        kern2d = kernel_factory(kernel, 2)
+
+        @jax.jit
+        def row(yv):
+            dx = px[:, None] - rx[None, :]
+            dy = yv - ry[None, :]
+            s = jnp.sqrt(dx * dx + dy * dy) / hj[None, :]
+            wk = kern2d.w0(s) / hj[None, :] ** 2
+            return jnp.sum(w[None, :] * wk, axis=-1)
 
     grid = jax.lax.map(row, py)
     return np.asarray(grid)
