@@ -233,19 +233,26 @@ def main() -> None:
     # whose init hangs ~10 min then raises UNAVAILABLE — every size then
     # eats its full timeout and the bench reports 0.0 with no diagnosis.
     # A tiny-compile child distinguishes "down" from "slow" up front.
-    probe_t = float(os.environ.get("BENCH_PROBE_TIMEOUT", "300"))
-    try:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=dict(os.environ, BENCH_PROBE="1"),
-            capture_output=True, text=True, timeout=probe_t)
-        alive = proc.returncode == 0 and "BENCH_PROBE_OK" in proc.stdout
-        if not alive:
-            print("bench: probe failed\n" + proc.stderr[-2000:],
-                  file=sys.stderr)
-    except subprocess.TimeoutExpired:
-        alive = False
-        print(f"bench: probe timed out after {probe_t}s", file=sys.stderr)
+    # Cold-tunnel init on this host is ~6-7 min for the FIRST process
+    # (measured 2026-08-18: probe alone took 420s, after which children
+    # init in seconds) — the probe both detects a dead backend and warms
+    # the tunnel, so give it the full window and one retry.
+    probe_t = float(os.environ.get("BENCH_PROBE_TIMEOUT", "600"))
+    alive = False
+    for attempt in range(2):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=dict(os.environ, BENCH_PROBE="1"),
+                capture_output=True, text=True, timeout=probe_t)
+            alive = proc.returncode == 0 and "BENCH_PROBE_OK" in proc.stdout
+            if alive:
+                break
+            print(f"bench: probe attempt {attempt} failed\n"
+                  + proc.stderr[-2000:], file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"bench: probe attempt {attempt} timed out after "
+                  f"{probe_t}s", file=sys.stderr)
     if not alive:
         name = "sphgrav3d" if gravity else "sph3d"
         print(json.dumps({
