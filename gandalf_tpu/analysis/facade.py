@@ -193,12 +193,24 @@ def previous():
     return snap(SimBuffer.current_snap_index - 1)
 
 
-def get_data(quantity: str, snap_no="current", sim="current") -> np.ndarray:
+def get_data(quantity: str, snap_no="current", sim="current",
+             type: str = "default") -> np.ndarray:
     """Fetch a quantity: direct arrays, derived quantities, or registered
-    user formulas (reference facade.get_data -> data_fetcher)."""
+    user formulas (reference facade.get_data -> data_fetcher).  With
+    ``type="star"`` the quantity is read from the snapshot's star/sink
+    block instead of the gas particles (the reference's per-type fetch,
+    data_fetcher.py particle types)."""
     from .fetchers import fetch_quantity
 
     snapshot, _ = SimBuffer.get_snapshot_and_sim(snap_no, sim)
+    if type == "star":
+        from ..sim.simulation import Snapshot as _Snap
+
+        star = snapshot.data.get("star")
+        if star is None:
+            return np.array([])
+        return _Snap(snapshot.t, dict(star), snapshot.ndim) \
+            .extract_array(quantity)
     return fetch_quantity(snapshot, quantity)
 
 
@@ -296,6 +308,8 @@ def time_plot(x: str, y: str, sim="current", id=None, idx=None, idy=None,
     def series(q, pid):
         if q == "t":
             return np.array([snap.t for snap in s.snapshots])
+        if q in _TIME_FETCHERS:
+            return TimeData(q, sim=sim)[1]
         if pid is None:
             pid = 0 if id is None else id
         _, vals = CreateTimeData(q, id=pid, sim=sim)
@@ -370,7 +384,7 @@ def rescale(quantity: str, unitname: str, window="current"):
     unit = getattr(units, _UNIT_OF.get(quantity, quantity), None)
     if unit is None:
         raise ValueError(f"no unit dimension known for {quantity!r}")
-    _PLOT_SCALES[quantity] = unit.outscale_to(unitname)
+    _PLOT_SCALES[quantity] = unit.output_scale(unitname)
 
 
 _UNIT_OF = {
@@ -385,8 +399,10 @@ def _apply_scale(name, arr):
     return arr if s is None else arr * s
 
 
-def plot(x: str, y: str, snap="current", sim="current", **kw):
-    """Scatter plot of two particle quantities (facade.plot).
+def plot(x: str, y: str, snap="current", sim="current",
+         type: str = "default", **kw):
+    """Scatter plot of two particle quantities (facade.plot);
+    ``type="star"`` plots the star/sink particles.
 
     Uses the Agg backend (figures saved via savefig); the reference's
     interactive subprocess plotting window is not replicated."""
@@ -395,8 +411,8 @@ def plot(x: str, y: str, snap="current", sim="current", **kw):
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    xs = _apply_scale(x, get_data(x, snap, sim))
-    ys = _apply_scale(y, get_data(y, snap, sim))
+    xs = _apply_scale(x, get_data(x, snap, sim, type=type))
+    ys = _apply_scale(y, get_data(y, snap, sim, type=type))
     fig, axis = plt.subplots()
     axis.plot(xs, ys, ".", ms=2)
     axis.set_xlabel(x)
@@ -471,14 +487,52 @@ def make_movie(filename: str = "movie.mp4", x: str = "x", y: str = "y",
     return filename
 
 
-def CreateTimeData(quantity: str, id: int = 0, sim="current"):
-    """Time series of `quantity` for particle `id` across all snapshots
-    (reference facade.CreateTimeData / 'time data' fetcher)."""
+#: name -> (function, args, kwargs): global time-series quantities
+#: registered via CreateTimeData(name, function, ...) (the reference's
+#: data_fetcher.time_fetchers / FunctionTimeDataFetcher registry,
+#: analysis/data_fetcher.py:94-130)
+_TIME_FETCHERS: dict = {}
+
+
+def CreateTimeData(quantity: str, function=None, *args,
+                   id: int = 0, sim="current", **kwargs):
+    """Two forms, matching the reference:
+
+    - ``CreateTimeData(name, function, **kwargs)`` registers a GLOBAL
+      time quantity: `function(snap, **kwargs)` is evaluated per
+      snapshot and the series is plottable with `time_plot("t", name)`
+      (reference data_fetcher.CreateTimeData, analysis/
+      data_fetcher.py:94 — e.g. lagrangian_radii with mfrac=0.5).
+    - ``CreateTimeData(quantity, id=i)`` returns the (t, value) series
+      of a per-particle quantity for particle `i` across snapshots
+      (the reference's TimeData / particle_data fetcher path)."""
+    if callable(function):
+        _TIME_FETCHERS[quantity] = (function, args, kwargs)
+        return _TIME_FETCHERS[quantity]
     simulation = SimBuffer.get_sim(sim)
     ts = np.array([s.t for s in simulation.snapshots])
     qs = np.array([s.extract_array(quantity)[id]
                    for s in simulation.snapshots])
     return ts, qs
+
+
+def TimeData(quantity: str, id: int = None, sim="current"):
+    """Evaluate a time-series quantity over all snapshots: a registered
+    global quantity (CreateTimeData with a function) or, with `id`, a
+    per-particle quantity (reference data_fetcher.TimeData,
+    analysis/data_fetcher.py:114-130).  Returns (t, values)."""
+    simulation = SimBuffer.get_sim(sim)
+    ts = np.array([s.t for s in simulation.snapshots])
+    if quantity in _TIME_FETCHERS:
+        fn, args, kwargs = _TIME_FETCHERS[quantity]
+        vals = np.array([fn(s, *args, **kwargs)
+                         for s in simulation.snapshots])
+        return ts, vals
+    if id is None:
+        raise KeyError(
+            f"TimeData: '{quantity}' is not a registered time quantity "
+            "and no particle id was given")
+    return CreateTimeData(quantity, id=id, sim=sim)
 
 
 def L1errornorm(ic, x=None, y=None, xmin=None, xmax=None, **kw):

@@ -258,6 +258,7 @@ _FLOAT_DEFAULTS: Dict[str, float] = {
 
 _STRING_DEFAULTS: Dict[str, str] = {
     "sim": "sph",
+    "sph": "gradh",
     "nbody": "hermite4",
     "ic": "box",
     "run_id": "",
@@ -401,6 +402,11 @@ class Parameters:
     # -- typed get/set ------------------------------------------------------
     def set(self, key: str, value: Union[str, int, float]) -> None:
         if key in self.intparams:
+            sv = str(value).strip().lower()
+            # the reference's .dat files use true/false for int toggles
+            # (e.g. `dimensionless = false`, examples/bossbodenheimer.dat)
+            if sv in ("true", "false"):
+                value = 1 if sv == "true" else 0
             self.intparams[key] = int(float(str(value)))
         elif key in self.floatparams:
             self.floatparams[key] = float(str(value))
