@@ -194,6 +194,24 @@ def end_timestep(cfg: BlockConfig, s: SphState, B: BlockSchedule,
         upd["dudt0"] = jnp.where(active, s.dudt, s.dudt0)
 
     dt_next = jnp.where(active, dt_crit, B.dt_next)
+    lad, B = ladder_update(cfg, B, alive, active, level, s.levelneib,
+                           nstep_part, s.nlast, s.tlast, dt_next, n, t,
+                           dt_extra=dt_extra, axis_name=axis_name)
+    s = s.replace(t=t, dt=B.dt_base, **lad, **upd)
+    return s, B
+
+
+def ladder_update(cfg: BlockConfig, B: BlockSchedule, alive: Array,
+                  active: Array, level: Array, levelneib: Array,
+                  nstep_part: Array, nlast: Array, tlast: Array,
+                  dt_next: Array, n: Array, t: Array,
+                  dt_extra: Array = None, axis_name: str = None):
+    """The scheme-independent part of ComputeBlockTimesteps
+    (Simulation.cpp:1795-2160): per-particle level moves, level_max
+    growth/shrink with integer-time rescaling, and the resync rebuild.
+    Shared by the leapfrog-KDK (SPH) and MFV block integrators.
+
+    Returns (dict(level=, levelneib=, nlast=, tlast=), BlockSchedule)."""
     is_resync = n == B.nresync
 
     # ---- resync branch (n == nresync): rebuild the ladder ------------------
@@ -212,7 +230,7 @@ def end_timestep(cfg: BlockConfig, s: SphState, B: BlockSchedule,
 
     # ---- adjust branch: per-particle level moves --------------------------
     lvl_req = jnp.maximum(compute_timestep_level(dt_next, B.dt_max),
-                          s.levelneib - cfg.level_diff_max)
+                          levelneib - cfg.level_diff_max)
     natural = active & (nstep_part == _pow2(B.level_max - level))
     # natural end: down one level only at a synchronised boundary
     down_ok = (lvl_req < level) & (level > 1) \
@@ -224,7 +242,7 @@ def end_timestep(cfg: BlockConfig, s: SphState, B: BlockSchedule,
     lvl_adj = jnp.where(active, jnp.where(natural, lvl_nat, lvl_art), level)
     lvl_adj = jnp.clip(lvl_adj, 0, LEVEL_CAP)
     neib_adj = jnp.where(active, jnp.where(natural, lvl_req, lvl_adj),
-                         s.levelneib)
+                         levelneib)
 
     # level_max bookkeeping + integer-time rescaling (Simulation.cpp:2098-2135)
     lmax_old = B.level_max
@@ -249,7 +267,7 @@ def end_timestep(cfg: BlockConfig, s: SphState, B: BlockSchedule,
     ndiv = jnp.where(shrink, jnp.asarray(2, jnp.int32),
                      jnp.asarray(1, jnp.int32))
     n_adj = (n * nfac) // ndiv
-    nlast_all = (s.nlast * nfac) // ndiv
+    nlast_all = (nlast * nfac) // ndiv
     nstep_all = (nstep_part * nfac) // ndiv
 
     nresync_adj = _pow2(lmax_adj)
@@ -269,16 +287,15 @@ def end_timestep(cfg: BlockConfig, s: SphState, B: BlockSchedule,
     dtbase_out = sel(dtmax_sync / _pow2(lmax_sync).astype(dt_min.dtype),
                      dtbase_adj)
     nstep_out = sel(_pow2(lmax_sync - lvl_sync), nstep_adj)
-    nlast_out = sel(jnp.zeros_like(s.nlast), nlast_adj)
-    tlast_out = jnp.where(active | is_resync, t, s.tlast)
+    nlast_out = sel(jnp.zeros_like(nlast), nlast_adj)
+    tlast_out = jnp.where(active | is_resync, t, tlast)
 
-    s = s.replace(level=level_out, levelneib=levelneib_out,
-                  nlast=nlast_out, tlast=tlast_out, t=t,
-                  dt=dtbase_out, **upd)
+    lad = dict(level=level_out, levelneib=levelneib_out,
+               nlast=nlast_out, tlast=tlast_out)
     B = BlockSchedule(n=n_out, level_max=lmax_out, nresync=nresync_out,
                       dt_base=dtbase_out, dt_max=dtmax_out,
                       nstep_part=nstep_out, dt_next=dt_next)
-    return s, B
+    return lad, B
 
 
 def compute_levelneib(box, r: Array, h: Array, level: Array,

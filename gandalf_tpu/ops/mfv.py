@@ -599,6 +599,10 @@ def hllc_flux(Wl: Array, Wr: Array, n: Array, vface: Array,
 class FluxResult(NamedTuple):
     dQdt: Array       # (N, nvar) conserved-variable flux rate
     rdmdt_dot: Array  # (N, ndim) rate of r*dm/dt bookkeeping
+    # block-timestep mode only (dt_pair/pair_on given): committed
+    # per-step increments, pair-weighted by min(dt_i, dt_j)
+    dQ: Array = None        # (N, nvar)
+    rdmdt: Array = None     # (N, ndim)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -618,7 +622,9 @@ def compute_godunov_fluxes(kern: SmoothingKernel, cfg: MfvConfig, ndim: int,
                            B: Array, grad: Array, alpha_slope: Array,
                            bad: Array,
                            dr: Array, nb: dict,
-                           mask: Optional[Array]) -> FluxResult:
+                           mask: Optional[Array],
+                           dt_pair: Optional[Array] = None,
+                           pair_on: Optional[Array] = None) -> FluxResult:
     """Pairwise MUSCL face fluxes accumulated per particle
     (MfvMuscl::ComputeGodunovFlux; every pair is evaluated from both sides,
     which is equivalent to the reference's scatter since the flux tensor is
@@ -626,6 +632,13 @@ def compute_godunov_fluxes(kern: SmoothingKernel, cfg: MfvConfig, ndim: int,
 
     nb keys (all (N,K,...)): h, ndens, hfactor, Wprim, sound, a0, B, grad,
     alpha_slope, bad.
+
+    Block-timestep mode: `dt_pair` (N,K) is min(dt_own_i, dt_own_j) — the
+    half-dt MUSCL prediction uses it instead of the scalar `dt`, and the
+    FluxResult additionally carries the committed per-step increments
+    dQ = -sum_j [pair_on] f dt_pair (the reference's active-side scatter
+    over sub-steps, MeshlessFVTree.cpp:580-607 + MfvMuscl.cpp:237-247);
+    `pair_on` masks pairs whose deeper member starts a step this tick.
     """
     nvar = ndim + 2
     irho, iE = ndim, ndim + 1
@@ -689,8 +702,9 @@ def compute_godunov_fluxes(kern: SmoothingKernel, cfg: MfvConfig, ndim: int,
     Wl = Wl.at[..., :ndim].add(-vface)
     Wdot_l = _primitive_time_derivative(Wl, gradW_i, sound[:, None], ndim)
     Wdot_l = Wdot_l.at[..., :ndim].add(a0[:, None, :])
+    dt_b = dt if dt_pair is None else dt_pair[..., None]
     if cfg.time_scheme == "muscl":
-        Wl = Wl + 0.5 * Wdot_l * dt
+        Wl = Wl + 0.5 * Wdot_l * dt_b
 
     # --- right state (neighbour j side): needs j's limited slopes ---------
     if cfg.slope_limiter == "zeroslope":
@@ -709,7 +723,7 @@ def compute_godunov_fluxes(kern: SmoothingKernel, cfg: MfvConfig, ndim: int,
     Wdot_r = _primitive_time_derivative(Wr, gradW_j, nb["sound"], ndim)
     Wdot_r = Wdot_r.at[..., :ndim].add(nb["a0"])
     if cfg.time_scheme == "muscl":
-        Wr = Wr + 0.5 * Wdot_r * dt
+        Wr = Wr + 0.5 * Wdot_r * dt_b
 
     tiny = 1e-15
 
@@ -726,8 +740,8 @@ def compute_godunov_fluxes(kern: SmoothingKernel, cfg: MfvConfig, ndim: int,
         # with the primitive time derivative.
         f1 = flux_fn(_sanitise(Wl), _sanitise(Wr), Aunit, vface,
                      cfg.gamma, cfg.zero_mass_flux)
-        f2 = flux_fn(_sanitise(Wl + Wdot_l * dt),
-                     _sanitise(Wr + Wdot_r * dt), Aunit, vface,
+        f2 = flux_fn(_sanitise(Wl + Wdot_l * dt_b),
+                     _sanitise(Wr + Wdot_r * dt_b), Aunit, vface,
                      cfg.gamma, cfg.zero_mass_flux)
         flux_line = 0.5 * (f1 + f2)
     else:
@@ -739,7 +753,13 @@ def compute_godunov_fluxes(kern: SmoothingKernel, cfg: MfvConfig, ndim: int,
 
     dQdt = -jnp.sum(f, axis=1)
     rdmdt_dot = jnp.sum(dr * f[..., irho, None], axis=1)
-    return FluxResult(dQdt=dQdt, rdmdt_dot=rdmdt_dot)
+    if dt_pair is None:
+        return FluxResult(dQdt=dQdt, rdmdt_dot=rdmdt_dot)
+    wdt = jnp.where(pair_on, dt_pair, 0.0)
+    dQ_inc = -jnp.sum(f * wdt[..., None], axis=1)
+    rdmdt_inc = jnp.sum(dr * (f[..., irho] * wdt)[..., None], axis=1)
+    return FluxResult(dQdt=dQdt, rdmdt_dot=rdmdt_dot, dQ=dQ_inc,
+                      rdmdt=rdmdt_inc)
 
 
 def _primitive_time_derivative(W: Array, gradW: Array, sound: Array,

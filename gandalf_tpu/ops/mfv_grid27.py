@@ -19,6 +19,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..kernels.smoothing import SmoothingKernel
 from . import mfv as mfv_ops
@@ -278,6 +279,8 @@ def gradients_mfv_grid27(kern: SmoothingKernel, spec: Grid27Spec,
 class MfvGridFluxes(NamedTuple):
     dQdt: Array       # (*ncells, K, nvar)
     rdmdt_dot: Array  # (*ncells, K, ndim)
+    dQ: Array = None      # block mode: committed per-step increments
+    rdmdt: Array = None
 
 
 def fluxes_mfv_grid27(kern: SmoothingKernel, cfg: mfv_ops.MfvConfig,
@@ -286,10 +289,16 @@ def fluxes_mfv_grid27(kern: SmoothingKernel, cfg: mfv_ops.MfvConfig,
                       ghost_fn=None) -> MfvGridFluxes:
     """MUSCL Godunov flux accumulation over the grid
     (MeshlessFVTree::UpdateGodunovFluxes).  dense needs r, h, ndens,
-    hfactor, Wprim, sound, a0, B, grad, alpha_slope, bad (float 0/1)."""
+    hfactor, Wprim, sound, a0, B, grad, alpha_slope, bad (float 0/1).
+
+    Block-timestep mode: dense additionally carries "dt_own" (the
+    particle's current full step) and "start" (1.0 where the particle
+    begins a step this tick); the kernel then commits per-pair
+    increments with dt_pair = min(dt_i, dt_j) (see ops/mfv.py)."""
     nd = spec.ndim
     nvar = nd + 2
     K = spec.k_cell
+    block = "dt_own" in dense
     ghost = ghost_fn or add_ghost_layers
     # packed neighbour tensor:
     # [h, ndens, hfactor, Wprim(nvar), sound, a0(nd), B(nd*nd),
@@ -300,6 +309,8 @@ def fluxes_mfv_grid27(kern: SmoothingKernel, cfg: mfv_ops.MfvConfig,
             dense["B"].reshape(dense["B"].shape[:-2] + (nd * nd,)),
             dense["grad"].reshape(dense["grad"].shape[:-2] + (nvar * nd,)),
             dense["alpha_slope"], dense["bad"][..., None]]
+    if block:
+        cols += [dense["dt_own"][..., None], dense["start"][..., None]]
     packed = jnp.concatenate(cols, axis=-1)
     o_h, o_nden, o_hfac = 0, 1, 2
     o_W = 3
@@ -309,6 +320,7 @@ def fluxes_mfv_grid27(kern: SmoothingKernel, cfg: mfv_ops.MfvConfig,
     o_grad = o_B + nd * nd
     o_alpha = o_grad + nvar * nd
     o_bad = o_alpha + nvar
+    o_dt, o_start = o_bad + 1, o_bad + 2
 
     rp_full = ghost(spec, dense["r"], shift_vec=True)
     pkp_full = ghost(spec, packed)
@@ -339,10 +351,15 @@ def fluxes_mfv_grid27(kern: SmoothingKernel, cfg: mfv_ops.MfvConfig,
         alpha_f = flat(centre_view(dense["alpha_slope"], s, c))
         bad_f = flat(centre_view(dense["bad"], s, c)) > 0.5
         r_f = flat(r_t)
+        if block:
+            dt_f = flat(centre_view(dense["dt_own"], s, c))
+            start_f = flat(centre_view(dense["start"], s, c)) > 0.5
 
         Np = r_f.shape[0]
         dQdt = jnp.zeros((Np, nvar), r_f.dtype)
         rdmdt = jnp.zeros((Np, nd), r_f.dtype)
+        dQi = jnp.zeros((Np, nvar), r_f.dtype) if block else None
+        rdmi = jnp.zeros((Np, nd), r_f.dtype) if block else None
         for sh in shifts:
             r_nb = _shift_view(sub, rp, sh)
             pk_nb = _shift_view(sub, pkp, sh)
@@ -369,14 +386,25 @@ def fluxes_mfv_grid27(kern: SmoothingKernel, cfg: mfv_ops.MfvConfig,
             }
             maskf = jnp.broadcast_to(f_nb[..., None, :], bshape).reshape(
                 -1, K)
+            kw = {}
+            if block:
+                dt_nb = g(o_dt)
+                start_nb = g(o_start) > 0.5
+                kw["dt_pair"] = jnp.minimum(dt_f[:, None], dt_nb)
+                kw["pair_on"] = start_f[:, None] | start_nb
             res = mfv_ops.compute_godunov_fluxes(
                 kern, cfg, nd, dt, r_f, h_f, nden_f, hfac_f, W_f, snd_f,
-                a0_f, B_f, grad_f, alpha_f, bad_f, drf, nb, maskf)
+                a0_f, B_f, grad_f, alpha_f, bad_f, drf, nb, maskf, **kw)
             dQdt = dQdt + res.dQdt
             rdmdt = rdmdt + res.rdmdt_dot
+            if block:
+                dQi = dQi + res.dQ
+                rdmi = rdmi + res.rdmdt
+        if block:
+            return dQdt, rdmdt, dQi, rdmi
         return dQdt, rdmdt
 
-    dQdt, rdmdt = jax.lax.map(slab_fn, jnp.arange(n_slabs, dtype=jnp.int32))
+    out = jax.lax.map(slab_fn, jnp.arange(n_slabs, dtype=jnp.int32))
     n0 = spec.ncells[0]
     rest = 1
     for n in spec.ncells[1:]:
@@ -386,4 +414,121 @@ def fluxes_mfv_grid27(kern: SmoothingKernel, cfg: mfv_ops.MfvConfig,
         x = x.reshape((n_slabs * c0, rest * K) + x.shape[2:])[:n0]
         return x.reshape(spec.ncells + (K,) + x.shape[2:])
 
+    if block:
+        dQdt, rdmdt, dQi, rdmi = out
+        return MfvGridFluxes(dQdt=unpad(dQdt), rdmdt_dot=unpad(rdmdt),
+                             dQ=unpad(dQi), rdmdt=unpad(rdmi))
+    dQdt, rdmdt = out
     return MfvGridFluxes(dQdt=unpad(dQdt), rdmdt_dot=unpad(rdmdt))
+
+
+# ---------------------------------------------------------------------------
+# Conservative timestep limiter (time_step_limiter = conservative)
+# ---------------------------------------------------------------------------
+
+def vsig_near_grid27(spec: Grid27Spec, dense: dict, fill: Array,
+                     ghost_fn=None) -> Array:
+    """Near-field part of the distant-signal-velocity limiter: the exact
+    per-pair formula over ALL particles in the shift neighbourhood (the
+    leaf branch of Tree::ComputeSignalVelocityFromDistantInteractions,
+    src/Tree/Tree.cpp:993-1023 — note this includes pairs beyond kernel
+    range, scaled by h_i/max(|dr|, h_i)).
+
+    dense: r, v, sound, h.  Returns the (*ncells, K) max contribution."""
+    nd = spec.ndim
+    ghost = ghost_fn or add_ghost_layers
+    r_d, v_d = dense["r"], dense["v"]
+    pk = jnp.concatenate([v_d, dense["sound"][..., None]], axis=-1)
+    rp = ghost(spec, r_d, shift_vec=True)
+    pkp = ghost(spec, pk)
+    fp = ghost(spec, fill)
+    K = spec.k_cell
+    flat = lambda x: x.reshape((-1,) + x.shape[nd + 1:])
+    Np = int(np.prod(spec.ncells)) * K
+    r_f, v_f = flat(r_d), flat(v_d)
+    snd_f = flat(dense["sound"])
+    h_f = flat(dense["h"])
+    vsig = jnp.zeros((Np,), r_f.dtype)
+    for sh in _shifts(nd, spec.qz):
+        r_nb = _shift_view(spec, rp, sh)
+        pk_nb = _shift_view(spec, pkp, sh)
+        f_nb = _shift_view(spec, fp, sh)
+        # (cells*K_t, K_nb, ...) via broadcast over the target slot axis
+        r_nbb = jnp.broadcast_to(
+            r_nb[..., None, :, :],
+            r_nb.shape[:nd] + (K, K, nd)).reshape(Np, K, nd)
+        pk_nbb = jnp.broadcast_to(
+            pk_nb[..., None, :, :],
+            pk_nb.shape[:nd] + (K, K, nd + 1)).reshape(Np, K, nd + 1)
+        ok = jnp.broadcast_to(
+            f_nb[..., None, :],
+            f_nb.shape[:nd] + (K, K)).reshape(Np, K)
+        dr = r_nbb - r_f[:, None, :]
+        drsqd = jnp.sum(dr * dr, axis=-1)
+        drmag = jnp.sqrt(jnp.maximum(drsqd, 1e-300))
+        dv = v_f[:, None, :] - pk_nbb[..., :nd]
+        dvdr = jnp.sum(dv * dr, axis=-1) / drmag
+        vs = snd_f[:, None] + pk_nbb[..., nd] - dvdr
+        scale = h_f[:, None] / jnp.maximum(drmag, h_f[:, None])
+        contrib = jnp.where(ok & (drsqd > 0), vs * scale, 0.0)
+        vsig = jnp.maximum(vsig, jnp.max(contrib, axis=-1))
+    return vsig.reshape(spec.ncells + (K,))
+
+
+def vsig_far_cells(spec: Grid27Spec, dense: dict, fill: Array):
+    """Far-field cell-aggregate bound for the conservative limiter (the
+    cell-opening branch of the reference walk, Tree.cpp:944-975, turned
+    into a dense O(C^2) cell-pair pass with per-cell sound/velocity
+    aggregates — conservative: the bound only over-limits, never under).
+
+    Returns per-cell (A, Bc): a particle's far-field contribution is
+    bounded by h_i * max(sound_i * A + Bc, 0)."""
+    nd = spec.ndim
+    C = int(np.prod(spec.ncells))
+    K = spec.k_cell
+    flatc = lambda x: x.reshape((C, K) + x.shape[nd + 1:])
+    fillc = flatc(fill)
+    snd = jnp.where(fillc, flatc(dense["sound"]), -1e30)
+    maxsound = jnp.maximum(jnp.max(snd, axis=1), 0.0)
+    occ = jnp.any(fillc, axis=1)
+    v = flatc(dense["v"])
+    big = 1e30
+    vmax = jnp.max(jnp.where(fillc[..., None], v, -big), axis=1)
+    vmin = jnp.min(jnp.where(fillc[..., None], v, big), axis=1)
+
+    # cell centres / half-widths from the static geometry
+    csize = np.array([spec.extents[k] / spec.ncells[k] for k in range(nd)])
+    idx = np.stack(np.meshgrid(
+        *[np.arange(n) for n in spec.ncells], indexing="ij"),
+        axis=-1).reshape(C, nd)
+    centres = jnp.asarray(np.array(spec.lo)[None, :]
+                          + (idx + 0.5) * csize[None, :])
+    ext = np.array(spec.extents)
+    per = np.array(spec.periodic)
+
+    dr = centres[None, :, :] - centres[:, None, :]          # (C, C, nd)
+    for k in range(nd):
+        if per[k]:
+            dr = dr.at[..., k].set(
+                dr[..., k] - ext[k] * jnp.round(dr[..., k] / ext[k]))
+    gap = jnp.maximum(jnp.abs(dr) - jnp.asarray(csize)[None, None, :], 0.0)
+    rmin = jnp.sqrt(jnp.maximum(jnp.sum(gap * gap, axis=-1), 1e-300))
+    # exclude the shift neighbourhood (handled exactly by vsig_near)
+    reach = jnp.asarray(csize * 1.0001)
+    reach = reach.at[0].mul(float(spec.qz))
+    near = jnp.all(jnp.abs(dr) <= reach[None, None, :], axis=-1)
+
+    # dvdr bound (reference Tree.cpp:950-965): per dim, the approach
+    # velocity bound between the facing box edges
+    sgn_pos = dr > 0
+    dv_edge = jnp.where(sgn_pos,
+                        vmin[None, :, :] - vmax[:, None, :],
+                        vmax[None, :, :] - vmin[:, None, :])
+    gap_signed = jnp.where(sgn_pos, gap, -gap)
+    dvdr = jnp.sum(gap_signed * dv_edge, axis=-1) / rmin
+    valid = occ[None, :] & ~near
+    inv_r = jnp.where(valid, 1.0 / rmin, 0.0)
+    A = jnp.max(inv_r, axis=1)
+    Bc = jnp.max(jnp.where(valid,
+                           (maxsound[None, :] - dvdr) / rmin, -big), axis=1)
+    return A, Bc

@@ -63,6 +63,16 @@ class MfvMusclSimulation(SimulationBase):
         self.courant_mult = p.floatparams["courant_mult"]
         self.accel_mult = p.floatparams["accel_mult"]
         self.self_gravity = bool(p.intparams["self_gravity"])
+        # hierarchical block timesteps (reference MfvIntegration.cpp +
+        # ComputeBlockTimesteps; Nlevels == 1 is the global-dt scheme)
+        self.nlevels = p.intparams["Nlevels"]
+        self.use_block = self.nlevels > 1
+        self.level_diff_max = p.intparams["level_diff_max"]
+        self.time_step_limiter = p.stringparams["time_step_limiter"]
+        if self.use_block and self.time_scheme == "rk2":
+            raise NotImplementedError(
+                "block timesteps are wired to the MUSCL MFV scheme "
+                "(the reference's RK2 block coupling differs)")
         if self.self_gravity and self.box.periodic_dims() \
                 and bool(p.intparams["ewald"]):
             raise NotImplementedError("periodic MFV self-gravity with "
@@ -150,7 +160,7 @@ class MfvMusclSimulation(SimulationBase):
         cat = lambda xs: jnp.concatenate(xs, axis=0)
         return cat(Bs), cat(grads), cat(a0s)
 
-    def _flux_pass(self, s: MfvState, dt):
+    def _flux_pass(self, s: MfvState, dt, block=None):
         box, kern = self.box, self.kern
         r_ext, v_ext, _, _ = extend_with_mirror_images(box, s.r, s.v, {})
         dr = box.min_image(r_ext[None, :, :] - s.r[:, None, :])
@@ -173,10 +183,16 @@ class MfvMusclSimulation(SimulationBase):
                 (s.N, M, s.nvar)),
             "bad": t1(s.bad_grad) > 0.5,
         }
+        kw = {}
+        if block is not None:
+            start, dt_own = block
+            kw["dt_pair"] = jnp.minimum(dt_own[:, None], t1(dt_own))
+            kw["pair_on"] = start[:, None] \
+                | (t1(start.astype(s.h.dtype)) > 0.5)
         return mfv_ops.compute_godunov_fluxes(
             kern, self.mfv_cfg, s.ndim, dt,
             s.r, s.h, s.ndens, s.hfactor, s.Wprim, s.sound, s.a0,
-            s.B, s.grad, s.alpha_slope, s.bad_grad, dr, nb, None)
+            s.B, s.grad, s.alpha_slope, s.bad_grad, dr, nb, None, **kw)
 
     # -- neighbour passes (structured grid, ops/mfv_grid27.py) --------------
     def _grid_binning(self, s: MfvState, r):
@@ -221,7 +237,7 @@ class MfvMusclSimulation(SimulationBase):
                          bad_grad=back(res.bad).astype(s.h.dtype),
                          neib_overflow=s.neib_overflow | b.overflow)
 
-    def _flux_pass_grid(self, s: MfvState, dt):
+    def _flux_pass_grid(self, s: MfvState, dt, block=None):
         from ..ops.mfv_grid27 import fluxes_mfv_grid27
 
         spec, b, fill, d, back = self._grid_binning(s, s.r)
@@ -230,10 +246,18 @@ class MfvMusclSimulation(SimulationBase):
                  "sound": d(s.sound), "a0": d(s.a0), "B": d(s.B),
                  "grad": d(s.grad), "alpha_slope": d(s.alpha_slope),
                  "bad": d(s.bad_grad.astype(s.h.dtype))}
+        if block is not None:
+            start, dt_own = block
+            dense["dt_own"] = d(dt_own)
+            dense["start"] = d(start.astype(s.h.dtype))
         res = fluxes_mfv_grid27(self.kern, self.mfv_cfg, spec, dt,
                                 dense, fill)
         from ..ops.mfv import FluxResult
 
+        if block is not None:
+            return FluxResult(dQdt=back(res.dQdt),
+                              rdmdt_dot=back(res.rdmdt_dot),
+                              dQ=back(res.dQ), rdmdt=back(res.rdmdt))
         return FluxResult(dQdt=back(res.dQdt), rdmdt_dot=back(res.rdmdt_dot))
 
     # -- jitted step ---------------------------------------------------------
@@ -261,13 +285,63 @@ class MfvMusclSimulation(SimulationBase):
                                        s.zeta, s.hfactor)
         return a, gpot, jnp.asarray(False)
 
-    def _dt_criterion(self, s: MfvState):
-        dt = 2.0 * self.courant_mult * s.h / s.vsig_max
+    def _dt_criterion_part(self, s: MfvState):
+        """Per-particle Courant + acceleration timestep
+        (MfvIntegration::Timestep, MfvIntegration.cpp:9-34)."""
+        dt = 2.0 * self.courant_mult * s.h \
+            / jnp.maximum(s.vsig_max, 1e-30)
         if self.self_gravity:
             amag = jnp.sqrt(jnp.sum(s.a * s.a, axis=-1))
             dt = jnp.minimum(dt, self.accel_mult
                              * jnp.sqrt(s.h / (amag + 1e-30)))
-        return jnp.min(dt)
+        return dt
+
+    def _dt_criterion(self, s: MfvState):
+        return jnp.min(self._dt_criterion_part(s))
+
+    def _levelneib_pass(self, s: MfvState):
+        """Max neighbour timestep level within kernel range (the reference
+        accumulates levelneib inside its force loops)."""
+        from ..integrate.block import compute_levelneib
+
+        if not self.use_celllist:
+            return compute_levelneib(self.box, s.r, s.h, s.level,
+                                     self.kern.kernrange, s.alive)
+        from ..ops.active_grid import gather_active_candidates
+        from ..ops.sph_grid27 import bin_particles
+
+        b = bin_particles(self.gridspec, s.r, discard=~s.alive)
+        idx = jnp.arange(s.N, dtype=jnp.int32)
+        ag = gather_active_candidates(self.gridspec, b, s.r, idx, s.alive)
+        cid = jnp.maximum(ag.ids, 0)
+        drsqd = jnp.sum(ag.dr * ag.dr, axis=-1)
+        hm = jnp.maximum(s.h[:, None], s.h[cid])
+        near = ag.mask & (drsqd <= (self.kern.kernrange * hm) ** 2)
+        return jnp.max(jnp.where(near, s.level[cid], 0), axis=-1)
+
+    def _vsig_conservative(self, s: MfvState):
+        """Distant-signal-velocity bound for the conservative timestep
+        limiter (Tree::ComputeSignalVelocityFromDistantInteractions,
+        src/Tree/Tree.cpp:891-1040): exact over the shift neighbourhood +
+        a conservative cell-aggregate bound for the far field; the
+        all-pairs oracle on the bruteforce path."""
+        from ..integrate.mfv_block import vsig_distant_dense
+
+        if not self.use_celllist:
+            return vsig_distant_dense(self.box, s.r, s.v, s.h, s.sound,
+                                      s.alive)
+        from ..ops.mfv_grid27 import vsig_far_cells, vsig_near_grid27
+        from ..ops import sph_grid27 as g27
+
+        spec, b, fill, d, back = self._grid_binning(s, s.r)
+        dense = {"r": d(s.r), "v": d(s.v), "sound": d(s.sound),
+                 "h": d(s.h)}
+        near = back(vsig_near_grid27(spec, dense, fill))
+        A, Bc = vsig_far_cells(spec, dense, fill)
+        cell_of = jnp.clip(b.cell_of, 0, spec.total_cells - 1)
+        far = s.h * jnp.maximum(
+            s.sound * A[cell_of] + Bc[cell_of], 0.0)
+        return jnp.maximum(near, far)
 
     def _build_bootstrap(self):
         if self.use_celllist:
@@ -286,10 +360,31 @@ class MfvMusclSimulation(SimulationBase):
             s = self._gradient_pass(s)
             return s.replace(dt=self._dt_criterion(s))
 
-        return bootstrap
+        if not self.use_block:
+            return bootstrap
+
+        from ..integrate.block import BlockConfig
+        from ..integrate.mfv_block import init_schedule_mfv
+
+        cfg = BlockConfig(nlevels=self.nlevels,
+                          level_diff_max=self.level_diff_max)
+
+        def bootstrap_block(s: MfvState):
+            s = bootstrap(s)
+            vsig = s.vsig_max
+            if self.time_step_limiter == "conservative":
+                vsig = jnp.maximum(vsig, self._vsig_conservative(s))
+            dt_part = self._dt_criterion_part(s.replace(vsig_max=vsig))
+            s, sched = init_schedule_mfv(cfg, s, dt_part)
+            return s.replace(dt=sched.dt_base), sched
+
+        return bootstrap_block
 
     def _build_step(self):
         ndim = self.ndim
+
+        if self.use_block:
+            return self._build_block_tick()
 
         def step(s: MfvState) -> MfvState:
             dt = s.dt
@@ -331,6 +426,67 @@ class MfvMusclSimulation(SimulationBase):
 
         return step
 
+    def _build_block_tick(self):
+        """One dt_base tick of the hierarchical block-timestep MUSCL
+        scheme (the masked-dense analogue of MfvMusclSimulation::MainLoop
+        with Nlevels > 1, MfvMusclSimulation.cpp:56-330 +
+        MfvIntegration.cpp): fluxes for pairs whose deeper member starts
+        a step, predict/drift all, Saitoh-Makino limiter, dense
+        density/gravity refresh, distant-vsig conservative limiter,
+        commit enders + ladder, gradients for the next tick."""
+        from ..integrate.block import BlockConfig
+        from ..integrate.mfv_block import (advance_mfv, check_timesteps_mfv,
+                                           end_timestep_mfv)
+
+        cfg = BlockConfig(nlevels=self.nlevels,
+                          level_diff_max=self.level_diff_max)
+        box = self.box
+
+        def tick(s: MfvState, B):
+            # ---- flux pass for starting pairs (UpdateGodunovFluxes) ----
+            start = (B.n == s.nlast) & s.alive
+            dt_own = B.dt_base * B.nstep_part.astype(s.m.dtype)
+            flux = self._flux_pass(s, B.dt_base, block=(start, dt_own))
+            s = s.replace(
+                dQ=s.dQ + flux.dQ,
+                rdmdt=s.rdmdt + flux.rdmdt,
+                dQdt=jnp.where(start[:, None], flux.dQdt, s.dQdt))
+            # ---- advance: predict conserved state + drift all ----------
+            s, active, t, _ = advance_mfv(s, B)
+            r = box.wrap(s.r)
+            r, v = box.reflect(r, s.v)
+            rho = s.m * s.ndens
+            u, pressure, sound = self.eos.thermal_update(
+                jnp.maximum(rho, 1e-30), s.u)
+            s = s.replace(r=r, v=v, rho=rho, u=u, pressure=pressure,
+                          sound=sound)
+            # ---- Saitoh-Makino simple limiter --------------------------
+            if self.time_step_limiter == "simple":
+                active, nstep_p, level, s = check_timesteps_mfv(
+                    cfg, s, B, active)
+            else:
+                nstep_p, level = B.nstep_part, s.level
+            # ---- dense density / gravity refresh -----------------------
+            s = self._density_pass(s)
+            if self.self_gravity:
+                a, gpot, ovf = self._gravity_pass(s)
+                s = s.replace(a=a, gpot=gpot,
+                              neib_overflow=s.neib_overflow | ovf)
+            s = s.replace(levelneib=self._levelneib_pass(s))
+            # ---- timestep criterion (+ conservative limiter) -----------
+            vsig = s.vsig_max
+            if self.time_step_limiter == "conservative":
+                vsig = jnp.maximum(vsig, self._vsig_conservative(s))
+            dt_crit = self._dt_criterion_part(s.replace(vsig_max=vsig))
+            # ---- commit enders + ladder (EndTimestep) ------------------
+            s, B = end_timestep_mfv(cfg, self.eos, s, B, active, level,
+                                    nstep_p, dt_crit, t)
+            # ---- gradients for the NEXT tick's fluxes ------------------
+            s = self._gradient_pass(s)
+            return s.replace(nstep=s.nstep + 1), B
+
+        return tick
+
     # -- host lifecycle -------------------------------------------------------
     def _compile(self):
         self._step_fn = jax.jit(self._build_step())
@@ -347,7 +503,15 @@ class MfvMusclSimulation(SimulationBase):
             if self.self_gravity and self.use_celllist:
                 self._plan_tree_buckets(np.asarray(self.state.r))
             self._compile()
-            self.state = self._bootstrap_fn(self.state)
+
+            def _boot():
+                if self.use_block:
+                    self.state, self._blocksched = \
+                        self._bootstrap_fn(self.state)
+                else:
+                    self.state = self._bootstrap_fn(self.state)
+
+            _boot()
             while self.use_celllist and bool(self.state.neib_overflow):
                 self._plan_grid(self.state.r, self.state.h)
                 if self.treespec is not None:
@@ -356,7 +520,7 @@ class MfvMusclSimulation(SimulationBase):
                 self.state = self.state.replace(
                     neib_overflow=jnp.asarray(False))
                 self._compile()
-                self.state = self._bootstrap_fn(self.state)
+                _boot()
         self._init_output_cadence()
 
     def main_loop_step(self):
@@ -370,7 +534,11 @@ class MfvMusclSimulation(SimulationBase):
         self._clamp_dt_to_tend()
         with self.timing.block("MAIN_LOOP"):
             prev = self.state
-            self.state = self._step_fn(prev)
+            prevB = getattr(self, "_blocksched", None)
+            if self.use_block:
+                self.state, self._blocksched = self._step_fn(prev, prevB)
+            else:
+                self.state = self._step_fn(prev)
             # neighbour-capacity overflow: replan the grid (and regrow the
             # tree caps) and redo the step from the pre-step state (mirrors
             # GradhSphSimulation; reference analogue Nneibmax doubling,
@@ -387,7 +555,11 @@ class MfvMusclSimulation(SimulationBase):
                             self._plan_tree_buckets(np.asarray(prev.r),
                                                     grow_caps=True)
                         self._compile()
-                        self.state = self._step_fn(self.state)
+                        if self.use_block:
+                            self.state, self._blocksched = self._step_fn(
+                                self.state, prevB)
+                        else:
+                            self.state = self._step_fn(self.state)
                         if not bool(self.state.neib_overflow):
                             break
                     else:

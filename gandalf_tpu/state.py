@@ -186,6 +186,15 @@ class MfvState:
     dt: Array
     nstep: Array
     neib_overflow: Array
+    # block-timestep bookkeeping (reference MeshlessFVParticle carries the
+    # same level/levelneib/nlast/tlast ints as SphParticle plus the flux
+    # accumulators dQ/dQdt/rdmdt0, Particle.h:414-598)
+    dQdt: Array = None      # (N, nvar) flux rate at own-step start
+    rdmdt0: Array = None    # (N, ndim) committed rdmdt of previous step
+    level: Array = None     # (N,) int32
+    levelneib: Array = None
+    nlast: Array = None
+    tlast: Array = None
     bucket_map: Array = None    # (n_leaves, L) gravity-tree bucket plan
 
     @property
@@ -243,6 +252,9 @@ def make_mfv_state(r: np.ndarray, v: np.ndarray, m: np.ndarray,
         nstep=jnp.asarray(0, dtype=jnp.int64 if
                           jax.config.jax_enable_x64 else jnp.int32),
         neib_overflow=jnp.asarray(False),
+        dQdt=jnp.zeros((N, nvar), dtype=dtype),
+        rdmdt0=jnp.zeros((N, ndim), dtype=dtype),
+        level=iz(), levelneib=iz(), nlast=iz(), tlast=fz(),
     )
 
 
