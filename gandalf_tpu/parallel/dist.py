@@ -64,7 +64,12 @@ def plan_decomposition(spec, r: np.ndarray, n_shards: int,
     The z-slab of shard s covers grid rows [s*nz_loc, (s+1)*nz_loc).
     """
     nz = spec.ncells[0]
-    assert nz % n_shards == 0, (nz, n_shards)
+    if nz % n_shards != 0:
+        raise ValueError(
+            f"grid z rows ({nz}) not divisible by n_shards ({n_shards}); "
+            "build the spec with plan_grid27(..., z_multiple=n_shards) — "
+            "it rounds the row count to a shard multiple for any "
+            "lattice/device pair")
     nz_loc = nz // n_shards
     cell0 = spec.extents[0] / nz
     iz = np.clip(((r[:, 0] - spec.lo[0]) / cell0).astype(np.int64),
@@ -113,6 +118,10 @@ def shard_state(plan: DistPlan, s: SphState) -> SphState:
         v = getattr(s, f.name)
         if f.name == "flags":
             kw[f.name] = jnp.where(pad, v[idx] | FLAG_DEAD, v[idx])
+        elif f.name == "iorig":
+            # pads carry -1 so device-side migration can tell a free
+            # padding slot from a dead-but-tracked (accreted) particle
+            kw[f.name] = jnp.where(pad, -1, v[idx]).astype(v.dtype)
         elif f.name == "r":
             # pads at the domain centre of their own shard row region is
             # unnecessary — any in-domain point works since m=0, dead
@@ -467,7 +476,8 @@ def dist_mfv_density_pass(plan: DistPlan, kern, box, h_fac: float,
         neib_overflow=s.neib_overflow | overflow)
 
 
-def dist_mfv_gradient_pass(plan: DistPlan, kern, box, s, alive: Array):
+def dist_mfv_gradient_pass(plan: DistPlan, kern, box, s, alive: Array,
+                           limiter: str = "scalar"):
     """Sharded MFV least-squares gradients + slope limiter
     (MeshlessFVTree::UpdateGradientMatrices).  Runs INSIDE shard_map."""
     from ..ops.mfv_grid27 import gradients_mfv_grid27
@@ -476,7 +486,8 @@ def dist_mfv_gradient_pass(plan: DistPlan, kern, box, s, alive: Array):
         plan, box, s, alive)
     dense = {"r": d(r_loc), "h": d(s.h), "ndens": d(s.ndens),
              "Wprim": d(s.Wprim), "sound": d(s.sound)}
-    res = gradients_mfv_grid27(kern, loc, dense, fill, ghost_fn=ghost)
+    res = gradients_mfv_grid27(kern, loc, dense, fill, ghost_fn=ghost,
+                               limiter=limiter)
     sane = lambda x, v0: jnp.where(alive, back(x), v0)
     B = back(res.B)
     grad = back(res.grad)
@@ -511,3 +522,117 @@ def dist_mfv_flux_pass(plan: DistPlan, kern, cfg, box, dt, s,
     dQdt = jnp.where(alive[:, None], back(res.dQdt), 0.0)
     rdmdt = jnp.where(alive[:, None], back(res.rdmdt_dot), 0.0)
     return FluxResult(dQdt=dQdt, rdmdt_dot=rdmdt)
+
+
+# ---------------------------------------------------------------------------
+# Device-side particle migration (the reference's Alltoallv,
+# src/Mpi/MpiControl.cpp:1073-1150 SendReceiveParticles)
+# ---------------------------------------------------------------------------
+
+def migrate_particles(plan: DistPlan, s: SphState, extra: tuple = (),
+                      mig_cap: int = None):
+    """Move particles that drifted out of their owner z-slab to the owning
+    shard with ONE lax.all_to_all — no host round-trip.  Runs INSIDE
+    shard_map over axis "dp" on the (cap, ...) local blocks.
+
+    `extra` is a tuple of additional per-particle (cap,) arrays that
+    migrate with the particles (the block schedule's nstep_part/dt_next).
+    Returns (state', extra', overflow): overflow is True when a shard had
+    more than mig_cap out-migrants to one destination or more arrivals
+    than free (dead) slots — callers fall back to the host replan.
+
+    The exchange ships every (cap, ...) leaf of the state as a (S, M, ...)
+    buffer; M = mig_cap is a static shape, so the step never recompiles
+    for migration (the reference sizes its MPI send buffers dynamically,
+    MpiControl.cpp:1090-1110; fixed capacity + overflow flag is the
+    XLA-static equivalent)."""
+    from ..state import FLAG_DEAD
+
+    gs = plan.global_spec
+    nz = gs.ncells[0]
+    nz_loc = plan.local_spec.ncells[0]
+    cap = plan.cap
+    S = plan.n_shards
+    M = mig_cap or max(64, cap // 16)
+    M = min(M, cap)
+
+    me = lax.axis_index("dp")
+    alive = s.alive
+    cell0 = gs.extents[0] / nz
+    iz = jnp.clip(jnp.floor((s.r[:, 0] - gs.lo[0]) / cell0), 0, nz - 1
+                  ).astype(jnp.int32)
+    dest = jnp.clip(iz // nz_loc, 0, S - 1)
+    leave = alive & (dest != me)
+
+    # ---- pack out-migrants into per-destination buckets ------------------
+    sort_key = jnp.where(leave, dest, S)          # stayers sort last
+    order = jnp.argsort(sort_key)                  # leavers grouped by dest
+    cnt = jnp.zeros((S,), jnp.int32).at[dest].add(
+        leave.astype(jnp.int32))
+    off = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                           jnp.cumsum(cnt)[:-1].astype(jnp.int32)])
+    mth = jnp.arange(M, dtype=jnp.int32)
+    gpos = off[:, None] + mth[None, :]
+    valid_send = mth[None, :] < cnt[:, None]       # (S, M)
+    idx_send = jnp.where(valid_send,
+                         order[jnp.clip(gpos, 0, cap - 1)], 0)
+    over_out = jnp.max(cnt) > M
+
+    a2a = lambda x: lax.all_to_all(x, "dp", split_axis=0, concat_axis=0)
+    valid_recv = a2a(valid_send)                   # (S, M) arrivals to me
+    arr_valid = valid_recv.reshape(-1)             # (S*M,)
+
+    # ---- local compaction bookkeeping ------------------------------------
+    # free slots are TRUE padding (iorig < 0) and the leavers' vacated
+    # slots — NOT dead-but-tracked records (accreted particles keep their
+    # slot so snapshots can restore the original particle order)
+    free = leave | (s.iorig < 0)
+    free_ids = jnp.argsort(~free)                  # free slots first
+    n_free = jnp.sum(free.astype(jnp.int32))
+    arr_order = jnp.argsort(~arr_valid)            # valid arrivals first
+    n_arr = jnp.sum(arr_valid.astype(jnp.int32))
+    k = jnp.arange(S * M, dtype=jnp.int32)
+    place_ok = (k < n_arr) & (k < n_free)
+    target = jnp.where(place_ok, free_ids[jnp.clip(k, 0, cap - 1)], cap)
+    over_in = n_arr > n_free
+    overflow = over_out | over_in
+
+    def move(x, local_base=None):
+        if not hasattr(x, "ndim") or x.ndim == 0 or x.shape[0] != cap:
+            return x
+        buf = a2a(x[idx_send])                     # (S, M, ...)
+        arr = buf.reshape((S * M,) + x.shape[1:])[arr_order]
+        base = x if local_base is None else local_base
+        return base.at[target].set(arr, mode="drop")
+
+    kw = {}
+    for f in dataclasses.fields(s):
+        v = getattr(s, f.name)
+        if f.name == "bucket_map":
+            kw[f.name] = v
+            continue
+        if f.name == "flags":
+            # send the PRE-kill flags (arrivals must be alive); leavers
+            # die in the local base before arrivals are placed
+            kw[f.name] = move(v, jnp.where(leave, v | FLAG_DEAD, v))
+            continue
+        if f.name == "iorig":
+            # vacated slots become true padding (-1) so future
+            # migrations and perm_from_iorig treat them as free
+            kw[f.name] = move(v, jnp.where(leave, -1, v).astype(v.dtype))
+            continue
+        kw[f.name] = move(v)
+    out_extra = tuple(move(x) for x in extra)
+    s2 = dataclasses.replace(s, **kw)
+    # arrivals' flags came from the sender pre-kill (alive); slots beyond
+    # n_arr keep their dead padding
+    return s2, out_extra, overflow
+
+
+def perm_from_iorig(plan: DistPlan, iorig_sharded) -> DistPlan:
+    """Rebuild the host-side slot -> original-id permutation from the
+    device state's iorig after device-side migrations moved particles
+    out from under `plan.perm` (called lazily, only when the host
+    actually needs original order: snapshots, restarts, full replans)."""
+    perm = np.asarray(iorig_sharded).astype(np.int64).ravel()
+    return dataclasses.replace(plan, perm=np.where(perm >= 0, perm, -1))

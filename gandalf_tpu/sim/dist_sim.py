@@ -540,10 +540,79 @@ class DistributedGradhSphSimulation(GradhSphSimulation):
         return jax.jit(sm)
 
     def _compile(self):
+        self.n_recompiles = getattr(self, "n_recompiles", 0) + 1
         build = self._build_dist_block if self.use_block \
             else self._build_dist_step
         self._step_fn = build(bootstrap=False)
         self._bootstrap_fn = build(bootstrap=True)
+        self._migrate_fn = None     # plan changed; rebuild lazily
+
+    # -- device-side migration ----------------------------------------------
+    def _build_migrate(self):
+        """Jitted device-side re-decomposition (the reference's Alltoallv
+        particle exchange, src/Mpi/MpiControl.cpp:1073-1150
+        SendReceiveParticles): one lax.all_to_all inside shard_map moves
+        z-slab crossers to their owner shard — no host round-trip."""
+        plan = self.distplan
+        specs = self._dist_specs()
+        with_sched = self.use_block
+
+        def fn(s, *extra):
+            s2, ex2, over = dist.migrate_particles(plan, s, extra)
+            over = lax.pmax(over.astype(jnp.int32), "dp") > 0
+            return (s2,) + tuple(ex2) + (over,)
+
+        ex_specs = (P("dp"), P("dp")) if with_sched else ()
+        in_specs = (specs,) + ex_specs
+        out_specs = (specs,) + ex_specs + (P(),)
+        try:
+            sm = shard_map(fn, mesh=self.mesh, in_specs=in_specs,
+                           out_specs=out_specs, check_vma=False)
+        except TypeError:  # older jax spells it check_rep
+            sm = shard_map(fn, mesh=self.mesh, in_specs=in_specs,
+                           out_specs=out_specs, check_rep=False)
+        return jax.jit(sm)
+
+    def _try_device_migrate(self) -> bool:
+        """Device-side migration at the rebuild cadence.  Falls back to
+        the host replan when (a) self-gravity plans (LET gmap /
+        replicated-tree bucket_map) reference the current slot layout,
+        (b) the fixed migration capacity overflowed, or (c) it is time
+        for the periodic full load re-balance (count-based cap resize,
+        every 8th cadence)."""
+        if self.self_gravity:
+            return False
+        self._mig_round = getattr(self, "_mig_round", 0) + 1
+        if self._mig_round % 8 == 0:
+            return False
+        if self._migrate_fn is None:
+            self._migrate_fn = self._build_migrate()
+        if self.use_block and getattr(self, "_blocksched", None) \
+                is not None:
+            B = self._blocksched
+            s2, nstep_p, dt_n, over = self._migrate_fn(
+                self.state, B.nstep_part, B.dt_next)
+            if bool(over):
+                return False
+            self.state = s2
+            self._blocksched = B._replace(nstep_part=nstep_p,
+                                          dt_next=dt_n)
+        else:
+            s2, over = self._migrate_fn(self.state)
+            if bool(over):
+                return False
+            self.state = s2
+        self._perm_stale = True
+        self._mig_used = getattr(self, "_mig_used", 0) + 1
+        return True
+
+    def _refresh_perm(self):
+        """Rebuild plan.perm from the device iorig after device-side
+        migrations (lazy: only when the host needs original order)."""
+        if getattr(self, "_perm_stale", False):
+            self.distplan = dist.perm_from_iorig(self.distplan,
+                                                 self.state.iorig)
+            self._perm_stale = False
 
     # -- host lifecycle ----------------------------------------------------
     def SetupSimulation(self):
@@ -636,6 +705,7 @@ class DistributedGradhSphSimulation(GradhSphSimulation):
         """Gather, re-decompose (migration + load balance), re-shard."""
         from ..parallel.let import grow_let_caps
 
+        self._refresh_perm()
         sched = getattr(self, "_blocksched", None)
         if self.use_block and sched is not None:
             # per-particle schedule arrays migrate with the particles
@@ -667,7 +737,8 @@ class DistributedGradhSphSimulation(GradhSphSimulation):
         ntb = max(self.params.intparams["ntreebuildstep"], 1)
         if self.Nsteps > 0 and self.Nsteps % ntb == 0:
             with self.timing.block("DECOMPOSE"):
-                self._replan()
+                if not self._try_device_migrate():
+                    self._replan()
         with self.timing.block("MAIN_LOOP"):
             prev = self.state
             prev_sinks = self.sinks
@@ -685,6 +756,7 @@ class DistributedGradhSphSimulation(GradhSphSimulation):
         self.t = float(self.state.t)
 
     def _state_to_host(self):
+        self._refresh_perm()
         host = dist.unshard_state(self.distplan, self.state, self._n_orig)
         out = {k: np.asarray(getattr(host, k))
                for k in ("r", "v", "a", "m", "h", "rho", "u", "dudt",

@@ -141,6 +141,114 @@ class TestDistributedHydro:
         assert sim.t > 0
 
 
+class TestDeviceMigration:
+    """Device-side particle migration (the reference's Alltoallv particle
+    exchange, src/Mpi/MpiControl.cpp:1073-1150 SendReceiveParticles): one
+    lax.all_to_all inside shard_map moves z-slab crossers to their owner
+    shard with no host round-trip."""
+
+    def test_roundtrip_nmpi3_16cube(self):
+        """Forced cross-slab drift on a 16^3 box over 3 shards: after the
+        jitted migration every alive particle sits on its owner shard and
+        the particle set (keyed by iorig) is bit-identical."""
+        import jax.numpy as jnp
+
+        from gandalf_tpu.parallel import dist as dist_mod
+
+        sim = _run(3, grav=0, n_steps=1)
+        plan = sim.distplan
+        S = plan.n_shards
+        gs = plan.global_spec
+        rng = np.random.default_rng(3)
+        r = np.asarray(sim.state.r).copy()
+        alive = np.asarray(sim.state.alive)
+        pick = rng.permutation(np.nonzero(alive)[0])[:200]
+        r[pick, 0] = np.mod(r[pick, 0]
+                            + rng.uniform(0.1, 0.9, len(pick)), 1.0)
+        st = sim.state.replace(r=jnp.asarray(r))
+        fn = sim._build_migrate()
+        st2, over = fn(st)
+        assert not bool(over)
+        alive2 = np.asarray(st2.alive)
+        assert alive2.sum() == alive.sum()
+        # ownership: every alive slot's z row falls in its shard's slab
+        nz = gs.ncells[0]
+        nz_loc = nz // S
+        cell0 = gs.extents[0] / nz
+        r2 = np.asarray(st2.r)
+        iz = np.clip(((r2[:, 0] - gs.lo[0]) / cell0).astype(np.int64),
+                     0, nz - 1)
+        slot_shard = np.repeat(np.arange(S), plan.cap)
+        np.testing.assert_array_equal((iz // nz_loc)[alive2],
+                                      slot_shard[alive2])
+        # data integrity: sort both sides by iorig, fields bit-identical
+        io1 = np.asarray(st.iorig)[alive]
+        io2 = np.asarray(st2.iorig)[alive2]
+        assert len(np.unique(io2)) == len(io2)
+        np.testing.assert_array_equal(np.sort(io1), np.sort(io2))
+        o1, o2 = np.argsort(io1), np.argsort(io2)
+        for k in ("r", "v", "m", "h", "rho", "u"):
+            a = np.asarray(getattr(st, k))[alive][o1]
+            b = np.asarray(getattr(st2, k))[alive2][o2]
+            np.testing.assert_array_equal(a, b, err_msg=k)
+        # vacated slots became true padding
+        assert (np.asarray(st2.iorig)[~alive2] < 0).all()
+
+    def test_overflow_flag_on_tiny_capacity(self):
+        """mig_cap=1 with many movers to one destination must raise the
+        overflow flag (the caller then falls back to the host replan)."""
+        from functools import partial as _part
+
+        import jax.numpy as jnp
+        from jax import lax
+        from jax.sharding import PartitionSpec as P
+
+        from gandalf_tpu.parallel import dist as dist_mod
+
+        try:
+            from jax import shard_map
+        except ImportError:
+            from jax.experimental.shard_map import shard_map
+
+        sim = _run(3, grav=0, n_steps=1)
+        plan = sim.distplan
+        rng = np.random.default_rng(5)
+        r = np.asarray(sim.state.r).copy()
+        alive = np.asarray(sim.state.alive)
+        pick = rng.permutation(np.nonzero(alive)[0])[:64]
+        r[pick, 0] = np.mod(r[pick, 0] + 0.5, 1.0)
+        st = sim.state.replace(r=jnp.asarray(r))
+
+        def fn(s):
+            _, _, over = dist_mod.migrate_particles(plan, s, (),
+                                                    mig_cap=1)
+            return lax.pmax(over.astype(jnp.int32), "dp") > 0
+
+        specs = sim._dist_specs()
+        try:
+            sm = shard_map(fn, mesh=sim.mesh, in_specs=(specs,),
+                           out_specs=P(), check_vma=False)
+        except TypeError:
+            sm = shard_map(fn, mesh=sim.mesh, in_specs=(specs,),
+                           out_specs=P(), check_rep=False)
+        assert bool(jax.jit(sm)(st))
+
+    def test_cadence_uses_device_path_and_matches(self):
+        """6 steps with ntreebuildstep=2: the DECOMPOSE cadence takes the
+        device-migration path (no host replan) and the fields still match
+        the single-chip run to roundoff; snapshots after migration restore
+        the original particle order via the device iorig."""
+        over = dict(ntreebuildstep=2)
+        s1 = _sorted_state(_run(0, grav=0, n_steps=6, **over))
+        sim = _run(3, grav=0, n_steps=6, **over)
+        assert getattr(sim, "_mig_used", 0) >= 2, \
+            "device migration path was not taken"
+        s3 = _sorted_state(sim)
+        for k in ("r", "v", "rho", "u", "h"):
+            np.testing.assert_allclose(s3[k], s1[k], rtol=2e-11,
+                                       atol=1e-12, err_msg=k)
+
+
 class TestDistributedBlock:
     """Hierarchical block timesteps in distributed mode (the reference
     runs ComputeBlockTimesteps under MPI as a matter of course,
