@@ -289,18 +289,71 @@ def compute_gradients(kern: SmoothingKernel, ndim: int,
                       r: Array, h: Array, ndens: Array, hfactor: Array,
                       Wprim: Array, sound: Array,
                       dr: Array, W_j: Array, sound_j: Array,
-                      v_j: Array, mask: Optional[Array]) -> GradientResult:
+                      v_j: Array, mask: Optional[Array],
+                      limiter: str = "scalar") -> GradientResult:
     """B-matrix least-squares gradients + cell limiter
     (MfvCommon::ComputeGradients) over ONE dense neighbour view.
 
     dr:   (N, K, ndim) displacements r_j - r_i (min-imaged),
     W_j:  (N, K, nvar) neighbour primitive vectors,
     v_j:  (N, K, ndim) neighbour velocities (for vsig).
+
+    `limiter` selects the CELL alpha: "scalar"/"gizmo"/"null"/
+    "zeroslope" use the ScalarLimiter alpha from gradient_finalize (the
+    flux pass decides how to apply it); "tvdscalar"/"springel2009" run
+    the per-neighbour second sweep (SlopeLimiter.h:127-342).
     """
     acc = gradient_init(h.shape[0], ndim, h.dtype)
     acc = gradient_accumulate(kern, ndim, acc, h, ndens, Wprim, sound,
                               dr, W_j, sound_j, v_j, mask)
-    return gradient_finalize(ndim, acc, h, Wprim, sound)
+    res = gradient_finalize(ndim, acc, h, Wprim, sound)
+    if limiter in ("tvdscalar", "springel2009"):
+        Wmax = jnp.maximum(acc.Wmax, Wprim)
+        Wmin = jnp.minimum(acc.Wmin, Wprim)
+        alpha = limiter_alpha_accumulate(
+            limiter, kern, ndim, jnp.ones_like(res.alpha_slope), h,
+            Wprim, res.grad, Wmax - Wprim, Wmin - Wprim, dr, W_j, mask)
+        res = res._replace(alpha_slope=alpha)
+    return res
+
+
+def limiter_alpha_accumulate(limiter: str, kern: SmoothingKernel, ndim: int,
+                             alpha: Array, h: Array, Wprim: Array,
+                             grad: Array, dWmax: Array, dWmin: Array,
+                             dr: Array, W_j: Array,
+                             mask: Optional[Array]) -> Array:
+    """Second neighbour sweep for the per-neighbour cell limiters
+    (TVDScalarLimiter::CellLimiter, SlopeLimiter.h:146-171;
+    Springel2009Limiter::CellLimiter, SlopeLimiter.h:261-316): refines
+    the per-variable alpha as a running min, so the sweep chunks over
+    dense shift/neighbour blocks exactly like gradient_accumulate.
+
+    `grad` is the FINALISED gradient (the reference calls CellLimiter
+    after the least-squares inversion); `dWmax`/`dWmin` are the SIGNED
+    neighbour extrema (Wmax - Wi >= 0, Wmin - Wi <= 0; springel2009
+    only).  The 0.51 edge factor is the reference's limit_at_edge
+    default.  Neighbours are restricted to the kernel-range gather set,
+    matching the reference's neighbour lists (a box-wide dense view
+    would drive alpha to 0)."""
+    drsqd = jnp.sum(dr * dr, axis=-1)
+    valid = drsqd > 0.0
+    if mask is not None:
+        valid = valid & mask
+    near = valid & (drsqd <= (kern.kernrange * h[:, None]) ** 2)
+    dW = 0.51 * jnp.einsum("nvi,nki->nkv", grad, dr)
+    tiny = 1e-300
+    live = jnp.abs(dW) > tiny
+    dW_safe = jnp.where(live, dW, 1.0)
+    if limiter == "tvdscalar":
+        dWcell = W_j - Wprim[:, None, :]
+        ratio = jnp.clip(dWcell / dW_safe, 0.0, 1.0)
+    elif limiter == "springel2009":
+        ratio = jnp.where(dW > 0.0, dWmax[:, None, :] / dW_safe,
+                          dWmin[:, None, :] / dW_safe)
+    else:
+        raise ValueError(f"unknown per-neighbour limiter '{limiter}'")
+    ratio = jnp.where(near[..., None] & live, ratio, 1.0)
+    return jnp.minimum(alpha, jnp.min(ratio, axis=1))
 
 
 # ---------------------------------------------------------------------------
@@ -688,9 +741,12 @@ def compute_godunov_fluxes(kern: SmoothingKernel, cfg: MfvConfig, ndim: int,
         # first-order: no reconstruction (ZeroSlopeLimiter)
         gradW_i = jnp.zeros_like(grad)[:, None]
         dW_i = jnp.zeros_like(Wprim)[:, None] * jnp.ones_like(Amag)[..., None]
-    elif cfg.slope_limiter in ("null", "scalar"):
+    elif cfg.slope_limiter in ("null", "scalar", "tvdscalar",
+                               "springel2009"):
         # cell-limited plain extrapolation, no pairwise Gizmo clamp
-        # (NullLimiter uses alpha = 1; ScalarLimiter the cell alphas)
+        # (NullLimiter uses alpha = 1; Scalar/TVDScalar/Springel2009 the
+        # cell alphas via the base ComputeLimitedSlopes,
+        # SlopeLimiter.h:60-69)
         alph = jnp.ones_like(alpha_slope) if cfg.slope_limiter == "null"             else alpha_slope
         gradW_i = (alph[..., None] * grad)[:, None]
         dW_i = jnp.einsum("nkvi,nki->nkv", gradW_i
@@ -710,7 +766,8 @@ def compute_godunov_fluxes(kern: SmoothingKernel, cfg: MfvConfig, ndim: int,
     if cfg.slope_limiter == "zeroslope":
         gradW_j = jnp.zeros_like(nb["grad"])
         dW_j = jnp.zeros_like(nb["Wprim"])
-    elif cfg.slope_limiter in ("null", "scalar"):
+    elif cfg.slope_limiter in ("null", "scalar", "tvdscalar",
+                               "springel2009"):
         alph = jnp.ones_like(nb["alpha_slope"])             if cfg.slope_limiter == "null" else nb["alpha_slope"]
         gradW_j = alph[..., None] * nb["grad"]
         dW_j = jnp.einsum("nkvi,nki->nkv", gradW_j, -half_dr)

@@ -192,10 +192,13 @@ class MfvGridGradients(NamedTuple):
 def gradients_mfv_grid27(kern: SmoothingKernel, spec: Grid27Spec,
                          dense: dict, fill: Array,
                          slab_chunk: int = None,
-                         ghost_fn=None) -> MfvGridGradients:
+                         ghost_fn=None,
+                         limiter: str = "scalar") -> MfvGridGradients:
     """Least-squares gradient matrices + cell limiter over the grid
     (MeshlessFVTree::UpdateGradientMatrices).  dense needs r, h, ndens,
-    Wprim (*nc, K, nvar), sound."""
+    Wprim (*nc, K, nvar), sound.  `limiter` = "tvdscalar"/"springel2009"
+    adds the per-neighbour alpha sweep (SlopeLimiter.h:127-342) as a
+    second shift pass once the gradients are known."""
     nd = spec.ndim
     nvar = nd + 2
     ghost = ghost_fn or add_ghost_layers
@@ -268,6 +271,53 @@ def gradients_mfv_grid27(kern: SmoothingKernel, spec: Grid27Spec,
     snd_f = dense["sound"].reshape(-1)
     res = mfv_ops.gradient_finalize(nd, acc, h_f, W_f, snd_f)
     shp = spec.ncells + (K,)
+
+    if limiter in ("tvdscalar", "springel2009"):
+        # second shift sweep with the finalised gradients: per-neighbour
+        # alpha min (the reference iterates the neighbour list again in
+        # CellLimiter once ComputeGradients has inverted E)
+        grad_d = res.grad.reshape(shp + (nvar, nd))
+        Wmax = jnp.maximum(acc.Wmax, W_f)
+        Wmin = jnp.minimum(acc.Wmin, W_f)
+        dWmax_d = (Wmax - W_f).reshape(shp + (nvar,))
+        dWmin_d = (Wmin - W_f).reshape(shp + (nvar,))
+
+        def alpha_slab(s):
+            c = c0
+            rp, pkp, fp = slab_view(rp_full, s, c), \
+                slab_view(pkp_full, s, c), slab_view(fp_full, s, c)
+            sub = dataclasses.replace(spec, ncells=(c,) + spec.ncells[1:])
+            r_t = centre_view(dense["r"], s, c)
+            h_t = jnp.maximum(centre_view(dense["h"], s, c), 1e-30)
+            W_t = centre_view(dense["Wprim"], s, c)
+            g_t = centre_view(grad_d, s, c)
+            dmx_t = centre_view(dWmax_d, s, c)
+            dmn_t = centre_view(dWmin_d, s, c)
+            flat = lambda x: x.reshape((-1,) + x.shape[nd + 1:])
+            h_f2, Wp_f2 = flat(h_t), flat(W_t)
+            g_f2 = flat(g_t)
+            dmx_f2, dmn_f2 = flat(dmx_t), flat(dmn_t)
+            alpha = jnp.ones((h_f2.shape[0], nvar), h_f2.dtype)
+            for sh in shifts:
+                r_nb = _shift_view(sub, rp, sh)
+                pk_nb = _shift_view(sub, pkp, sh)
+                f_nb = _shift_view(sub, fp, sh)
+                dr = r_nb[..., None, :, :] - r_t[..., :, None, :]
+                drf = dr.reshape(-1, K, nd)
+                Wj = jnp.broadcast_to(pk_nb[..., None, :, :nvar],
+                                      dr.shape[:-1] + (nvar,)).reshape(
+                                          -1, K, nvar)
+                maskf = jnp.broadcast_to(f_nb[..., None, :],
+                                         dr.shape[:-1]).reshape(-1, K)
+                alpha = mfv_ops.limiter_alpha_accumulate(
+                    limiter, kern, nd, alpha, h_f2, Wp_f2, g_f2,
+                    dmx_f2, dmn_f2, drf, Wj, maskf)
+            return alpha
+
+        alpha = jax.lax.map(alpha_slab,
+                            jnp.arange(n_slabs, dtype=jnp.int32))
+        res = res._replace(alpha_slope=unpad(alpha))
+
     return MfvGridGradients(
         B=res.B.reshape(shp + (nd, nd)),
         grad=res.grad.reshape(shp + (nvar, nd)),

@@ -109,7 +109,9 @@ class DistributedMfvSimulation(MfvMusclSimulation):
                                               h_conv, eos, s, alive)
 
         def grads(s, alive):
-            return dist.dist_mfv_gradient_pass(plan, kern, box, s, alive)
+            return dist.dist_mfv_gradient_pass(
+                plan, kern, box, s, alive,
+                limiter=self.mfv_cfg.slope_limiter)
 
         def local_fn(s: MfvState) -> MfvState:
             alive = s.alive

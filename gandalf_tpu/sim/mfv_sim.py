@@ -50,12 +50,21 @@ class MfvMusclSimulation(SimulationBase):
         self.box = DomainBox.from_params(p)
         if p.stringparams["riemann_solver"] not in ("hllc", "exact"):
             raise ValueError("riemann_solver must be hllc or exact")
+        # limiter aliases as in the reference factory
+        # (MeshlessFVSimulation.cpp:87-110)
+        limiter = {"tess2011": "tvdscalar",
+                   "balsara2004": "scalar"}.get(
+            p.stringparams["slope_limiter"],
+            p.stringparams["slope_limiter"])
+        if limiter not in ("gizmo", "null", "zeroslope", "scalar",
+                           "tvdscalar", "springel2009"):
+            raise ValueError(f"unrecognised slope_limiter '{limiter}'")
         self.mfv_cfg = mfv_ops.MfvConfig(
             gamma=p.floatparams["gamma_eos"],
             zero_mass_flux=bool(p.intparams["zero_mass_flux"]),
             static_particles=bool(p.intparams["static_particles"]),
             riemann=p.stringparams["riemann_solver"],
-            slope_limiter=p.stringparams["slope_limiter"],
+            slope_limiter=limiter,
             time_scheme=self.time_scheme)
         self.h_fac = p.floatparams["h_fac"]
         self.h_converge = p.floatparams["h_converge"]
@@ -138,7 +147,8 @@ class MfvMusclSimulation(SimulationBase):
             kern, s.ndim, s.r, s.h, s.ndens, s.hfactor, W, s.sound,
             dr, jnp.broadcast_to(W_ext[None], (s.N,) + W_ext.shape),
             jnp.broadcast_to(jnp.tile(s.sound, (n_img,))[None], (s.N, v_ext.shape[0])),
-            jnp.broadcast_to(v_ext[None], (s.N,) + v_ext.shape), None)
+            jnp.broadcast_to(v_ext[None], (s.N,) + v_ext.shape), None,
+            limiter=self.mfv_cfg.slope_limiter)
         return s.replace(B=res.B, grad=res.grad, alpha_slope=res.alpha_slope,
                          vsig_max=res.vsig_max, bad_grad=res.bad)
 
@@ -230,7 +240,8 @@ class MfvMusclSimulation(SimulationBase):
         spec, b, fill, d, back = self._grid_binning(s, s.r)
         dense = {"r": d(s.r), "h": d(s.h), "ndens": d(s.ndens),
                  "Wprim": d(s.Wprim), "sound": d(s.sound)}
-        res = gradients_mfv_grid27(self.kern, spec, dense, fill)
+        res = gradients_mfv_grid27(self.kern, spec, dense, fill,
+                                   limiter=self.mfv_cfg.slope_limiter)
         return s.replace(B=back(res.B), grad=back(res.grad),
                          alpha_slope=back(res.alpha_slope),
                          vsig_max=back(res.vsig_max),

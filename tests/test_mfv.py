@@ -140,10 +140,14 @@ class TestExactRiemannSolver:
         assert l1 < 0.04, f"exact-solver L1(vx) = {l1}"
 
 
-@pytest.mark.parametrize("lim", ["scalar", "null", "zeroslope"])
+@pytest.mark.parametrize("lim", ["scalar", "null", "zeroslope",
+                                 "tvdscalar", "springel2009",
+                                 "tess2011", "balsara2004"])
 def test_slope_limiter_options(lim):
-    """slope_limiter = scalar/null/zeroslope variants stay finite on the
-    Sod tube (reference SlopeLimiter template dispatch)."""
+    """slope_limiter = scalar/null/zeroslope/tvdscalar/springel2009 (and
+    the tess2011/balsara2004 aliases) stay finite on the Sod tube
+    (reference SlopeLimiter template dispatch,
+    MeshlessFVSimulation.cpp:87-110)."""
     import numpy as np
 
     p = make_mfv_adsod_params()
@@ -222,3 +226,87 @@ def test_mfv_mirror_wall():
     assert rho[near].mean() > 1.5 * rho[far].mean()
     assert abs(v[near].mean()) < 0.5    # decelerated from v = 1
     assert np.isfinite(v).all()
+
+
+class TestPerNeighbourLimiters:
+    """Unit gates for the TVD-scalar and Springel (2009) cell limiters
+    (SlopeLimiter.h:127-171, 261-316): exactness on linear fields, and
+    monotonicity (alpha in [0, 1], limited at discontinuities)."""
+
+    def _fields(self, W_fn):
+        import jax.numpy as jnp
+
+        from gandalf_tpu.kernels.smoothing import kernel_factory
+
+        kern = kernel_factory("m4", 1)
+        N = 12
+        x = np.arange(N, dtype=np.float64)
+        W = np.stack([W_fn(x), np.ones(N), np.ones(N)], -1)  # vx, rho, p
+        h = np.full(N, 1.5)
+        dr = (x[None, :] - x[:, None])[..., None]            # (N, N, 1)
+        W_j = np.broadcast_to(W[None], (N, N, 3))
+        # exact least-squares gradient on the kernel-range set
+        grad = np.zeros((N, 3, 1))
+        for i in range(N):
+            near = (np.abs(x - x[i]) <= kern.kernrange * h[i]) \
+                & (x != x[i])
+            A = np.sum((x[near] - x[i]) ** 2)
+            for v in range(3):
+                grad[i, v, 0] = np.sum(
+                    (x[near] - x[i]) * (W[near, v] - W[i, v])) / A
+        return kern, jnp.asarray(h), jnp.asarray(W), jnp.asarray(grad), \
+            jnp.asarray(dr), jnp.asarray(W_j)
+
+    @pytest.mark.parametrize("lim", ["tvdscalar", "springel2009"])
+    def test_linear_field_unlimited(self, lim):
+        """A linear field reconstructs exactly: alpha must stay 1."""
+        import jax.numpy as jnp
+
+        from gandalf_tpu.ops.mfv import limiter_alpha_accumulate
+
+        kern, h, W, grad, dr, W_j = self._fields(lambda x: 0.25 * x)
+        dWmax = jnp.max(W_j, 1) - W
+        dWmin = jnp.min(W_j, 1) - W
+        alpha = limiter_alpha_accumulate(
+            lim, kern, 1, jnp.ones((W.shape[0], 3)), h, W, grad,
+            dWmax, dWmin, dr, W_j, None)
+        # interior particles (full stencils) must be unlimited
+        np.testing.assert_allclose(np.asarray(alpha)[3:-3], 1.0,
+                                   atol=1e-12)
+
+    @pytest.mark.parametrize("lim", ["tvdscalar", "springel2009"])
+    def test_step_is_limited(self, lim):
+        """A step function must be limited near the jump, alpha in
+        [0, 1] everywhere."""
+        import jax.numpy as jnp
+
+        from gandalf_tpu.ops.mfv import limiter_alpha_accumulate
+
+        kern, h, W, grad, dr, W_j = self._fields(
+            lambda x: np.where(x < 6, 0.0, 1.0))
+        dWmax = jnp.max(W_j, 1) - W
+        dWmin = jnp.min(W_j, 1) - W
+        alpha = np.asarray(limiter_alpha_accumulate(
+            lim, kern, 1, jnp.ones((W.shape[0], 3)), h, W, grad,
+            dWmax, dWmin, dr, W_j, None))
+        assert (alpha >= 0.0).all() and (alpha <= 1.0 + 1e-12).all()
+        # the vx channel is limited for the particles flanking the jump
+        assert alpha[4:8, 0].min() < 0.999
+        # the constant channels stay unlimited
+        np.testing.assert_allclose(alpha[:, 1:], 1.0, atol=1e-12)
+
+    def test_alias_normalisation(self):
+        """tess2011 -> tvdscalar, balsara2004 -> scalar
+        (MeshlessFVSimulation.cpp:95-101)."""
+        p = make_mfv_adsod_params()
+        p.set("run_id", "")
+        p.set("slope_limiter", "tess2011")
+        sim = SimulationBase.factory(p)
+        sim.process_parameters()
+        assert sim.mfv_cfg.slope_limiter == "tvdscalar"
+        p2 = make_mfv_adsod_params()
+        p2.set("run_id", "")
+        p2.set("slope_limiter", "balsara2004")
+        sim2 = SimulationBase.factory(p2)
+        sim2.process_parameters()
+        assert sim2.mfv_cfg.slope_limiter == "scalar"
