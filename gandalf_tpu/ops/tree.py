@@ -91,13 +91,20 @@ def plan_tree(N: int, leaf_size: int = 32, frontier: int = None,
 
 def grow_tree_caps(spec: TreeSpec, factor: float = 1.6) -> TreeSpec:
     """Host-side cap growth after an overflow (the analogue of the
-    reference's Nneibmax doubling, GradhSphTree.cpp:172-185)."""
+    reference's Nneibmax doubling, GradhSphTree.cpp:172-185).  Growth is
+    monotone: the n_leaves bound must never SHRINK a cap below its
+    current value (a shrink here rebounds at the next measured replan
+    and thrashes recompiles)."""
     return dataclasses.replace(
         spec,
-        near_cap=min(int(spec.near_cap * factor) + 8, spec.n_leaves),
-        frontier=min(int(spec.frontier * factor) + 16, 2 * spec.n_leaves),
-        support_cap=min(int(spec.support_cap * factor) + 8,
-                        spec.n_leaves))
+        near_cap=max(spec.near_cap,
+                     min(int(spec.near_cap * factor) + 8, spec.n_leaves)),
+        frontier=max(spec.frontier,
+                     min(int(spec.frontier * factor) + 16,
+                         2 * spec.n_leaves)),
+        support_cap=max(spec.support_cap,
+                        min(int(spec.support_cap * factor) + 8,
+                            spec.n_leaves)))
 
 
 def morton_codes(r: Array, lo: Array, extent: Array, bits: int = 10) -> Array:
