@@ -444,11 +444,28 @@ class TestDistributedEwald:
         assert sim8.letplan is not None, \
             "Ewald gravity fell back to the replicated tree"
         s8 = _sorted_state(sim8)
-        gp1, gp8 = s1["gpot"], s8["gpot"]
-        err = np.abs(gp8 - gp1) / np.maximum(np.abs(gp1), 1e-30)
-        assert np.median(err) < 2e-3, f"median {np.median(err)}"
-        assert np.percentile(err, 99) < 3e-2, \
-            f"p99 {np.percentile(err, 99)}"
+        # Accelerations are the well-conditioned parity check: truncation
+        # noise relative to the full force scale.
+        a1 = np.sqrt((s1["a"] ** 2).sum(-1))
+        a8 = np.sqrt((s8["a"] ** 2).sum(-1))
+        aerr = np.sqrt(((s8["a"] - s1["a"]) ** 2).sum(-1)) \
+            / np.maximum(a1, a1.mean())
+        assert np.median(aerr) < 1e-3, f"median accel {np.median(aerr)}"
+        assert np.percentile(aerr, 99) < 1e-2, \
+            f"p99 accel {np.percentile(aerr, 99)}"
+        # gpot in a NEUTRAL periodic box nearly cancels (the Ewald
+        # correction subtracts the homogeneous background): median
+        # |gpot| here is ~0.015 while its Newtonian component scale is
+        # ~2.8 = M_tot/L x the lattice sum, so a RELATIVE gpot gate is
+        # ill-conditioned (truncation noise ~5e-4 absolute reads as
+        # several %).  Gate the ABSOLUTE difference against the M/L
+        # scale (G = 1, M_tot = 1, L = 1 here) instead.
+        dgp = np.abs(s8["gpot"] - s1["gpot"])
+        m_over_l = s1["m"].sum() / 1.0
+        assert np.median(dgp) < 1e-3 * m_over_l, \
+            f"median |dgpot| {np.median(dgp)}"
+        assert np.percentile(dgp, 99) < 1e-2 * m_over_l, \
+            f"p99 |dgpot| {np.percentile(dgp, 99)}"
 
 
 class TestDistributedMfv:
