@@ -83,8 +83,12 @@ def drag_twofluid(kern: SmoothingKernel, law: DragLaw, box: DomainBox,
     non-drag (hydro + gravity) acceleration, `a0` the start-of-step
     acceleration (the kick-start velocity is v - dt/2 a0,
     Dust.cpp:41-55); dt = 0 yields the instantaneous drag force (used
-    at bootstrap)."""
+    at bootstrap).  `dt` may be a scalar or per-particle (N,) — the
+    reference passes the ACTIVE particle's own drag_timestep
+    (Dust.cpp:216-218,561) and uses it on both sides of the pair
+    (get_velocity_difference, Dust.cpp:52-55)."""
     N, ndim = r.shape
+    dt = jnp.broadcast_to(jnp.asarray(dt, r.dtype), (N,))[:, None]
     is_gas = ptype == GAS_TYPE
     is_dust = ptype == DUST_TYPE
     if alive is not None:
@@ -107,9 +111,10 @@ def drag_twofluid(kern: SmoothingKernel, law: DragLaw, box: DomainBox,
     wraw = jnp.where(pair, wraw, 0.0)
     wkern = wraw * m[None, :] / jnp.maximum(rho[None, :], 1e-30)
 
-    # velocity difference at the start of the kick (Dust.cpp:52-55)
-    v_kick = v - 0.5 * dt * a0
-    dv = v_kick[:, None, :] - v_kick[None, :, :]
+    # velocity difference at the start of the kick, with the TARGET
+    # row's dt on both sides (get_velocity_difference, Dust.cpp:52-55)
+    da0 = a0[:, None, :] - a0[None, :, :]
+    dv = v[:, None, :] - v[None, :, :] - 0.5 * dt[..., None] * da0
     da = a[:, None, :] - a[None, :, :]
     dvdr = jnp.sum(dv * unit, axis=-1)
     dadr = jnp.sum(da * unit, axis=-1)
@@ -181,8 +186,11 @@ def drag_twofluid_view(kern: SmoothingKernel, law: DragLaw, dt: Array,
     frame is negated to the reference's r_i - r_j convention here).
     nb needs v/a/m/h/rho/sound/ptype; cid are global candidate indices
     (for the dust->gas energy deposit scatter).  Returns per-target
-    DragResult; dudt has length dudt_size (the global N)."""
+    DragResult; dudt has length dudt_size (the global N).  `dt` may be
+    a scalar or per-target (N,) (the reference's per-active-particle
+    drag_timestep, Dust.cpp:216-218)."""
     N, ndim = v.shape
+    dt = jnp.broadcast_to(jnp.asarray(dt, v.dtype), (N,))[:, None]
     is_gas_i = ptype == GAS_TYPE
     is_dust_i = ptype == DUST_TYPE
     is_gas_j = nb["ptype"] == GAS_TYPE
@@ -202,9 +210,9 @@ def drag_twofluid_view(kern: SmoothingKernel, law: DragLaw, dt: Array,
     wraw = jnp.where(pair, wraw, 0.0)
     wkern = wraw * nb["m"] / jnp.maximum(nb["rho"], 1e-30)
 
-    v_kick = v - 0.5 * dt * a0
-    v_kick_j = nb["v"] - 0.5 * dt * nb["a0"]
-    dv = v_kick[:, None, :] - v_kick_j
+    # target row's dt on both sides (get_velocity_difference)
+    da0 = a0[:, None, :] - nb["a0"]
+    dv = v[:, None, :] - nb["v"] - 0.5 * dt[..., None] * da0
     da = a[:, None, :] - nb["a"]
     dvdr = jnp.sum(dv * unit, axis=-1)
     dadr = jnp.sum(da * unit, axis=-1)
@@ -307,15 +315,21 @@ def drag_pass_dense(kern: SmoothingKernel, law: DragLaw, spec, dt,
     K = spec.k_cell
     shifts = g._shifts(nd, spec.qz)
 
+    # dt may be scalar or per-particle (N,): the reference uses the
+    # ACTIVE particle's own drag_timestep on both sides of the pair
+    # (Dust.cpp:52-55,216-218), so v/a0 travel raw and the kick-start
+    # difference forms per target row
+    dt_r = jnp.broadcast_to(jnp.asarray(dt, s.r.dtype), (s.N,))
     r_d = d(s.r)
-    vk_d = d(s.v - 0.5 * dt * s.a0)
+    v_d = d(s.v)
     a_d = d(s.a)
+    a0_d = d(s.a0)
     gasf = d((s.ptype == GAS_TYPE).astype(s.r.dtype))
     dustf = d((s.ptype == DUST_TYPE).astype(s.r.dtype))
     # packed scalar channels: [m, h, rho, sound, gasf, dustf]
     pk = jnp.stack([d(s.m), d(s.h), d(s.rho), d(s.sound), gasf, dustf],
                    axis=-1)
-    vec = jnp.concatenate([vk_d, a_d], axis=-1)
+    vec = jnp.concatenate([v_d, a_d, a0_d], axis=-1)
 
     rp = ghost(spec, r_d, shift_vec=True)
     vecp = ghost(spec, vec)
@@ -325,8 +339,10 @@ def drag_pass_dense(kern: SmoothingKernel, law: DragLaw, spec, dt,
     flat = lambda x: x.reshape((-1,) + x.shape[nd + 1:])
     Np = int(np_prod(spec.ncells)) * K
     r_f = flat(r_d)
-    vk_f = flat(vk_d)
+    v_f = flat(v_d)
     a_f = flat(a_d)
+    a0_f = flat(a0_d)
+    dt_f = flat(d(dt_r))[:, None]                  # (Np, 1) target-row dt
     h_f = flat(pk[..., 1])
     rho_f = flat(pk[..., 2])
     snd_f = flat(pk[..., 3])
@@ -373,13 +389,15 @@ def drag_pass_dense(kern: SmoothingKernel, law: DragLaw, spec, dt,
     norm = jnp.zeros((Np,), r_f.dtype)
     sound_d = jnp.zeros((Np,), r_f.dtype)
     divv_d = jnp.zeros((Np,), r_f.dtype)
-    dt_safe = jnp.maximum(dt, 1e-30)
+    dt_safe = jnp.maximum(dt_f, 1e-30)
     for sh in shifts:
         pkb, pair, unit, wraw = pair_geom(sh)
         vec_nb = bcv(g._shift_view(spec, vecp, sh))
         wkern = wraw * pkb[..., 0] / jnp.maximum(pkb[..., 2], 1e-30)
-        dv = vk_f[:, None, :] - vec_nb[..., :nd]
-        da = a_f[:, None, :] - vec_nb[..., nd:]
+        da0 = a0_f[:, None, :] - vec_nb[..., 2 * nd:]
+        dv = (v_f[:, None, :] - vec_nb[..., :nd]
+              - 0.5 * dt_f[..., None] * da0)
+        da = a_f[:, None, :] - vec_nb[..., nd:2 * nd]
         dvdr = jnp.sum(dv * unit, axis=-1)
         dadr = jnp.sum(da * unit, axis=-1)
         grho = jnp.where(is_gas_t[:, None], rho_f[:, None], pkb[..., 2])
@@ -390,16 +408,16 @@ def drag_pass_dense(kern: SmoothingKernel, law: DragLaw, spec, dt,
             drho = jnp.zeros_like(drho)
         t_s = jnp.maximum(law.t_stop(grho, drho, gsound), 1e-30)
         rho_t = grho + drho
-        tau = dt / t_s
+        tau = dt_f / t_s
         xi_big = (1.0 - jnp.exp(-tau)) / (dt_safe * rho_t)
-        lam_big = (dt + t_s) * xi_big - 1.0 / rho_t
+        lam_big = (dt_f + t_s) * xi_big - 1.0 / rho_t
         xi_small0 = (1.0 - 0.5 * tau * (1.0 - tau / 3.0)) / rho_t
         lam_small = (1.0 + tau) * xi_small0 - 1.0 / rho_t
         xi_small = xi_small0 / t_s
         big = tau > 1e-3
         Xi = jnp.where(big, xi_big, xi_small)
         Lam = jnp.where(big, lam_big, lam_small)
-        S = (dvdr + dt * dadr) * Xi - dadr * Lam
+        S = (dvdr + dt_f * dadr) * Xi - dadr * Lam
         contrib = jnp.where(pair, nd * pkb[..., 2] * S * wkern, 0.0)
         a_drag = a_drag - jnp.sum(contrib[..., None] * unit, axis=1)
         norm = norm + jnp.sum(wkern, axis=1)
@@ -414,8 +432,8 @@ def drag_pass_dense(kern: SmoothingKernel, law: DragLaw, spec, dt,
 
     dudt = jnp.zeros((Np,), r_f.dtype)
     if law.use_energy_term and not test_particle:
-        v_end = vk_f + a_f * dt
-        dEk = jnp.sum(a_drag * (v_end + 0.5 * a_drag * dt), axis=-1)
+        v_end = v_f + (a_f - 0.5 * a0_f) * dt_f
+        dEk = jnp.sum(a_drag * (v_end + 0.5 * a_drag * dt_f), axis=-1)
         dudt = jnp.where(is_gas_t, -dEk, 0.0)
         payload = jnp.where(is_dust_t,
                             m_f * dEk / jnp.maximum(norm, 1e-30), 0.0)

@@ -131,14 +131,17 @@ def itemp_of(table: OpacityTable, temp: Array) -> Array:
 
 
 def temp_from_u(table: OpacityTable, rho: Array, u: Array) -> Array:
-    """Invert the (monotone-in-T) energy table (GetIEner + eos_temp)."""
+    """Invert the (monotone-in-T) energy table (GetIEner + eos_temp).
+    Shape-polymorphic: rho/u may be (N,) or dense cell tensors
+    (*ncells, K) — the grid27 EOS update passes the latter."""
     idens = idens_of(table, rho)
-    rows = table.energy[idens]                 # (N, nt)
-    it = jnp.sum(rows < u[:, None], axis=-1)
+    rows = table.energy[idens]                 # (*shape, nt)
+    it = jnp.sum(rows < u[..., None], axis=-1)
     it = jnp.clip(it, 1, rows.shape[-1] - 1)
     lo = it - 1
-    pick_hi = (u - rows[jnp.arange(rows.shape[0]), lo]) \
-        > (rows[jnp.arange(rows.shape[0]), it] - u)
+    u_lo = jnp.take_along_axis(rows, lo[..., None], axis=-1)[..., 0]
+    u_hi = jnp.take_along_axis(rows, it[..., None], axis=-1)[..., 0]
+    pick_hi = (u - u_lo) > (u_hi - u)
     ii = jnp.where(pick_hi, it, lo)
     return 10.0 ** table.log_temp[ii]
 
@@ -216,3 +219,57 @@ def radws_col2(table: OpacityTable, rho: Array, gpot: Array) -> Array:
     (EnergyRadws::GetCol2, EnergyRadws.cpp:729-735; gpot is the positive
     smoothed potential)."""
     return table.fcol2 * gpot * rho
+
+
+def u_of_temp(table: OpacityTable, rho: Array, temp: Array) -> Array:
+    """Tabulated u(rho, T) (OpacityTable::GetEnergy)."""
+    return table.energy[idens_of(table, rho), itemp_of(table, temp)]
+
+
+def radws_implicit_heating(table: OpacityTable, rho: Array, u: Array,
+                           dudt: Array, col2: Array, dt: Array,
+                           temp_amb: Array = None,
+                           n_iter: int = 40) -> Array:
+    """Implicit radiative heating rate for the MeshlessFV energy update
+    (EnergyRadws::ImplicitEnergyUpdate, EnergyRadws.cpp:546-640):
+    solve u' = u + dt (dudt + heating(u')) by bisecting
+    g(T) = u(T) - u - dt * ebalance(dudt, T_amb, T, kappa(T), kappap(T),
+    col2) = 0 on the tabulated temperature range (g increasing in T),
+    and return heating = ebalance at the root.  The caller clips the
+    rate and folds m * heating into the total-energy conserved variable
+    (reference part.cooling, MfvIntegration.cpp:88-89)."""
+    idens = idens_of(table, rho)
+    if temp_amb is None:
+        temp_amb = table.temp_ambient
+
+    def g_of(T):
+        it = itemp_of(table, T)
+        kap = table.kappa[idens, it]
+        kp = table.kappap[idens, it]
+        heat = _ebalance(table, dudt, temp_amb, T, kap, kp, col2)
+        # continuous u(T) through the local (mu, gamma) like the
+        # reference's bracket evaluation (EnergyRadws.cpp:586-607:
+        # balance = T/(mu (gamma-1)) - u - heating dt)
+        u_T = T / (table.mu[idens, it]
+                   * (table.gamma[idens, it] - 1.0))
+        return u_T - u - dt * heat, heat
+
+    t_lo = jnp.broadcast_to(table.temp_min, rho.shape)
+    t_hi = jnp.broadcast_to(10.0 ** table.log_temp[-1], rho.shape)
+    g_lo, h_lo = g_of(t_lo)
+    g_hi, h_hi = g_of(t_hi)
+    lo = jnp.log10(t_lo)
+    hi = jnp.log10(t_hi)
+    for _ in range(n_iter):
+        mid = 0.5 * (lo + hi)
+        gm, _ = g_of(10.0 ** mid)
+        take_hi = gm < 0.0            # root above mid (g increasing)
+        lo = jnp.where(take_hi, mid, lo)
+        hi = jnp.where(take_hi, hi, mid)
+    t_root = 10.0 ** (0.5 * (lo + hi))
+    _, heat = g_of(t_root)
+    # clamps: net cooling below the floor / heating beyond the table use
+    # the edge rates (the reference clamps T the same way)
+    heat = jnp.where(g_lo >= 0.0, h_lo, jnp.where(g_hi <= 0.0, h_hi,
+                                                  heat))
+    return heat

@@ -47,6 +47,9 @@ class SinkState(NamedTuple):
     h: Array        # softening / accretion smoothing scale
     active: Array   # (Ns,) bool
     angmom: Array = None   # (Ns, 3) accreted spin ledger (smooth accretion)
+    mdot: Array = None     # (Ns,) accretion rate (reference sink.dmdt,
+    #                        src/Nbody/Sinks.cpp:597,609), feeds the
+    #                        radiative-feedback sink luminosity
 
 
 def empty_sinks(n_max: int, ndim: int, dtype) -> SinkState:
@@ -55,7 +58,8 @@ def empty_sinks(n_max: int, ndim: int, dtype) -> SinkState:
                      m=jnp.zeros((n_max,), dtype),
                      h=jnp.ones((n_max,), dtype),
                      active=jnp.zeros((n_max,), bool),
-                     angmom=jnp.zeros((n_max, 3), dtype))
+                     angmom=jnp.zeros((n_max, 3), dtype),
+                     mdot=jnp.zeros((n_max,), dtype))
 
 
 def make_sinks(r, v, m, h, n_extra: int = 0) -> SinkState:

@@ -52,6 +52,10 @@ class Grid27Spec:
     k_cell: int
     periodic: Tuple[bool, ...]
     qz: int = 1
+    # mirror/wall boundaries (dim, side) with a dedicated image-cell layer
+    # beyond the wall (reference mirror ghosts, GhostNeighbours.hpp):
+    # ncells/lo/extents above INCLUDE those image layers
+    mirror: Tuple[Tuple[int, int], ...] = ()
 
     @property
     def total_cells(self) -> int:
@@ -96,25 +100,42 @@ def plan_grid27(box: DomainBox, r: np.ndarray, h_max: float,
             raise ValueError("k_target too small for this distribution")
         return dataclasses.replace(best, k_cell=k_target)
     pdims = box.periodic_dims()
+    walls = box.mirror_walls()
+    mlo = [False] * ndim
+    mhi = [False] * ndim
+    for (k, side) in walls:
+        if side == 0:
+            mlo[k] = True
+        else:
+            mhi[k] = True
     lo, hi, periodic = [], [], []
     for k in range(ndim):
         if k in pdims:
             lo_k, hi_k = box.boxmin[k], box.boxmax[k]
             periodic.append(True)
         else:
-            lo_k = float(r[:, k].min()) - 1e-6
-            hi_k = float(r[:, k].max()) + 1e-6
+            # mirror/wall sides anchor the grid at the reflection plane so
+            # the image-cell layer added below sits exactly beyond the wall
+            lo_k = box.boxmin[k] if mlo[k] else float(r[:, k].min()) - 1e-6
+            hi_k = box.boxmax[k] if mhi[k] else float(r[:, k].max()) + 1e-6
             periodic.append(False)
         lo.append(lo_k)
         hi.append(hi_k)
     ncells = [max(int(np.floor((hi[k] - lo[k]) / support)), 1)
               for k in range(ndim)]
+    e0 = int(mlo[0]) + int(mhi[0])       # image layers to add on dim 0
     qz = 1
     if z_multiple > 1:
-        if ncells[0] >= z_multiple:
+        if ncells[0] + e0 >= z_multiple:
             # shard-friendly z extent: round DOWN to a mesh multiple
-            # (larger cells stay a superset of the kernel support)
-            ncells[0] = (ncells[0] // z_multiple) * z_multiple
+            # (larger cells stay a superset of the kernel support);
+            # image layers added below count toward the row total
+            ncells[0] = max(((ncells[0] + e0) // z_multiple) * z_multiple
+                            - e0, 1)
+        elif e0:
+            raise ValueError(
+                "mirror walls on the slab axis need >= 1 interior row "
+                "per shard (distribution too clustered)")
         else:
             # clustered distributions (large outer h) can demand z cells
             # WIDER than a slab: use z_multiple sub-support rows and widen
@@ -122,19 +143,45 @@ def plan_grid27(box: DomainBox, r: np.ndarray, h_max: float,
             ncells[0] = z_multiple
             cell_z = (hi[0] - lo[0]) / z_multiple
             qz = max(int(np.ceil(support / cell_z)), 1)
+    # mirror walls: one dedicated image-cell layer beyond each wall holds
+    # the reflected ghost images (grid_mirror_extend); the stencil then
+    # sees them as ordinary neighbour cells
+    r_occ = [r]
+    for k in range(ndim):
+        if not (mlo[k] or mhi[k]):
+            continue
+        if k == 0 and qz > 1:
+            raise ValueError("mirror walls on a sub-support slab axis "
+                             "(qz > 1) are not supported")
+        cell_k = (hi[k] - lo[k]) / ncells[k]
+        for side, on in ((0, mlo[k]), (1, mhi[k])):
+            if not on:
+                continue
+            bound = box.boxmin[k] if side == 0 else box.boxmax[k]
+            sel = np.abs(r[:, k] - bound) < cell_k
+            img = r[sel].copy()
+            img[:, k] = 2.0 * bound - img[:, k]
+            r_occ.append(img)
+            ncells[k] += 1
+            if side == 0:
+                lo[k] -= cell_k
+            else:
+                hi[k] += cell_k
+    r_occ = np.concatenate(r_occ, axis=0) if len(r_occ) > 1 else r
     ncells = tuple(ncells)
     extents = tuple(hi[k] - lo[k] for k in range(ndim))
-    # occupancy
-    cid = np.zeros(r.shape[0], dtype=np.int64)
+    # occupancy (image particles included for mirror walls)
+    cid = np.zeros(r_occ.shape[0], dtype=np.int64)
     for k in range(ndim):
-        ck = np.clip(np.floor((r[:, k] - lo[k]) / extents[k] * ncells[k]
-                              ).astype(np.int64), 0, ncells[k] - 1)
+        ck = np.clip(np.floor((r_occ[:, k] - lo[k]) / extents[k]
+                              * ncells[k]).astype(np.int64),
+                     0, ncells[k] - 1)
         cid = cid * ncells[k] + ck
     counts = np.bincount(cid, minlength=int(np.prod(ncells)))
     k_cell = int(np.ceil(counts.max() * k_slack)) + 1
     return Grid27Spec(ndim=ndim, ncells=ncells, lo=tuple(lo),
                       extents=tuple(extents), k_cell=k_cell,
-                      periodic=tuple(periodic), qz=qz)
+                      periodic=tuple(periodic), qz=qz, mirror=tuple(walls))
 
 
 class GridBinning(NamedTuple):
@@ -144,19 +191,25 @@ class GridBinning(NamedTuple):
 
 
 def bin_particles(spec: Grid27Spec, r: Array,
-                  discard: Array = None) -> GridBinning:
+                  discard: Array = None, zrow_max=None) -> GridBinning:
     """Assign (cell, slot) to each particle — no sort needed: slots come
     from a stable segment-cumsum over cell ids.
 
     `discard` (optional bool mask) routes particles to a virtual overflow
     cell so they consume no slots (the distributed mode's padding slots;
-    they scatter/gather as drop/fill-zero)."""
+    they scatter/gather as drop/fill-zero).  `zrow_max` (optional traced
+    scalar) clamps the dim-0 cell index below spec.ncells[0]-1 — the
+    work-balanced distributed plan keeps its pad rows (the halo receive
+    window) empty this way."""
     N = r.shape[0]
     cid = jnp.zeros((N,), dtype=jnp.int32)
     for k in range(spec.ndim):
         ck = jnp.floor((r[:, k] - spec.lo[k]) / spec.extents[k]
                        * spec.ncells[k]).astype(jnp.int32)
-        ck = jnp.clip(ck, 0, spec.ncells[k] - 1)
+        hi = spec.ncells[k] - 1
+        if k == 0 and zrow_max is not None:
+            hi = jnp.minimum(jnp.asarray(zrow_max, jnp.int32), hi)
+        ck = jnp.clip(ck, 0, hi)
         cid = cid * spec.ncells[k] + ck
     if discard is not None:
         cid = jnp.where(discard, spec.total_cells, cid)
@@ -176,6 +229,31 @@ def bin_particles(spec: Grid27Spec, r: Array,
     return GridBinning(cell_of=cid, slot_of=jnp.minimum(slot,
                                                         spec.k_cell - 1),
                        overflow=overflow)
+
+
+def grid_mirror_extend(box, spec: Grid27Spec, r: Array, v: Array,
+                       alive: Array):
+    """Reflected whole-set image copies for the grid path, one per mirror
+    wall (reference reflect() ghosts, src/Headers/Particle.h:601-668 +
+    GhostNeighbours.hpp): the image of a particle within one cell of the
+    wall lands in that wall's dedicated image-cell layer (plan_grid27);
+    images any deeper are beyond kernel reach of every interior particle
+    and are discarded (routed to the virtual overflow cell).
+
+    Returns (r_ext, v_ext, keep_ext) with leading axis (1+n_walls)*N; all
+    other fields tile the parent (the caller uses jnp.tile)."""
+    walls = box.mirror_walls()
+    rs, vs, keeps = [r], [v], [alive]
+    for (k, side) in walls:
+        bound = box.boxmin[k] if side == 0 else box.boxmax[k]
+        layers = spec.qz if k == 0 else 1
+        cell_k = spec.extents[k] / spec.ncells[k]
+        rad = layers * cell_k
+        rs.append(r.at[:, k].set(2.0 * bound - r[:, k]))
+        vs.append(v.at[:, k].set(-v[:, k]))
+        keeps.append(alive & (jnp.abs(r[:, k] - bound) < rad))
+    return (jnp.concatenate(rs, axis=0), jnp.concatenate(vs, axis=0),
+            jnp.concatenate(keeps, axis=0))
 
 
 def to_dense(spec: Grid27Spec, b: GridBinning, x: Array) -> Array:
@@ -579,6 +657,72 @@ def _force_shifts(kern, visc, spec, nd, i_of, rp, vp, pkp, fp_, r_d, v_i,
     return a, dudt, div_v
 
 
+def _hydro_pass_grid27_mirror(kern, visc, box: DomainBox, spec: Grid27Spec,
+                              eos, h_fac, h_converge, hydro_forces: bool,
+                              s: SphState, alive: Array) -> SphState:
+    """Mirror-wall variant of hydro_pass_grid27: the particle set is
+    extended with reflected image copies (grid_mirror_extend) binned into
+    the wall's image-cell layer, so the unmodified 27-shift kernels see
+    mirror ghosts as ordinary neighbours (the reference's mirror ghost
+    particles, src/Hydrodynamics/Ghosts.cpp + GhostNeighbours.hpp).
+
+    Images do not iterate their own h; after the density pass every image
+    slot is re-scattered with its PARENT's updated fields (the reference
+    copies ghost data from parents each step, CopyHydroDataToGhosts,
+    src/Hydrodynamics/Ghosts.cpp:47)."""
+    N = s.N
+    live = alive if alive is not None else jnp.ones((N,), bool)
+    r_ext, v_ext, keep = grid_mirror_extend(box, spec, s.r, s.v, live)
+    n_img = r_ext.shape[0] // N
+    tile = lambda x: jnp.tile(x, (n_img,) + (1,) * (x.ndim - 1))
+    b = bin_particles(spec, r_ext, discard=~keep)
+    hmax = hmax_of(spec, kern.kernrange)
+    d = lambda x: to_dense(spec, b, x)
+    fill = dense_fill_mask(spec, b)
+    r_d = d(r_ext)
+
+    dens = density_grid27(kern, spec, h_fac, h_converge,
+                          r_d, d(tile(s.m)), d(tile(s.h)), fill, hmax)
+    back = lambda x_d: from_dense(spec, b, x_d)[:N]
+    sane = lambda x_d, v0: jnp.where(live, back(x_d), v0)
+    h_new = sane(dens.h, 1.0)
+    rho_new = sane(dens.rho, 1.0)
+    invom_new = sane(dens.invomega, 1.0)
+    zeta_new = sane(dens.zeta, 0.0)
+    hfac_new = sane(dens.hfactor, 0.0)
+    eos_kw = {}
+    if getattr(eos, "needs_ionfrac", False):
+        eos_kw["ionfrac"] = s.ionfrac
+    u_new, press_new, sound_new = eos.thermal_update(
+        jnp.maximum(rho_new, 1e-30), s.u, **eos_kw)
+    u_new = jnp.where(live, u_new, 1e-30)
+    press_new = jnp.where(live, press_new, 0.0)
+    sound_new = jnp.where(live, sound_new, 0.0)
+
+    if hydro_forces:
+        dense_fields = {
+            "r": r_d, "v": d(v_ext), "m": d(tile(s.m)),
+            "h": d(tile(h_new)), "rho": d(tile(rho_new)),
+            "u": d(tile(u_new)), "pressure": d(tile(press_new)),
+            "sound": d(tile(sound_new)), "invomega": d(tile(invom_new)),
+            "hfactor": d(tile(hfac_new)), "alpha": d(tile(s.alpha)),
+        }
+        a_d, dudt_d, div_v_d, _ = forces_grid27(kern, visc, spec,
+                                                dense_fields, fill)
+        a_new = jnp.where(live[:, None], back(a_d), 0.0)
+        dudt_new = sane(dudt_d, 0.0)
+        div_v_new = sane(div_v_d, 0.0)
+    else:
+        a_new = jnp.zeros_like(s.r)
+        dudt_new = jnp.zeros_like(s.m)
+        div_v_new = jnp.zeros_like(s.m)
+    return s.replace(
+        h=h_new, rho=rho_new, invomega=invom_new, zeta=zeta_new,
+        hfactor=hfac_new, u=u_new, pressure=press_new, sound=sound_new,
+        a=a_new, dudt=dudt_new, div_v=div_v_new,
+        neib_overflow=s.neib_overflow | dens.overflow | b.overflow)
+
+
 def hydro_pass_grid27(kern, visc, box: DomainBox, spec: Grid27Spec, eos,
                       h_fac, h_converge, hydro_forces: bool,
                       s: SphState, alive: Array = None) -> SphState:
@@ -589,6 +733,10 @@ def hydro_pass_grid27(kern, visc, box: DomainBox, spec: Grid27Spec, eos,
     spares) out of the dense fill mask: they contribute to no sums, and
     their own fields come back as benign constants (matching the brute
     path's dead-slot sanitisation)."""
+    if spec.mirror:
+        return _hydro_pass_grid27_mirror(kern, visc, box, spec, eos,
+                                         h_fac, h_converge, hydro_forces,
+                                         s, alive)
     nd = s.ndim
     b = bin_particles(spec, s.r)
     hmax = hmax_of(spec, kern.kernrange)

@@ -72,6 +72,13 @@ class MfvMusclSimulation(SimulationBase):
         self.courant_mult = p.floatparams["courant_mult"]
         self.accel_mult = p.floatparams["accel_mult"]
         self.self_gravity = bool(p.intparams["self_gravity"])
+        # radws radiative cooling (EnergyRadws<MeshlessFVParticle>:
+        # implicit heating folded into the total-energy conserved
+        # variable, reference EnergyRadws.cpp:215-260 +
+        # MfvIntegration.cpp:88-89 part.cooling)
+        self.use_radws_energy = (
+            p.stringparams["gas_eos"] == "radws"
+            and p.stringparams["energy_integration"] == "radws")
         # hierarchical block timesteps (reference MfvIntegration.cpp +
         # ComputeBlockTimesteps; Nlevels == 1 is the global-dt scheme)
         self.nlevels = p.intparams["Nlevels"]
@@ -82,6 +89,10 @@ class MfvMusclSimulation(SimulationBase):
             raise NotImplementedError(
                 "block timesteps are wired to the MUSCL MFV scheme "
                 "(the reference's RK2 block coupling differs)")
+        if self.use_radws_energy and self.use_block:
+            raise NotImplementedError(
+                "MFV radws cooling is wired to the global-timestep "
+                "scheme")
         if self.self_gravity and self.box.periodic_dims() \
                 and bool(p.intparams["ewald"]):
             raise NotImplementedError("periodic MFV self-gravity with "
@@ -391,6 +402,23 @@ class MfvMusclSimulation(SimulationBase):
 
         return bootstrap_block
 
+    def _apply_radws_cooling(self, Qcons, ndens, gpot, dt):
+        """Fold the implicit radiative heating rate into the total-energy
+        conserved variable (EnergyRadws<MeshlessFVParticle>::EndTimestep,
+        EnergyRadws.cpp:215-260: part.cooling = -m heating, applied as
+        Qcons[ietot] -= cooling dt, MfvIntegration.cpp:88-89; the rate is
+        clipped at -0.95 u / dt for stability as in the reference)."""
+        from ..ops.radws import radws_col2, radws_implicit_heating
+
+        ndim = self.ndim
+        table = self.eos.table
+        m, rho, v, u = mfv_ops.state_from_qcons(ndim, Qcons, ndens)
+        col2 = radws_col2(table, rho, jnp.maximum(gpot, 0.0))
+        heat = radws_implicit_heating(table, rho, u, jnp.zeros_like(u),
+                                      col2, dt)
+        heat = jnp.maximum(heat, -0.95 * u / jnp.maximum(dt, 1e-30))
+        return Qcons.at[..., ndim + 1].add(m * heat * dt)
+
     def _build_step(self):
         ndim = self.ndim
 
@@ -415,10 +443,16 @@ class MfvMusclSimulation(SimulationBase):
                 rdmdt = flux.rdmdt_dot * dt
                 Qcons = mfv_ops.gravity_source_terms(
                     ndim, dt, s.Qcons0, Qcons, s.a0, a, rdmdt)
+                if self.use_radws_energy:
+                    Qcons = self._apply_radws_cooling(Qcons, s.ndens,
+                                                      gpot, dt)
                 m, rho, v, u = mfv_ops.state_from_qcons(ndim, Qcons, s.ndens)
                 s = s.replace(m=m, v=v, u=u, r=r, Qcons0=Qcons,
                               r0=r, v0=v, a=a, a0=a, gpot=gpot)
             else:
+                if self.use_radws_energy:
+                    Qcons = self._apply_radws_cooling(Qcons, s.ndens,
+                                                      s.gpot, dt)
                 m, rho, v, u = mfv_ops.state_from_qcons(ndim, Qcons, s.ndens)
                 r = s.r0 + 0.5 * (s.v0 + v) * dt
                 r = self.box.wrap(r)

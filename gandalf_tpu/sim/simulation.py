@@ -314,9 +314,11 @@ class SimulationBase:
                 return DistributedSM2012Simulation(params)
             return SM2012SphSimulation(params)
         if sim == "nbody":
-            if params.intparams["Nmpi"] > 1:
-                raise NotImplementedError(
-                    "distributed (Nmpi > 1) N-body is not supported")
+            # Nmpi > 1: the reference replicates the star set on every MPI
+            # rank and integrates it identically (NbodySimulation.cpp has
+            # no decomposition; star data is broadcast where it changes,
+            # src/Nbody/Sinks.cpp:228-233) — so a "distributed" pure
+            # N-body run IS the direct-sum controller, bit-identically
             from .nbody_sim import NbodySimulation
             return NbodySimulation(params)
         if sim in ("meshlessfv", "mfvmuscl"):
@@ -587,6 +589,10 @@ class SimulationBase:
 
 
 class GradhSphSimulation(SimulationBase):
+    # the grad-h grid kernels accept mirror-wall image cells; subclasses
+    # with their own grid passes (SM2012 q-iteration) opt out until their
+    # kernels handle image layers
+    _mirror_grid_ok = True
     """Conservative grad-h SPH simulation
     (reference GradhSphSimulation + SphSimulation::MainLoop,
     src/Hydrodynamics/SphSimulation.cpp:574-880, global-timestep scheme)."""
@@ -689,11 +695,8 @@ class GradhSphSimulation(SimulationBase):
         }
         # neighbour-search strategy: "bruteforce" = all-pairs oracle;
         # anything else (kdtree/octtree/celllist) maps to the TPU cell-list
-        # production path.  Mirror walls currently require the image-based
-        # all-pairs path.
+        # production path (final gate below, after the feature flags).
         self.neib_search = p.stringparams["neib_search"]
-        self.use_celllist = (self.neib_search != "bruteforce"
-                             and not self.box.mirror_walls())
         # Ewald corrections are applied inside the tree walk (accepted
         # cells at monopole level + per-pair near field, min-imaged), so
         # periodic self-gravity no longer forces the O(N^2) path
@@ -718,6 +721,54 @@ class GradhSphSimulation(SimulationBase):
             create=self.create_sinks,
             accrete=self.sink_particles)
         self.smooth_accretion = bool(p.intparams["smooth_accretion"])
+        # radiative feedback: accretion-luminosity heating of the radws
+        # ambient temperature field (reference RadiativeFB, wired into
+        # EnergyRadws via radfb->AmbientTemp, GradhSphSimulation.cpp:190,
+        # EnergyRadws.cpp:180)
+        self.rad_fb = bool(p.intparams["rad_fb"]) and self.use_radws_energy
+        self.radfb_sink_cfg = None
+        self.radfb_disc_cfg = None
+        if self.rad_fb:
+            from ..ops.radiative_fb import (DiscHeatingConfig,
+                                            SinkHeatingConfig)
+            from ..units import G_CONST, L_SUN, M_JUP, M_SUN, R_SUN
+
+            u = self.units
+            ncentral = min(max(p.intparams["disc_heating"], 0), 2)
+            if u.dimensionless:
+                rad_const = lsun = msun = rsun = 1.0
+                mjup = M_JUP / M_SUN
+            else:
+                # code-unit constants (reference SinkHeating ctor,
+                # src/Thermal/RadiativeFB.cpp:171-211)
+                R = u.r.outscale * u.r.outSI
+                T = u.t.outscale * u.t.outSI
+                E = u.E.outscale * u.E.outSI
+                temp_unit = u.temp.outscale * u.temp.outSI
+                stefboltz = 5.67037321e-8      # SI (Constants.h)
+                rad_const = stefboltz * (R * R * T * temp_unit ** 4) / E
+                lsun = L_SUN / (u.L.outscale * u.L.outSI)
+                msun = M_SUN / (u.m.outscale * u.m.outSI)
+                mjup = M_JUP / M_SUN           # in msun units
+                rsun = R_SUN / R
+            # temp_ambient/temp_au/r_smooth already inscaled by
+            # inscale_parameters (units._PARAM_UNITS)
+            self.radfb_sink_on = bool(p.intparams["sink_heating"])
+            self.radfb_sink_cfg = SinkHeatingConfig(
+                rad_const=rad_const,
+                temp_inf=(p.floatparams["temp_ambient"]
+                          if p.intparams["ambient_heating"] else 0.0),
+                f_acc=p.floatparams["f_acc"], lsun=lsun, msun=msun,
+                mjup=mjup,
+                r_planet=p.floatparams["r_planet"] * rsun,
+                r_bdwarf=p.floatparams["r_bdwarf"] * rsun,
+                r_star=p.floatparams["r_star"] * rsun)
+            if ncentral:
+                self.radfb_disc_cfg = DiscHeatingConfig(
+                    temp_au=p.floatparams["temp_au"],
+                    temp_q=p.floatparams["temp_q"],
+                    rsmooth=p.floatparams["r_smooth"],
+                    n_central=ncentral)
         # dust drag (reference DustFactory, src/Common/Dust.cpp:1147-1330)
         self.dust_forces = p.stringparams["dust_forces"]
         self.has_dust = self.dust_forces not in ("none", "null", "")
@@ -727,6 +778,23 @@ class GradhSphSimulation(SimulationBase):
             if self.dust_forces not in ("full_twofluid", "test_particle"):
                 raise ValueError(f"unknown dust_forces {self.dust_forces!r}")
             self.drag_law = DragLaw.from_params(p)
+        # -- final neighbour-path gate.  Mirror walls run on the grid via
+        # reflected image-cell layers (ops/sph_grid27.grid_mirror_extend)
+        # for the plain grad-h configs; the couplings that have their own
+        # grid kernels without mirror support (self-gravity tree zeta
+        # coupling, dust, SM2012 q-pass, block ticks, sink searches) fall
+        # back to the image-based all-pairs path.
+        if self.box.mirror_walls():
+            mirror_grid_ok = (self._mirror_grid_ok
+                              and not self.self_gravity
+                              and not self.has_dust
+                              and not self.use_block
+                              and not (self.sink_particles
+                                       or self.create_sinks))
+            self.use_celllist = (self.neib_search != "bruteforce"
+                                 and mirror_grid_ok)
+        else:
+            self.use_celllist = self.neib_search != "bruteforce"
         self.treespec = None
         self.gridspec = None
         self.chunk = 4096        # particle chunk (gather pipeline)
@@ -737,11 +805,14 @@ class GradhSphSimulation(SimulationBase):
         # (cache-miss) XLA compile; the counter gates the replan policy
         # (VERDICT r3 weak #4: overflow replans must not thrash)
         self.n_recompiles = getattr(self, "n_recompiles", 0) + 1
-        if self.use_block and self.use_celllist and not self.has_sinks:
+        if self.use_block and self.use_celllist and not self.has_sinks \
+                and not self.has_dust:
             # active-compacted block tick: separately-jitted pieces driven
             # from the host (the active set changes shape every tick).
             # block+sinks runs the plain (full-pass) tick: sinks couple
-            # every particle through star-gas gravity anyway
+            # every particle through star-gas gravity anyway; block+dust
+            # likewise (the semi-implicit drag pass re-relaxes every pair
+            # each tick, matching the global-dt scheme at dt_base)
             self._build_block_compact()
             self._bootstrap_fn = jax.jit(self._build_bootstrap())
             self._step_fn = None
@@ -1287,9 +1358,11 @@ class GradhSphSimulation(SimulationBase):
 
         cfg = self.sink_cfg
         alive = s.alive
+        m_before = sinks.m
         if cfg.create:
             sinks, alive = create_sinks(
                 cfg, sinks, s.r, s.v, s.m, s.h, s.rho, s.gpot, alive)
+            m_before = sinks.m      # creation mass is not accretion
         if cfg.accrete:
             if self.smooth_accretion:
                 from ..ops.sinks import (apply_smooth_accretion,
@@ -1310,6 +1383,11 @@ class GradhSphSimulation(SimulationBase):
             else:
                 sinks, alive = accrete_to_sinks(
                     cfg, sinks, s.r, s.v, s.m, alive)
+            # accretion rate ledger (reference sink.dmdt = macc / dt,
+            # src/Nbody/Sinks.cpp:597,609) — drives the radiative-feedback
+            # sink luminosity
+            sinks = sinks._replace(
+                mdot=(sinks.m - m_before) / jnp.maximum(dt, 1e-30))
         return self._kill_eaten(s, alive), sinks
 
     def _levelneib_pass(self, s: SphState) -> Array:
@@ -1374,10 +1452,6 @@ class GradhSphSimulation(SimulationBase):
         """Initial force/timestep pass (PostInitialConditionsSetup)."""
         integ = self.integ
 
-        if self.use_radws_energy and self.has_sinks:
-            raise NotImplementedError(
-                "radws energy integration + sinks is wired to the "
-                "global-timestep path")
         if self.use_block:
             from ..integrate.block import BlockConfig, init_schedule
 
@@ -1387,6 +1461,8 @@ class GradhSphSimulation(SimulationBase):
             if self.has_sinks:
                 def bootstrap(s: SphState, sinks):
                     s, sinks = self._sink_coupled_pass(s, sinks)
+                    if self.use_radws_energy:
+                        s = self._radws_equilibrium(s, sinks)
                     s = s.replace(a0=s.a, dudt0=s.dudt, u0=s.u,
                                   r0=s.r, v0=s.v)
                     sinks = sinks._replace(a0=sinks.a, r0=sinks.r,
@@ -1400,6 +1476,8 @@ class GradhSphSimulation(SimulationBase):
 
             def bootstrap(s: SphState):
                 s = self._hydro_pass(s)
+                if self.has_dust:
+                    s = self._apply_drag(s, jnp.asarray(0.0, s.t.dtype))
                 if self.use_radws_energy:
                     s = self._radws_equilibrium(s)
                 s = s.replace(a0=s.a, dudt0=s.dudt, u0=s.u, r0=s.r, v0=s.v)
@@ -1411,6 +1489,8 @@ class GradhSphSimulation(SimulationBase):
         if self.has_sinks:
             def bootstrap(s: SphState, sinks):
                 s, sinks = self._sink_coupled_pass(s, sinks)
+                if self.use_radws_energy:
+                    s = self._radws_equilibrium(s, sinks)
                 s = s.replace(a0=s.a, dudt0=s.dudt, u0=s.u, r0=s.r, v0=s.v)
                 sinks = sinks._replace(a0=sinks.a, r0=sinks.r, v0=sinks.v)
                 return s.replace(dt=self._hybrid_timestep(s, sinks)), sinks
@@ -1463,6 +1543,14 @@ class GradhSphSimulation(SimulationBase):
                                       + self._dalphadt(s) * dtb)
                     active, nstep_p, level = check_timesteps(
                         cfg, s, B, active)
+                    if self.use_radws_energy:
+                        # refresh (ueq, dt_therm) for particles ending
+                        # their step (EnergyRadws::EndTimestep)
+                        s2 = self._radws_equilibrium(s, sinks)
+                        s = s.replace(
+                            ueq=jnp.where(active, s2.ueq, s.ueq),
+                            dt_therm=jnp.where(active, s2.dt_therm,
+                                               s.dt_therm))
                     dt_crit = sph_timestep(integ, s, self.hydro_forces)
                     # sink correction kick every tick
                     v_c = sinks.v + 0.5 * dtb * (sinks.a - sinks.a0)
@@ -1481,6 +1569,15 @@ class GradhSphSimulation(SimulationBase):
                 r, v = box.reflect(r, s.v)
                 s = s.replace(r=r, v=v, r0=box.wrap(s.r0))
                 s = self._hydro_pass(s)
+                if self.has_dust:
+                    # drag recomputed every tick with each particle's OWN
+                    # step dt (the reference recomputes drag for active
+                    # particles with drag_timestep = their per-particle
+                    # dt, SphSimulation.cpp:844-860 + Dust.cpp:216-218);
+                    # only active particles latch a0=a below, so a
+                    # particle's drag impulse refreshes once per its step
+                    dt_drag = B.nstep_part.astype(s.m.dtype) * B.dt_base
+                    s = self._apply_drag(s, dt_drag)
                 s = s.replace(levelneib=self._levelneib_pass(s))
                 if integ.td_avisc:
                     # alpha advanced once per tick (AdvanceParticles,
@@ -1507,6 +1604,14 @@ class GradhSphSimulation(SimulationBase):
                 dt = s.dt
                 t = s.t + dt
                 s = predict(integ, s, dt)
+                if self.use_radws_energy:
+                    # exponential relaxation toward radiative equilibrium
+                    # (EnergyRadws::EnergyIntegration) — runs with sinks in
+                    # the reference's disc-fragmentation configuration
+                    from ..ops.radws import radws_energy_integration
+
+                    s = s.replace(u=radws_energy_integration(
+                        s.u0, s.ueq, s.dt_therm, dt))
                 sinks = sinks._replace(
                     r=sinks.r0 + sinks.v0 * dt + 0.5 * sinks.a0 * dt * dt,
                     v=sinks.v0 + sinks.a0 * dt)
@@ -1516,6 +1621,9 @@ class GradhSphSimulation(SimulationBase):
                 s, sinks = self._sink_coupled_pass(s, sinks)
                 s, dal = self._td_avisc(s)
                 s = correct(integ, s, dt, dal)
+                if self.use_radws_energy:
+                    s = self._radws_equilibrium(s, sinks)
+                    s = s.replace(u0=s.u, dudt0=s.dudt)
                 v_c = sinks.v + 0.5 * dt * (sinks.a - sinks.a0)
                 sinks = sinks._replace(v=v_c, r0=sinks.r, v0=v_c,
                                        a0=sinks.a)
@@ -1576,14 +1684,30 @@ class GradhSphSimulation(SimulationBase):
             sound=jnp.where(is_dust, d.sound, s.sound),
             div_v=jnp.where(is_dust, d.div_v, s.div_v))
 
-    def _radws_equilibrium(self, s: SphState) -> SphState:
+    def _radws_equilibrium(self, s: SphState, sinks=None) -> SphState:
         """(ueq, dt_therm) at the end of the step
-        (EnergyRadws::EndTimestep, EnergyRadws.cpp:153-190)."""
+        (EnergyRadws::EndTimestep, EnergyRadws.cpp:153-190).  With
+        radiative feedback on and sinks present, the ambient temperature
+        is the per-particle RadiativeFB::AmbientTemp field (accretion-
+        luminosity sink heating + disc profile, EnergyRadws.cpp:180)."""
         from ..ops.radws import energy_find_equi, radws_col2
 
         table = self.eos.table
         col2 = radws_col2(table, s.rho, jnp.maximum(s.gpot, 0.0))
-        ueq, dt_th = energy_find_equi(table, s.rho, s.u, s.dudt, col2)
+        temp_amb = None
+        if self.rad_fb and sinks is not None:
+            from ..ops.radiative_fb import combined_ambient_temperature
+
+            # sink_heating=0 zeroes the sink term via the active mask
+            # (ambient/disc terms still apply, RadiativeFB.cpp:100-102)
+            act = sinks.active if self.radfb_sink_on \
+                else jnp.zeros_like(sinks.active)
+            temp_amb = combined_ambient_temperature(
+                self.radfb_sink_cfg, self.radfb_disc_cfg, s.r, sinks.r,
+                sinks.m, sinks.mdot,
+                sinks.h * self.sink_cfg.sink_radius, act)
+        ueq, dt_th = energy_find_equi(table, s.rho, s.u, s.dudt, col2,
+                                      temp_amb=temp_amb)
         return s.replace(ueq=ueq, dt_therm=dt_th)
 
     def _dalphadt(self, s: SphState) -> Array:
@@ -1743,7 +1867,7 @@ class GradhSphSimulation(SimulationBase):
         with self.timing.block("MAIN_LOOP"):
             prev = self.state
             if self.use_block and self.use_celllist \
-                    and not self.has_sinks:
+                    and not self.has_sinks and not self.has_dust:
                 self._block_step_compact()
                 self.Nsteps += 1
                 self.t = float(self.state.t)
@@ -1832,6 +1956,8 @@ class SM2012SphSimulation(GradhSphSimulation):
     SM2012Sph.cpp).  Shares the grad-h controller's step structure; the
     density iteration carries the smoothed energy density q and the force
     uses u_i u_j (1/q_i + 1/q_j) instead of P Omega / rho^2."""
+
+    _mirror_grid_ok = False     # the q-pass has no image-layer support yet
 
     def process_parameters(self):
         super().process_parameters()

@@ -109,6 +109,29 @@ class TestDustyBox:
         assert float(s.dt) > 0.0
         assert np.isfinite(float(s.dt))
 
+    def test_block_timesteps_relaxation(self):
+        """Dust drag under hierarchical block timesteps (Nlevels=3): the
+        drag impulse is recomputed per tick with each particle's OWN step
+        dt (reference drag_timestep, src/Common/Dust.cpp:216-218), so the
+        analytic DUSTYBOX exponential must hold exactly as in the
+        global-dt run."""
+        p = _dustybox_params(**{"Nlevels": 3, "level_diff_max": 1,
+                                "neib_search": "kdtree"})
+        sim = _run(p, 1.0)
+        assert sim.use_block          # must NOT fall back to global dt
+        gas, dust = _split(sim)
+        s = sim.state
+        m = np.asarray(s.m)
+        vx = np.asarray(s.v)[:, 0]
+        dv = np.exp(-sim.t)
+        eps = 0.5
+        assert abs(vx[gas].mean() - (0.5 - eps * dv)) < 2e-3
+        assert abs(vx[dust].mean() - (0.5 + (1 - eps) * dv)) < 2e-3
+        assert (m * vx).sum() == pytest.approx(1.0, abs=1e-12)
+        u = np.asarray(s.u)
+        E = 0.5 * (m * vx ** 2).sum() + (m * u).sum()
+        assert E == pytest.approx(2.0, rel=1e-5)
+
     def test_test_particle_mode(self):
         """dust_forces=test_particle: dust decays onto the GAS velocity
         (no back-reaction), dv = dv0 e^{-Kt} with t_s(drho=0)."""

@@ -226,3 +226,127 @@ def test_disc_heating_profile():
         jnp.array([0.01]), act))
     assert (T ** 4 >= 5.0 ** 4).all()
     assert T[0] > T[2]
+
+
+class TestRadwsSinks:
+    """radws energy integration coupled to sinks/stars (the reference's
+    disc-fragmentation configuration: EnergyRadws + Sinks +
+    RadiativeFB, GradhSphSimulation.cpp:190-201)."""
+
+    def _hybrid(self, **over):
+        p = Parameters()
+        base = dict(ndim=3, sim="sph", neib_search="bruteforce",
+                    gas_eos="radws", energy_integration="radws",
+                    dimensionless=1, run_id="", ic="plummer",
+                    Nhydro=64, Nstar=1, gasfrac=0.5, starfrac=0.5,
+                    self_gravity=1, hydro_forces=1,
+                    sink_particles=1, create_sinks=0,
+                    gamma_eos=1.6666666666666667, mu_bar=1.0,
+                    temp_ambient=10.0, radws_table="/nonexistent")
+        base.update(over)
+        for k, v in base.items():
+            p.set(k, v)
+        return p
+
+    def test_radws_with_sinks_runs(self):
+        """Hybrid plummer (gas + 1 star-sink) with radws cooling: steps
+        run, (ueq, dt_therm) populate, fields stay finite."""
+        sim = GradhSphSimulation(self._hybrid())
+        sim.SetupSimulation()
+        assert sim.has_sinks and sim.use_radws_energy
+        for _ in range(5):
+            sim.main_loop_step()
+        s = sim.state
+        alive = np.asarray(s.alive)
+        assert np.isfinite(np.asarray(s.u)[alive]).all()
+        assert np.isfinite(np.asarray(s.ueq)[alive]).all()
+        # dt_therm >= 0 (exactly 0 once u sits on the table equilibrium)
+        assert (np.asarray(s.dt_therm)[alive] >= 0.0).all()
+        assert (np.asarray(s.ueq)[alive] > 0.0).all()
+
+    def test_radws_sinks_block_runs(self):
+        """Same configuration under hierarchical block timesteps."""
+        sim = GradhSphSimulation(self._hybrid(Nlevels=3,
+                                              level_diff_max=1))
+        sim.SetupSimulation()
+        assert sim.use_block
+        for _ in range(6):
+            sim.main_loop_step()
+        s = sim.state
+        alive = np.asarray(s.alive)
+        assert np.isfinite(np.asarray(s.u)[alive]).all()
+        assert np.isfinite(np.asarray(s.ueq)[alive]).all()
+
+    def test_rad_fb_sink_heating_field(self):
+        """rad_fb + sink_heating: an accreting sink raises the ambient
+        temperature (and hence ueq) of nearby gas above distant gas
+        (RadiativeFB::AmbientTemp, src/Thermal/RadiativeFB.cpp:88-106)."""
+        import jax.numpy as jnp
+
+        # r_star is in SOLAR RADII in physical units; in a dimensionless
+        # run pick a source radius small against the domain
+        sim = GradhSphSimulation(self._hybrid(
+            rad_fb=1, sink_heating=1, ambient_heating=1,
+            temp_ambient=1.0, r_star=0.01, r_bdwarf=0.01,
+            r_planet=0.01))
+        sim.SetupSimulation()
+        assert sim.rad_fb and sim.radfb_sink_on
+        sinks = sim.sinks._replace(
+            mdot=jnp.where(sim.sinks.active, 10.0, 0.0))
+        s = sim._radws_equilibrium(sim.state, sinks)
+        r_sink = np.asarray(sinks.r)[0]
+        d = np.linalg.norm(np.asarray(s.r) - r_sink[None], axis=-1)
+        ueq = np.asarray(s.ueq)
+        near = ueq[d < np.quantile(d, 0.2)].mean()
+        far = ueq[d > np.quantile(d, 0.8)].mean()
+        assert near > 1.5 * far
+
+    def test_rad_fb_off_matches_plain_ambient(self):
+        """rad_fb=0: the sink-coupled radws run must keep using the table
+        ambient temperature (no accidental coupling)."""
+        sim = GradhSphSimulation(self._hybrid())
+        sim.SetupSimulation()
+        s1 = sim._radws_equilibrium(sim.state, sim.sinks)
+        s2 = sim._radws_equilibrium(sim.state, None)
+        np.testing.assert_array_equal(np.asarray(s1.ueq),
+                                      np.asarray(s2.ueq))
+
+
+class TestMfvRadws:
+    """radws cooling on the MeshlessFV scheme (the reference's
+    EnergyRadws<MeshlessFVParticle>: implicit heating folded into the
+    total-energy conserved variable, EnergyRadws.cpp:215-260)."""
+
+    def test_hot_mfv_box_cools_to_ambient(self):
+        from gandalf_tpu.sim.mfv_sim import MfvMusclSimulation
+
+        p = _radws_box(press=66.67, sim="mfvmuscl")
+        sim = MfvMusclSimulation(p)
+        sim.SetupSimulation()
+        assert sim.use_radws_energy
+        T0 = float(np.asarray(sim.state.u)[0]) * (2.0 / 3.0)
+        assert T0 > 60.0
+        for _ in range(25):
+            sim.main_loop_step()
+        T = np.asarray(sim.state.u) * (2.0 / 3.0)
+        assert np.allclose(T, 10.0, rtol=0.12)
+        # mass and momentum untouched by the energy update
+        m = np.asarray(sim.state.m)
+        assert m.sum() == pytest.approx(1.0, rel=1e-10)
+
+    def test_implicit_heating_equilibrium(self):
+        """The implicit solve lands on the energy balance root: a particle
+        AT the ambient temperature has ~zero heating; a hot one cools; a
+        cold one heats."""
+        from gandalf_tpu.ops.radws import (make_ideal_table,
+                                           radws_implicit_heating)
+
+        tab = make_ideal_table(temp_ambient=10.0)
+        rho = jnp.full(3, 1e-2)
+        u = jnp.asarray([15.0, 1500.0, 1.5])   # T = 10, 1000, 1
+        heat = radws_implicit_heating(tab, rho, u, jnp.zeros(3),
+                                      jnp.zeros(3), jnp.asarray(1e-6))
+        h = np.asarray(heat)
+        assert abs(h[0]) < 1e3        # near equilibrium
+        assert h[1] < -1e5            # hot -> strong cooling
+        assert h[2] > 1e2             # cold -> heating
