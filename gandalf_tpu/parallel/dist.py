@@ -53,16 +53,65 @@ class DistPlan:
     n_shards: int
     cap: int                 # per-shard particle capacity (padded)
     perm: np.ndarray         # (n_shards*cap,) global slot -> original id, -1 pad
-    local_spec: object       # per-shard Grid27Spec (z rows / n_shards)
+    local_spec: object       # per-shard Grid27Spec (padded row count)
     global_spec: object      # full-domain Grid27Spec
+    # work-balanced decomposition (FindLoadBalancingDivision analogue,
+    # reference src/Tree/HydroTree.cpp:1554): shard s owns the CONTIGUOUS
+    # global rows [row_start[s], row_start[s] + row_len[s]); rows beyond
+    # row_len in the padded local tensor are empty and double as the
+    # receive window for the next shard's halo block.  balanced=False is
+    # the uniform split (row_len all equal, the fast static-halo path).
+    row_start: np.ndarray = None     # (S,) int
+    row_len: np.ndarray = None       # (S,) int
+    balanced: bool = False
+
+
+def _balance_rows(row_w: np.ndarray, n_shards: int, min_len: int):
+    """Split rows into n_shards contiguous segments minimising the max
+    segment weight (the reference's FindLoadBalancingDivision bisection,
+    src/Tree/HydroTree.cpp:1554-1620, as a prefix-sum linear partition).
+    Every segment gets >= min_len rows.  Returns (start, length) arrays.
+
+    Note on what 'work' means here: the dense 27-shift pair kernels cost
+    the SAME on every shard by construction (identical padded tensor
+    shapes) — the quantities this split actually balances are per-shard
+    particle count (tree-gravity walk cost, gather/scatter cost) and the
+    padded particle capacity (memory)."""
+    nz = len(row_w)
+    pref = np.concatenate([[0.0], np.cumsum(row_w)])
+    target = pref[-1] / n_shards
+    starts, start = [], 0
+    for s in range(n_shards):
+        rem_shards = n_shards - s - 1
+        if s == n_shards - 1:
+            end = nz
+        else:
+            # boundary at the (s+1)-th weight quantile, snapped so every
+            # remaining segment keeps >= min_len rows
+            end = int(np.searchsorted(pref, (s + 1) * target,
+                                      side="left"))
+            end = max(end, start + min_len)
+            end = min(end, nz - rem_shards * min_len)
+        starts.append(start)
+        start = end
+    starts = np.asarray(starts, np.int64)
+    lens = np.diff(np.concatenate([starts, [nz]]))
+    if (lens < min_len).any():
+        return None, None
+    return starts, lens
 
 
 def plan_decomposition(spec, r: np.ndarray, n_shards: int,
-                       slack: float = 1.25) -> DistPlan:
+                       slack: float = 1.25,
+                       balance: str = "never") -> DistPlan:
     """Assign particles to z-slab shards and build the padded layout.
 
-    The z-slab of shard s covers grid rows [s*nz_loc, (s+1)*nz_loc).
-    """
+    balance="never": shard s covers rows [s*nz_loc, (s+1)*nz_loc)
+    (uniform).  balance="auto": when the uniform split's particle-count
+    imbalance exceeds 1.5x, re-split on count-weighted contiguous row
+    ranges (the reference work-based load balancing,
+    FindLoadBalancingDivision src/Tree/HydroTree.cpp:1554) — shards then
+    own variable row ranges padded to a common tensor shape."""
     nz = spec.ncells[0]
     if nz % n_shards != 0:
         raise ValueError(
@@ -71,10 +120,42 @@ def plan_decomposition(spec, r: np.ndarray, n_shards: int,
             "it rounds the row count to a shard multiple for any "
             "lattice/device pair")
     nz_loc = nz // n_shards
+    if any(k == 0 for (k, _side) in spec.mirror) and nz_loc < 2:
+        raise ValueError(
+            "mirror walls on the slab axis need >= 2 rows per shard "
+            "(the wall shard must own the image layer AND its parents)")
     cell0 = spec.extents[0] / nz
     iz = np.clip(((r[:, 0] - spec.lo[0]) / cell0).astype(np.int64),
                  0, nz - 1)
-    shard = iz // nz_loc
+
+    row_start = np.arange(n_shards, dtype=np.int64) * nz_loc
+    row_len = np.full(n_shards, nz_loc, np.int64)
+    balanced = False
+    if balance == "auto" and n_shards >= 2 and not spec.mirror:
+        row_counts = np.bincount(iz, minlength=nz).astype(np.float64)
+        uni = np.add.reduceat(row_counts, row_start)
+        mean = max(row_counts.sum() / n_shards, 1.0)
+        # min segment length: the balanced halo exchange is single-hop
+        # (one ring neighbour supplies the qz-row halo + pad window)
+        min_len = max(spec.qz, 1)
+        if uni.max() > 1.5 * mean and nz >= n_shards * min_len:
+            st, ln = _balance_rows(row_counts, n_shards, min_len)
+            # the dense 27-shift kernels cost nz_pad rows on EVERY shard:
+            # cap the padded row count at 4x the uniform slab so hydro
+            # never pays more than it saves on gravity/memory balance
+            if (st is not None and ln.max() > ln.min()
+                    and ln.max() <= 4 * nz_loc):
+                row_start, row_len, balanced = st, ln, True
+
+    if balanced:
+        bounds = np.concatenate([row_start, [nz]])
+        shard = np.searchsorted(bounds, iz, side="right") - 1
+        # quantise the padded row count to slab multiples so successive
+        # replans with drifting splits reuse the compiled step
+        nz_pad = min(-(-int(row_len.max()) // nz_loc) * nz_loc, nz)
+    else:
+        shard = iz // nz_loc
+        nz_pad = nz_loc
     counts = np.bincount(shard, minlength=n_shards)
     cap = int(counts.max() * slack) + 8
     # round the capacity up so dense tiles stay lane-friendly
@@ -90,10 +171,12 @@ def plan_decomposition(spec, r: np.ndarray, n_shards: int,
     # the row count (otherwise binning would collapse the slab's rows into
     # one domain-sized cell)
     local_spec = dataclasses.replace(
-        spec, ncells=(nz_loc,) + spec.ncells[1:],
-        extents=(nz_loc * cell0,) + spec.extents[1:])
+        spec, ncells=(nz_pad,) + spec.ncells[1:],
+        extents=(nz_pad * cell0,) + spec.extents[1:])
     return DistPlan(n_shards=n_shards, cap=cap, perm=perm,
-                    local_spec=local_spec, global_spec=spec)
+                    local_spec=local_spec, global_spec=spec,
+                    row_start=row_start, row_len=row_len,
+                    balanced=balanced)
 
 
 def shard_state(plan: DistPlan, s: SphState) -> SphState:
@@ -195,6 +278,16 @@ def state_shardings(mesh: Mesh, s: SphState, lead_dims=None):
     return jax.tree_util.tree_map(rule, s)
 
 
+def _plan_ghost_fn(plan: DistPlan):
+    """Halo ghost_fn matching the plan's decomposition flavour."""
+    if plan.balanced:
+        from .halo import make_halo_ghost_fn_balanced
+
+        return make_halo_ghost_fn_balanced(
+            "dp", plan.global_spec, plan.local_spec, plan.row_len)
+    return make_halo_ghost_fn("dp", plan.global_spec, plan.local_spec)
+
+
 def _shard_local_binning(plan: DistPlan, box, s: SphState, alive: Array):
     """Per-shard slab spec + seam-unwrapped positions + binning (shared
     by the scheme-specific sharded passes).  Runs INSIDE shard_map."""
@@ -204,7 +297,14 @@ def _shard_local_binning(plan: DistPlan, box, s: SphState, alive: Array):
     nz_loc = local.ncells[0]
 
     idx = lax.axis_index("dp")
-    z0 = spec.lo[0] + idx * nz_loc * cell0
+    if plan.balanced:
+        starts = jnp.asarray(plan.row_start, jnp.int32)
+        lens = jnp.asarray(plan.row_len, jnp.int32)
+        z0 = spec.lo[0] + starts[idx].astype(s.r.dtype) * cell0
+        nz_real = lens[idx].astype(s.r.dtype)
+    else:
+        z0 = spec.lo[0] + idx * nz_loc * cell0
+        nz_real = jnp.asarray(float(nz_loc), s.r.dtype)
     # local spec shifted to this shard's slab (binning clamps to the slab:
     # between replans a drifted particle sticks to the edge row)
     loc = dataclasses.replace(local, lo=(z0,) + local.lo[1:])
@@ -218,14 +318,16 @@ def _shard_local_binning(plan: DistPlan, box, s: SphState, alive: Array):
     r_loc = s.r
     if 0 in box.periodic_dims():
         Lz = spec.extents[0]
-        zc = z0 + 0.5 * nz_loc * cell0
+        zc = z0 + 0.5 * nz_real * cell0
         dz = r_loc[:, 0] - zc
         dz = dz - Lz * jnp.round(dz / Lz)
         r_loc = r_loc.at[:, 0].set(zc + dz)
-
     # padding slots are routed to the virtual overflow cell — they must
-    # not consume fill capacity (a cap's worth of pads share one position)
-    b = g.bin_particles(loc, r_loc, discard=~alive)
+    # not consume fill capacity (a cap's worth of pads share one position).
+    # Balanced plans clamp-bin strays to the REAL row range: pad rows
+    # beyond row_len double as the halo receive window and must stay empty.
+    zrow_max = (lens[idx] - 1) if plan.balanced else None
+    b = g.bin_particles(loc, r_loc, discard=~alive, zrow_max=zrow_max)
     return loc, r_loc, b
 
 
@@ -238,7 +340,7 @@ def dist_sm2012_pass(mesh: Mesh, plan: DistPlan, kern, visc,
     from ..ops.sm2012 import sm2012_pass_dense
 
     loc, r_loc, b = _shard_local_binning(plan, box, s, alive)
-    ghost = make_halo_ghost_fn("dp", plan.global_spec, plan.local_spec)
+    ghost = _plan_ghost_fn(plan)
     out = sm2012_pass_dense(kern, visc, gamma, loc, h_fac, h_converge,
                             b, s.replace(r=r_loc), alive, hydro_forces,
                             ghost_fn=ghost)
@@ -255,7 +357,7 @@ def dist_cd2010_pass(plan: DistPlan, kern, visc, box,
     from ..ops.forces import cullen_dehnen_dense
 
     loc, r_loc, b = _shard_local_binning(plan, box, s, alive)
-    ghost = make_halo_ghost_fn("dp", plan.global_spec, plan.local_spec)
+    ghost = _plan_ghost_fn(plan)
     return cullen_dehnen_dense(kern, visc, loc, b, r_loc, s.v, s.a,
                                s.m, s.h, s.rho, s.sound, s.hfactor,
                                s.alpha, alive, ghost_fn=ghost)
@@ -270,9 +372,89 @@ def dist_drag_pass(plan: DistPlan, kern, law, box, dt,
     from ..ops.dust import drag_pass_dense
 
     loc, r_loc, b = _shard_local_binning(plan, box, s, alive)
-    ghost = make_halo_ghost_fn("dp", plan.global_spec, plan.local_spec)
+    ghost = _plan_ghost_fn(plan)
     return drag_pass_dense(kern, law, loc, dt, b, s.replace(r=r_loc),
                            alive, test_particle, ghost_fn=ghost)
+
+
+def _dist_hydro_pass_mirror(plan: DistPlan, kern, visc, box, eos,
+                            h_fac: float, h_converge: float,
+                            hydro_forces: bool, s: SphState, alive: Array):
+    """Mirror-wall variant of dist_hydro_pass: each shard extends its
+    LOCAL particles with reflected image copies binned into the wall's
+    image-cell layer (ops/sph_grid27.grid_mirror_extend; the analogue of
+    the reference's mirror ghosts under MPI, src/Hydrodynamics/
+    Ghosts.cpp:161-202 — here a parent and its image always share a
+    shard, so no extra communication is needed; halo ppermutes carry the
+    image cells across slab seams like any other cells).  Runs INSIDE
+    shard_map."""
+    spec = plan.global_spec
+    local = plan.local_spec
+    cell0 = spec.extents[0] / spec.ncells[0]
+    nz_loc = local.ncells[0]
+    idx = lax.axis_index("dp")
+    z0 = spec.lo[0] + idx * nz_loc * cell0
+    loc = dataclasses.replace(local, lo=(z0,) + local.lo[1:])
+    # transverse mirror walls can coexist with a periodic slab axis:
+    # min-image-unwrap z about the slab centre (same as
+    # _shard_local_binning) so seam-crossers bin onto the correct edge row
+    r_loc = s.r
+    if 0 in box.periodic_dims():
+        Lz = spec.extents[0]
+        zc = z0 + 0.5 * nz_loc * cell0
+        dz = r_loc[:, 0] - zc
+        dz = dz - Lz * jnp.round(dz / Lz)
+        r_loc = r_loc.at[:, 0].set(zc + dz)
+    r_ext, v_ext, keep = g.grid_mirror_extend(box, spec, r_loc, s.v, alive)
+    b = g.bin_particles(loc, r_ext, discard=~keep)
+
+    N = s.N
+    n_img = r_ext.shape[0] // N
+    tile = lambda x: jnp.tile(x, (n_img,) + (1,) * (x.ndim - 1))
+    hmax = g.hmax_of(spec, kern.kernrange)
+    d = lambda x: g.to_dense(loc, b, x)
+    fill = g.dense_fill_mask(loc, b)
+    r_d = d(r_ext)
+    ghost = _plan_ghost_fn(plan)
+    dens = g.density_grid27(kern, loc, h_fac, h_converge,
+                            r_d, d(tile(s.m)), d(tile(s.h)), fill, hmax,
+                            ghost_fn=ghost)
+    back = lambda x: g.from_dense(loc, b, x)[:N]
+    live = alive
+    sane = lambda x_d, v0: jnp.where(live, back(x_d), v0)
+    h_new = sane(dens.h, 1.0)
+    rho_new = sane(dens.rho, 1.0)
+    invom_new = sane(dens.invomega, 1.0)
+    zeta_new = sane(dens.zeta, 0.0)
+    hfac_new = sane(dens.hfactor, 0.0)
+    u_new, press_new, sound_new = eos.thermal_update(
+        jnp.maximum(rho_new, 1e-30), s.u)
+    u_new = jnp.where(live, u_new, 1e-30)
+    press_new = jnp.where(live, press_new, 0.0)
+    sound_new = jnp.where(live, sound_new, 0.0)
+    if hydro_forces:
+        fields = {"r": r_d, "v": d(v_ext), "m": d(tile(s.m)),
+                  "h": d(tile(h_new)), "rho": d(tile(rho_new)),
+                  "u": d(tile(u_new)), "pressure": d(tile(press_new)),
+                  "sound": d(tile(sound_new)),
+                  "invomega": d(tile(invom_new)),
+                  "hfactor": d(tile(hfac_new)), "alpha": d(tile(s.alpha))}
+        a_d, dudt_d, div_v_d, _ = g.forces_grid27(
+            kern, visc, loc, fields, fill, ghost_fn=ghost)
+        a_new = jnp.where(live[:, None], back(a_d), 0.0)
+        dudt_new = sane(dudt_d, 0.0)
+        div_v_new = sane(div_v_d, 0.0)
+    else:
+        a_new = jnp.zeros_like(s.r)
+        dudt_new = jnp.zeros_like(s.m)
+        div_v_new = jnp.zeros_like(s.m)
+    overflow = lax.pmax((dens.overflow | b.overflow).astype(jnp.int32),
+                        "dp") > 0
+    return s.replace(
+        h=h_new, rho=rho_new, invomega=invom_new, zeta=zeta_new,
+        hfactor=hfac_new, u=u_new, pressure=press_new, sound=sound_new,
+        a=a_new, dudt=dudt_new, div_v=div_v_new,
+        neib_overflow=overflow)
 
 
 def dist_hydro_pass(mesh: Mesh, plan: DistPlan, kern, visc, box, eos,
@@ -282,6 +464,10 @@ def dist_hydro_pass(mesh: Mesh, plan: DistPlan, kern, visc, box, eos,
     into the local z-slab grid, ppermute halo layers, shard-local pair
     kernels.  Runs INSIDE shard_map (applied by the caller)."""
     spec = plan.global_spec
+    if spec.mirror:
+        return _dist_hydro_pass_mirror(plan, kern, visc, box, eos,
+                                       h_fac, h_converge, hydro_forces,
+                                       s, alive)
     nd = s.ndim
     loc, r_loc, b = _shard_local_binning(plan, box, s, alive)
     hmax = g.hmax_of(spec, kern.kernrange)
@@ -289,7 +475,7 @@ def dist_hydro_pass(mesh: Mesh, plan: DistPlan, kern, visc, box, eos,
     fill = g.dense_fill_mask(loc, b) & d(alive)
     r_d, v_d, m_d, h_d = d(r_loc), d(s.v), d(s.m), d(s.h)
 
-    ghost = make_halo_ghost_fn("dp", spec, plan.local_spec)
+    ghost = _plan_ghost_fn(plan)
     dens = g.density_grid27(kern, loc, h_fac, h_converge,
                             r_d, m_d, h_d, fill, hmax, ghost_fn=ghost)
     u_d, press_d, sound_d = eos.thermal_update(
@@ -329,7 +515,7 @@ def dist_levelneib_pass(plan: DistPlan, kern, box, s: SphState,
     max-reduction over the local slab with ppermute halos.  Runs INSIDE
     shard_map; returns levelneib in local particle order."""
     loc, r_loc, b = _shard_local_binning(plan, box, s, alive)
-    ghost = make_halo_ghost_fn("dp", plan.global_spec, plan.local_spec)
+    ghost = _plan_ghost_fn(plan)
     nd = s.ndim
     d = lambda x: g.to_dense(loc, b, x)
     back = lambda x: g.from_dense(loc, b, x)
@@ -442,7 +628,7 @@ def _dist_mfv_binning(plan: DistPlan, box, s, alive: Array):
     dense/back converters and halo ghost fn shared by the three MFV
     passes.  Runs INSIDE shard_map."""
     loc, r_loc, b = _shard_local_binning(plan, box, s, alive)
-    ghost = make_halo_ghost_fn("dp", plan.global_spec, plan.local_spec)
+    ghost = _plan_ghost_fn(plan)
     d = lambda x: g.to_dense(loc, b, x)
     back = lambda x: g.from_dense(loc, b, x)
     fill = g.dense_fill_mask(loc, b) & d(alive)
@@ -561,7 +747,13 @@ def migrate_particles(plan: DistPlan, s: SphState, extra: tuple = (),
     cell0 = gs.extents[0] / nz
     iz = jnp.clip(jnp.floor((s.r[:, 0] - gs.lo[0]) / cell0), 0, nz - 1
                   ).astype(jnp.int32)
-    dest = jnp.clip(iz // nz_loc, 0, S - 1)
+    if plan.balanced:
+        bounds = jnp.asarray(
+            np.concatenate([plan.row_start, [nz]]), jnp.int32)
+        dest = jnp.clip(jnp.searchsorted(bounds, iz, side="right") - 1,
+                        0, S - 1).astype(jnp.int32)
+    else:
+        dest = jnp.clip(iz // nz_loc, 0, S - 1)
     leave = alive & (dest != me)
 
     # ---- pack out-migrants into per-destination buckets ------------------

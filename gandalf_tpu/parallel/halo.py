@@ -21,6 +21,7 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
@@ -85,6 +86,81 @@ def make_halo_ghost_fn(axis_name: str, global_spec, local_spec):
                                    lo_halo.shape[0], axis=0)
         hi_halo = lax.slice_in_dim(hi_halo, 0, qz, axis=0)
         out = jnp.concatenate([lo_halo, x, hi_halo], axis=0)
+        return g.add_ghost_layers(spec_local, out, shift_vec=shift_vec,
+                                  dims=range(1, nd))
+
+    return ghost
+
+
+def make_halo_ghost_fn_balanced(axis_name: str, global_spec, local_spec,
+                                row_len):
+    """ghost_fn for the WORK-BALANCED decomposition (variable contiguous
+    row ranges padded to a common tensor shape; DistPlan.balanced).
+
+    Shard s's local tensor has nz_pad rows of which the first
+    row_len[s] are real.  The halo exchange is single-hop:
+
+    - low side: each shard dynamic-slices its LAST qz real rows
+      (rows [len-qz, len)) and ppermutes them up the ring;
+    - high side: each shard ppermutes its first B rows down the ring,
+      where B = nz_pad - min(row_len) + qz is a STATIC bound on how many
+      rows any receiver needs; the receiver dynamic-update-slices the
+      block at row len (its pad rows double as the receive window, so
+      the 27-shift stencil sees the next shard's cells as ordinary +z
+      neighbours).
+
+    Requires min(row_len) >= qz (checked at plan time; the planner falls
+    back to the uniform split otherwise).
+
+    This is the TPU-native analogue of the reference's work-balanced MPI
+    ghost exchange (FindLoadBalancingDivision split +
+    Ghosts::CopyHydroDataToGhosts over variable domain widths,
+    src/Tree/HydroTree.cpp:1554, src/Hydrodynamics/Ghosts.cpp:161-202)."""
+    nd = global_spec.ndim
+    qz = global_spec.qz
+    nz_pad = local_spec.ncells[0]
+    lens_np = np.asarray(row_len, np.int32)
+    B = int(nz_pad - lens_np.min() + qz)
+    if lens_np.min() < qz:
+        raise ValueError("balanced halo needs min(row_len) >= qz")
+
+    def ghost(spec_local, x, shift_vec=None):
+        ndev = lax.axis_size(axis_name)
+        idx = lax.axis_index(axis_name)
+        up = [(i, (i + 1) % ndev) for i in range(ndev)]
+        down = [(i, (i - 1) % ndev) for i in range(ndev)]
+        L = global_spec.extents[0]
+        lens = jnp.asarray(lens_np)
+        len_me = lens[idx]
+
+        def fix(block, wrapped):
+            """Seam wrap shift / open-edge zeroing (wrapped: bool)."""
+            if global_spec.periodic[0]:
+                if shift_vec is not None:
+                    sgn = jnp.where(wrapped == 1, -L,
+                                    jnp.where(wrapped == -1, L, 0.0))
+                    block = block.at[..., 0].add(
+                        jnp.asarray(sgn, block.dtype))
+                return block
+            return jnp.where(wrapped != 0, jnp.zeros_like(block), block)
+
+        # low halo: prev shard's last qz real rows
+        tail = lax.dynamic_slice_in_dim(x, len_me - qz, qz, axis=0)
+        lo_halo = lax.ppermute(tail, axis_name, up)
+        lo_halo = fix(lo_halo, jnp.where(idx == 0, 1, 0))
+        # high side: next shard's first B rows land at row len_me
+        head = lax.slice_in_dim(x, 0, B, axis=0)
+        nxt = lax.ppermute(head, axis_name, down)
+        nxt = fix(nxt, jnp.where(idx == ndev - 1, -1, 0))
+        # canvas long enough that the B-row update NEVER clamps (a clamp
+        # would overwrite the longest shard's real rows), then trimmed to
+        # the nz_pad + qz rows the stencil actually reads
+        canvas = jnp.concatenate(
+            [x, jnp.zeros((B,) + x.shape[1:], x.dtype)], axis=0)
+        canvas = lax.dynamic_update_slice_in_dim(canvas, nxt, len_me,
+                                                 axis=0)
+        canvas = lax.slice_in_dim(canvas, 0, nz_pad + qz, axis=0)
+        out = jnp.concatenate([lo_halo, canvas], axis=0)
         return g.add_ghost_layers(spec_local, out, shift_vec=shift_vec,
                                   dims=range(1, nd))
 

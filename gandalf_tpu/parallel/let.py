@@ -94,7 +94,8 @@ def plan_let(r_sharded: np.ndarray, perm: np.ndarray, n_shards: int,
              leaf_size: int = 32, theta_sqd: float = 0.1,
              quadrupole: bool = True, h_support: float = 0.0,
              near_cap: int = None,
-             prev: Optional[LetPlan] = None) -> Optional[LetPlan]:
+             prev: Optional[LetPlan] = None,
+             w_slab_min: float = None) -> Optional[LetPlan]:
     """Plan the ring-LET decomposition.  Returns None only for S < 2.
 
     r_sharded: (S*cap, ndim) positions in the padded shard-major layout.
@@ -107,7 +108,10 @@ def plan_let(r_sharded: np.ndarray, perm: np.ndarray, n_shards: int,
         return None
     ndim = r_sharded.shape[1]
     theta = float(np.sqrt(theta_sqd))
-    w_slab = z_extent / S
+    # work-balanced decompositions have variable slab widths: the ring
+    # radius must cover the NARROWEST slab (a far shard at ring distance
+    # R+1 is >= R * w_min away from any local target)
+    w_slab = w_slab_min if w_slab_min is not None else z_extent / S
 
     # per-shard KD buckets over the REAL local slots
     gmaps = []

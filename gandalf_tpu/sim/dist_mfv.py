@@ -46,6 +46,8 @@ class DistributedMfvSimulation(MfvMusclSimulation):
             unsupported.append("bruteforce neighbour search")
         if self.box.mirror_walls():
             unsupported.append("mirror boundaries")
+        if getattr(self, "use_radws_energy", False):
+            unsupported.append("radws cooling")
         if unsupported:
             raise NotImplementedError(
                 "distributed MFV does not yet support: "
@@ -61,7 +63,8 @@ class DistributedMfvSimulation(MfvMusclSimulation):
                                     self.kern.kernrange,
                                     z_multiple=self.n_shards)
         self.distplan = dist.plan_decomposition(self.gridspec, r_np,
-                                                self.n_shards)
+                                                self.n_shards,
+                                                balance="auto")
 
     def _plan_dist_tree(self, r_sharded: np.ndarray):
         """MFV gravity always walks the REPLICATED bucket tree (the LET

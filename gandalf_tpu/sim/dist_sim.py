@@ -54,14 +54,23 @@ class DistributedGradhSphSimulation(GradhSphSimulation):
         if self.n_shards > n_dev:
             raise ValueError(f"Nmpi={self.n_shards} > {n_dev} devices")
         unsupported = []
-        if self.use_block and getattr(self, "use_radws_energy", False):
-            unsupported.append("block timesteps + radws energy")
-        if self.use_block and getattr(self, "has_dust", False):
-            unsupported.append("block timesteps + dust drag")
         if not self.use_celllist:
             unsupported.append("bruteforce neighbour search")
         if self.box.mirror_walls():
-            unsupported.append("mirror boundaries")
+            # plain grad-h mirror walls shard via the image-cell layers
+            # (parallel/dist._dist_hydro_pass_mirror); couplings whose
+            # sharded kernels have no image support stay excluded
+            for flag, name in ((self.self_gravity,
+                                "mirror walls + self-gravity"),
+                               (self.has_dust, "mirror walls + dust"),
+                               (self.use_block,
+                                "mirror walls + block timesteps"),
+                               (self.sink_particles or self.create_sinks,
+                                "mirror walls + sinks"),
+                               (getattr(self, "scheme", "") == "sm2012",
+                                "mirror walls + sm2012")):
+                if flag:
+                    unsupported.append(name)
         if unsupported:
             raise NotImplementedError(
                 "distributed mode does not yet support: "
@@ -76,8 +85,12 @@ class DistributedGradhSphSimulation(GradhSphSimulation):
         self.gridspec = plan_grid27(self.box, r_np, h_max,
                                     self.kern.kernrange,
                                     z_multiple=self.n_shards)
+        # balance="auto": clustered distributions re-split on
+        # count-weighted row boundaries (FindLoadBalancingDivision
+        # analogue, parallel/dist._balance_rows)
         self.distplan = dist.plan_decomposition(self.gridspec, r_np,
-                                                self.n_shards)
+                                                self.n_shards,
+                                                balance="auto")
 
     def _plan_dist_tree(self, r_sharded: np.ndarray):
         """Plan distributed gravity.  Preferred: the memory-scalable LET
@@ -97,13 +110,17 @@ class DistributedGradhSphSimulation(GradhSphSimulation):
         h_max = float(np.asarray(self.state.h).max()) \
             if self.state is not None else 0.0
         prev_let = getattr(self, "letplan", None)
+        cell0 = self.gridspec.extents[0] / self.gridspec.ncells[0]
+        w_min = (float(self.distplan.row_len.min()) * cell0
+                 if self.distplan.balanced else None)
         self.letplan = let_mod.plan_let(
             np.asarray(r_sharded, np.float64), self.distplan.perm,
             self.n_shards, self.distplan.cap,
             z_lo=self.gridspec.lo[0], z_extent=self.gridspec.extents[0],
             leaf_size=32, theta_sqd=theta_sqd,
             quadrupole=mp in ("quadrupole", "fast_quadrupole"),
-            h_support=self.kern.kernrange * h_max, prev=prev_let)
+            h_support=self.kern.kernrange * h_max, prev=prev_let,
+            w_slab_min=w_min)
         if self.letplan is not None:
             self.treespec = None
             self.state = self.state.replace(
@@ -355,11 +372,17 @@ class DistributedGradhSphSimulation(GradhSphSimulation):
         sim = self
         cfg = BlockConfig(nlevels=self.nlevels,
                           level_diff_max=self.level_diff_max)
-        u_mode = "energy" if integ.energy_integration else "none"
+        u_mode = "radws" if self.use_radws_energy else (
+            "energy" if integ.energy_integration else "none")
 
         def local_gas_block(s: SphState):
             alive = s.alive
             s, _ = self._dist_force_pass(s, None, alive)
+            if sim.has_dust:
+                s = self._dist_apply_drag(
+                    s, jnp.asarray(0.0, s.r.dtype), alive)
+            if sim.use_radws_energy:
+                s = self._radws_equilibrium(s)
             s = s.replace(a0=s.a, dudt0=s.dudt, u0=s.u, r0=s.r, v0=s.v)
             dt_part = sph_timestep(integ, s, self.hydro_forces)
             s, sched = init_schedule(cfg, s, dt_part, axis_name="dp")
@@ -370,12 +393,23 @@ class DistributedGradhSphSimulation(GradhSphSimulation):
             s = s.replace(r=box.wrap(s.r), r0=box.wrap(s.r0), t=t)
             alive = s.alive
             s, _ = self._dist_force_pass(s, None, alive)
+            if sim.has_dust:
+                # per-particle step dt (Dust.cpp:216-218 drag_timestep)
+                dt_drag = B.nstep_part.astype(s.m.dtype) * B.dt_base
+                s = self._dist_apply_drag(s, dt_drag, alive)
             s = s.replace(levelneib=dist.dist_levelneib_pass(
                 self.distplan, sim.kern, box, s, alive))
             if integ.td_avisc:
                 s = s.replace(alpha=s.alpha
                               + self._dalphadt(s) * B.dt_base)
             active, nstep_p, level = check_timesteps(cfg, s, B, active)
+            if sim.use_radws_energy:
+                # refresh (ueq, dt_therm) for particles ending their step
+                # (EnergyRadws::EndTimestep) — pointwise, shard-safe
+                s2 = self._radws_equilibrium(s)
+                s = s.replace(
+                    ueq=jnp.where(active, s2.ueq, s.ueq),
+                    dt_therm=jnp.where(active, s2.dt_therm, s.dt_therm))
             dt_crit = sph_timestep(integ, s, self.hydro_forces)
             s, B = end_timestep(cfg, s, B, active, level, nstep_p,
                                 dt_crit, t, u_mode, axis_name="dp")
@@ -453,8 +487,17 @@ class DistributedGradhSphSimulation(GradhSphSimulation):
             if not bootstrap:
                 t = s.t + dt
                 s = predict(integ, s, dt)
+                if sim.use_radws_energy:
+                    # exponential relaxation toward radiative equilibrium
+                    # (EnergyRadws::EnergyIntegration) — pointwise, so it
+                    # shards trivially
+                    from ..ops.radws import radws_energy_integration
+
+                    s = s.replace(u=radws_energy_integration(
+                        s.u0, s.ueq, s.dt_therm, dt))
                 r = box.wrap(s.r)
-                s = s.replace(r=r, r0=box.wrap(s.r0))
+                r, v = box.reflect(r, s.v)
+                s = s.replace(r=r, v=v, r0=box.wrap(s.r0))
             alive = s.alive
             s, _ = self._dist_force_pass(s, None, alive)
             if sim.has_dust:
@@ -463,9 +506,14 @@ class DistributedGradhSphSimulation(GradhSphSimulation):
             if bootstrap:
                 s = s.replace(a0=s.a, dudt0=s.dudt, u0=s.u, r0=s.r,
                               v0=s.v)
+                if sim.use_radws_energy:
+                    s = self._radws_equilibrium(s)
             else:
                 s, dal = self._dist_td_avisc(s, alive)
                 s = correct(integ, s, dt, dal)
+                if sim.use_radws_energy:
+                    s = self._radws_equilibrium(s)
+                    s = s.replace(u0=s.u, dudt0=s.dudt)
             dt_next = self._dist_dt(s, None, alive)
             if bootstrap:
                 return s.replace(dt=dt_next)

@@ -56,11 +56,14 @@ def _jitter_ic(sim, seed=11, dust_frac=0.0):
     return ic
 
 
-def _run(nmpi, grav, n_steps=3, n_side=16, dust_frac=0.0, **over):
+def _run(nmpi, grav, n_steps=3, n_side=16, dust_frac=0.0, ic_tweak=None,
+         **over):
     sim = SimulationBase.factory(box_params(n_side=n_side, nmpi=nmpi,
                                             grav=grav, **over))
     sim.process_parameters()
     ic = _jitter_ic(sim, dust_frac=dust_frac)
+    if ic_tweak is not None:
+        ic = ic_tweak(ic)
     # inject the jittered ICs through the normal setup path (patch both
     # the ic module and simulation.py's module-level import of the name)
     import gandalf_tpu.sim.ic as ic_mod
@@ -288,6 +291,41 @@ class TestDistributedBlock:
         assert sim.t > 0
 
 
+RADWS = {"gas_eos": "radws", "energy_integration": "radws",
+         "gamma_eos": 1.6666666666666667, "mu_bar": 1.0,
+         "temp_ambient": 10.0, "radws_table": "/nonexistent"}
+
+
+class TestDistributedRadws:
+    """radws energy relaxation in distributed mode: the EnergyRadws update
+    (ueq/dt_therm refresh + exponential relaxation) is pointwise per
+    particle, so it shards with the particles; the reference runs
+    EnergyRadws under MPI unchanged (src/Hydrodynamics/EnergyRadws.cpp)."""
+
+    def test_matches_single_device(self):
+        """3 global-dt steps of a hot jittered box: distributed radws ==
+        single-chip to roundoff (u relaxes toward ambient)."""
+        s1 = _sorted_state(_run(0, grav=0, press1=66.67, **RADWS))
+        s4 = _sorted_state(_run(4, grav=0, press1=66.67, **RADWS))
+        for k in ("r", "v", "rho", "u", "h"):
+            np.testing.assert_allclose(s4[k], s1[k], rtol=2e-11,
+                                       atol=1e-12, err_msg=k)
+        # the relaxation must actually act: u dropped from the hot IC
+        u0 = 66.67 / ((1.6666666666666667 - 1.0) * 1.0)
+        assert s4["u"].max() < u0
+
+    def test_block_matches_single_device(self):
+        """Block ticks (Nlevels=3) x radws in distributed mode vs the
+        single-chip full-pass block oracle."""
+        over = dict(Nlevels=3, press1=66.67, **RADWS)
+        s1 = _sorted_state(_run(0, grav=0, n_steps=8,
+                                neib_search="bruteforce", **over))
+        s4 = _sorted_state(_run(4, grav=0, n_steps=8, **over))
+        for k in ("r", "v", "rho", "u", "h"):
+            np.testing.assert_allclose(s4[k], s1[k], rtol=2e-10,
+                                       atol=1e-11, err_msg=k)
+
+
 class TestDistributedSinks:
     """Sinks/stars in distributed mode (reference MPI sink sync,
     MpiControl::UpdateSinksAfterAccretion src/Mpi/MpiControl.cpp:408-431):
@@ -492,3 +530,118 @@ class TestDistributedMfv:
         assert d["m"].sum() == pytest.approx(1.0, rel=1e-12)
         assert np.abs(d["a"]).max() > 0.0
         assert np.abs(d["gpot"]).max() > 0.0
+
+
+class TestDistributedMirror:
+    """Mirror/wall boundaries over the sharded runtime: each shard extends
+    its local particles with reflected image copies binned into the
+    wall's image-cell layer (parallel/dist._dist_hydro_pass_mirror; the
+    reference exchanges mirror ghosts over MPI,
+    src/Hydrodynamics/Ghosts.cpp:161-202)."""
+
+    def test_mirror_slab_axis_matches_single(self):
+        """Mirror walls on BOTH ends of the slab (sharding) axis."""
+        over = {"boundary_lhs[0]": "mirror", "boundary_rhs[0]": "mirror"}
+        s1 = _sorted_state(_run(0, grav=0, **over))
+        s2 = _sorted_state(_run(2, grav=0, **over))
+        for k in ("r", "v", "rho", "u", "h"):
+            np.testing.assert_allclose(s2[k], s1[k], rtol=2e-11,
+                                       atol=1e-12, err_msg=k)
+
+    def test_mirror_transverse_matches_single(self):
+        """Wall/mirror boundaries on the non-sharded dims, 4 shards."""
+        over = {"boundary_lhs[1]": "mirror", "boundary_rhs[1]": "wall",
+                "boundary_lhs[2]": "mirror", "boundary_rhs[2]": "mirror"}
+        s1 = _sorted_state(_run(0, grav=0, **over))
+        s4 = _sorted_state(_run(4, grav=0, **over))
+        for k in ("r", "v", "rho", "u", "h"):
+            np.testing.assert_allclose(s4[k], s1[k], rtol=2e-11,
+                                       atol=1e-12, err_msg=k)
+
+
+def _cluster_z(ic):
+    """Concentrate particles toward z=0 (z -> z^2): a 4-shard uniform
+    split gives the first shard ~50% of the particles, which trips the
+    work-balanced re-split."""
+    ic = dict(ic)
+    r = np.array(ic["r"])
+    r[:, 0] = r[:, 0] ** 2
+    ic["r"] = r
+    return ic
+
+
+class TestBalancedDecomposition:
+    """Work-based load balancing (reference FindLoadBalancingDivision,
+    src/Tree/HydroTree.cpp:1554): clustered distributions re-split on
+    count-weighted contiguous row ranges; shards own variable row ranges
+    padded to a common tensor shape, with dynamic-slice halo exchange
+    (parallel/halo.make_halo_ghost_fn_balanced)."""
+
+    def _clustered_points(self, n=4096, seed=3):
+        rng = np.random.default_rng(seed)
+        r = rng.uniform(size=(n, 3))
+        r[:, 0] = r[:, 0] ** 2
+        return r
+
+    def test_planner_balances_counts(self):
+        from gandalf_tpu.ops.sph_grid27 import plan_grid27
+        from gandalf_tpu.parallel import dist as dist_mod
+        from gandalf_tpu.state import PERIODIC, DomainBox
+
+        box = DomainBox(ndim=3, boxmin=(0.0, 0.0, 0.0),
+                        boxmax=(1.0, 1.0, 1.0),
+                        lhs=(PERIODIC,) * 3, rhs=(PERIODIC,) * 3)
+        r = self._clustered_points()
+        spec = plan_grid27(box, r, 16.0 / 256.0, 2.0, z_multiple=4)
+        uni = dist_mod.plan_decomposition(spec, r, 4)
+        bal = dist_mod.plan_decomposition(spec, r, 4, balance="auto")
+        assert not uni.balanced and bal.balanced
+        assert bal.row_len.max() > bal.row_len.min()
+        assert bal.row_len.sum() == spec.ncells[0]
+        assert (bal.row_start == np.concatenate(
+            [[0], np.cumsum(bal.row_len)[:-1]])).all()
+        # the balanced split shrinks the padded particle capacity
+        assert bal.cap < uni.cap
+        # and every shard's count sits within ~35% of the mean
+        cnt = np.bincount(
+            np.searchsorted(np.concatenate([bal.row_start,
+                                            [spec.ncells[0]]]),
+                            np.clip((r[:, 0] / spec.extents[0]
+                                     * spec.ncells[0]).astype(int), 0,
+                                    spec.ncells[0] - 1),
+                            side="right") - 1, minlength=4)
+        # 8 z rows give coarse boundaries: imbalance drops from 2.0x
+        # (uniform) to < 1.45x
+        assert cnt.max() < 1.45 * cnt.mean()
+
+    def test_matches_single_device(self):
+        """Clustered jittered box, 4 shards: the balanced decomposition
+        must reproduce single-chip hydro to roundoff.  (32^3 so the grid
+        has 8 z rows — with only one row per shard there is nothing to
+        re-split.)"""
+        s1 = _sorted_state(_run(0, grav=0, n_side=32, ic_tweak=_cluster_z))
+        sim4 = _run(4, grav=0, n_side=32, ic_tweak=_cluster_z)
+        assert sim4.distplan.balanced    # the split actually engaged
+        s4 = _sorted_state(sim4)
+        for k in ("r", "v", "rho", "u", "h"):
+            np.testing.assert_allclose(s4[k], s1[k], rtol=2e-11,
+                                       atol=1e-12, err_msg=k)
+
+    def test_gravity_matches_oracle_balanced(self):
+        """Self-gravity over the balanced split (LET ring walk with the
+        narrowest-slab ring radius) against the direct oracle."""
+        import jax.numpy as jnp
+
+        from gandalf_tpu.ops.sph_gravity import direct_sph_gravity
+
+        sim = _run(4, grav=1, n_steps=1, n_side=32, ic_tweak=_cluster_z)
+        assert sim.distplan.balanced
+        d = sim._state_to_host()
+        s1 = _run(0, grav=1, n_steps=1, n_side=32, ic_tweak=_cluster_z)
+        g1 = _sorted_state(s1)
+        g4 = {k: v[np.lexsort((d["r"][:, 2], d["r"][:, 1],
+                               d["r"][:, 0]))] for k, v in d.items()}
+        # multipole-truncation-level agreement on accelerations
+        scale = np.abs(g1["a"]).max()
+        np.testing.assert_allclose(g4["a"] / scale, g1["a"] / scale,
+                                   atol=2e-2)

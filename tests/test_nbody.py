@@ -160,3 +160,22 @@ class TestHierarchicalICs:
         s.Run()
         e1 = sum(energies(s.state))
         assert abs(e1 - e0) / abs(e0) < 1e-4
+
+
+class TestNmpiNbody:
+    def test_nmpi_runs_replicated(self):
+        """Nmpi > 1 pure N-body: the reference replicates the star set on
+        every MPI rank and integrates identically (NbodySimulation.cpp has
+        no decomposition; star broadcasts in src/Nbody/Sinks.cpp:228-233),
+        so the factory returns the direct-sum controller and the result is
+        bit-identical to Nmpi = 1."""
+        runs = {}
+        for nmpi in (1, 2):
+            p = nbody_params(ic="binary", ndim=2, abin=1.0, ebin=0.0,
+                             m1=0.5, m2=0.5, tend=1.0, nbody_mult=0.05,
+                             Nmpi=nmpi)
+            s = SimulationBase.factory(p)
+            s.SetupSimulation()
+            s.Run()
+            runs[nmpi] = np.asarray(s.state.r).copy()
+        np.testing.assert_array_equal(runs[2], runs[1])
