@@ -143,12 +143,16 @@ def check_timesteps_mfv(cfg: BlockConfig, s: MfvState, B: BlockSchedule,
 def end_timestep_mfv(cfg: BlockConfig, eos, s: MfvState, B: BlockSchedule,
                      active: Array, level: Array, nstep_part: Array,
                      dt_crit: Array, t: Array,
-                     dt_extra: Array = None, axis_name: str = None
-                     ) -> Tuple[MfvState, BlockSchedule]:
+                     dt_extra: Array = None, axis_name: str = None,
+                     cooling_fn=None) -> Tuple[MfvState, BlockSchedule]:
     """Commit the conserved state of particles ending their step
     (MfvIntegration::EndTimestep: Qcons = Qcons0 + dQ + trapezoidal
     gravity + rdmdt correction; reset dQ/dQdt/rdmdt; freeze r0/v0/a0) and
-    update the shared ladder."""
+    update the shared ladder.  cooling_fn(Qcons, ndens, gpot, dt_own), if
+    given, folds a radiative source term into the committed conserved
+    vector with the particle's OWN step length (the reference applies
+    part.cooling at EndTimestep, MfvIntegration.cpp:88-89 +
+    EnergyRadws<MeshlessFVParticle>, EnergyRadws.cpp:215-260)."""
     ndim = s.ndim
     n = B.n + 1
     dn = (n - s.nlast).astype(s.m.dtype)
@@ -159,6 +163,8 @@ def end_timestep_mfv(cfg: BlockConfig, eos, s: MfvState, B: BlockSchedule,
 
     Qg = gravity_source_terms_pp(ndim, dt_own, s.Qcons0, Q, s.a0, s.a,
                                  s.rdmdt)
+    if cooling_fn is not None:
+        Qg = cooling_fn(Qg, s.ndens, s.gpot, dt_own)
     m, rho, v, u = state_from_qcons(ndim, Qg, s.ndens)
     u2, pressure, sound = eos.thermal_update(jnp.maximum(rho, 1e-30), u)
 

@@ -46,8 +46,6 @@ class DistributedMfvSimulation(MfvMusclSimulation):
             unsupported.append("bruteforce neighbour search")
         if self.box.mirror_walls():
             unsupported.append("mirror boundaries")
-        if getattr(self, "use_radws_energy", False):
-            unsupported.append("radws cooling")
         if unsupported:
             raise NotImplementedError(
                 "distributed MFV does not yet support: "
@@ -144,11 +142,19 @@ class DistributedMfvSimulation(MfvMusclSimulation):
                 rdmdt = flux.rdmdt_dot * dt
                 Qcons = mfv_ops.gravity_source_terms(
                     ndim, dt, s.Qcons0, Qcons, s.a0, a, rdmdt)
+                if self.use_radws_energy:
+                    # pointwise table lookups + bisection — shards
+                    # trivially (EnergyRadws<MeshlessFVParticle>)
+                    Qcons = self._apply_radws_cooling(Qcons, s.ndens,
+                                                      gpot, dt)
                 m, rho, v, u = mfv_ops.state_from_qcons(ndim, Qcons,
                                                         s.ndens)
                 s = s.replace(m=m, v=v, u=u, r=r, Qcons0=Qcons,
                               r0=r, v0=v, a=a, a0=a, gpot=gpot)
             else:
+                if self.use_radws_energy:
+                    Qcons = self._apply_radws_cooling(Qcons, s.ndens,
+                                                      s.gpot, dt)
                 m, rho, v, u = mfv_ops.state_from_qcons(ndim, Qcons,
                                                         s.ndens)
                 r = box.wrap(s.r0 + 0.5 * (s.v0 + v) * dt)

@@ -89,10 +89,6 @@ class MfvMusclSimulation(SimulationBase):
             raise NotImplementedError(
                 "block timesteps are wired to the MUSCL MFV scheme "
                 "(the reference's RK2 block coupling differs)")
-        if self.use_radws_energy and self.use_block:
-            raise NotImplementedError(
-                "MFV radws cooling is wired to the global-timestep "
-                "scheme")
         if self.self_gravity and self.box.periodic_dims() \
                 and bool(p.intparams["ewald"]):
             raise NotImplementedError("periodic MFV self-gravity with "
@@ -524,8 +520,11 @@ class MfvMusclSimulation(SimulationBase):
                 vsig = jnp.maximum(vsig, self._vsig_conservative(s))
             dt_crit = self._dt_criterion_part(s.replace(vsig_max=vsig))
             # ---- commit enders + ladder (EndTimestep) ------------------
+            cooling = (self._apply_radws_cooling
+                       if self.use_radws_energy else None)
             s, B = end_timestep_mfv(cfg, self.eos, s, B, active, level,
-                                    nstep_p, dt_crit, t)
+                                    nstep_p, dt_crit, t,
+                                    cooling_fn=cooling)
             # ---- gradients for the NEXT tick's fluxes ------------------
             s = self._gradient_pass(s)
             return s.replace(nstep=s.nstep + 1), B

@@ -531,6 +531,22 @@ class TestDistributedMfv:
         assert np.abs(d["a"]).max() > 0.0
         assert np.abs(d["gpot"]).max() > 0.0
 
+    def test_radws_cooling_matches_single_device(self):
+        """radws cooling on distributed MFV: the implicit-heating fold
+        into the total-energy conserved variable is pointwise
+        (EnergyRadws<MeshlessFVParticle>), so it shards with the
+        particles — parity with the single-chip grid controller, and the
+        hot box must actually cool."""
+        over = dict(sim="mfvmuscl", riemann_solver="hllc",
+                    press1=66.67, **RADWS)
+        s1 = _sorted_state(_run(0, grav=0, n_steps=3, n_side=12, **over))
+        s4 = _sorted_state(_run(4, grav=0, n_steps=3, n_side=12, **over))
+        for k in ("r", "v", "rho", "u", "h"):
+            np.testing.assert_allclose(s4[k], s1[k], rtol=5e-11,
+                                       atol=1e-12, err_msg=k)
+        u0 = 66.67 / ((1.6666666666666667 - 1.0) * 1.0)
+        assert s4["u"].max() < u0
+
 
 class TestDistributedMirror:
     """Mirror/wall boundaries over the sharded runtime: each shard extends

@@ -334,6 +334,24 @@ class TestMfvRadws:
         m = np.asarray(sim.state.m)
         assert m.sum() == pytest.approx(1.0, rel=1e-10)
 
+    def test_block_mfv_box_cools_to_ambient(self):
+        """radws cooling under hierarchical block timesteps: the cooling
+        commit rides EndTimestep with the particle's OWN step length
+        (MfvIntegration.cpp:88-89 part.cooling applied at commit)."""
+        from gandalf_tpu.sim.mfv_sim import MfvMusclSimulation
+
+        p = _radws_box(press=66.67, sim="mfvmuscl", Nlevels=3,
+                       time_step_limiter="simple")
+        sim = MfvMusclSimulation(p)
+        sim.SetupSimulation()
+        assert sim.use_radws_energy and sim.use_block
+        for _ in range(60):
+            sim.main_loop_step()
+        T = np.asarray(sim.state.u) * (2.0 / 3.0)
+        assert np.allclose(T, 10.0, rtol=0.12)
+        m = np.asarray(sim.state.m)
+        assert m.sum() == pytest.approx(1.0, rel=1e-10)
+
     def test_implicit_heating_equilibrium(self):
         """The implicit solve lands on the energy balance root: a particle
         AT the ambient temperature has ~zero heating; a hot one cools; a
