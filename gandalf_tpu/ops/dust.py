@@ -267,12 +267,63 @@ def drag_twofluid_view(kern: SmoothingKernel, law: DragLaw, dt: Array,
 
 
 def drag_pass_grid(kern: SmoothingKernel, law: DragLaw, spec, dt,
-                   s, alive: Array, test_particle: bool) -> DragResult:
+                   s, alive: Array, test_particle: bool,
+                   box=None) -> DragResult:
     """Gas-dust drag over grid27 candidate gathers (the reference's
     dust-specific neighbour finder, src/Headers/Dust.h:46-358, on the
-    structured grid instead of the O(N^2) fallback)."""
+    structured grid instead of the O(N^2) fallback).
+
+    Mirror walls (spec.mirror, requires `box`): the binning is extended
+    with reflected image copies (the reference's mirror ghosts walk the
+    drag tree too, Ghosts.cpp:161-202); images flip the wall-normal
+    component of v AND a/a0 (the kick-start velocity difference uses
+    both, Dust.cpp:52-55), and a dust row's energy deposit onto a gas
+    IMAGE candidate is redirected to the image's parent (the symmetric
+    image-pair contribution)."""
     from . import sph_grid27 as g
     from .active_grid import gather_active_candidates
+
+    N = s.N
+    if spec.mirror:
+        walls = box.mirror_walls()
+        parts = {"r": [s.r], "v": [s.v], "a": [s.a], "a0": [s.a0]}
+        keeps = [alive]
+        for (k, side) in walls:
+            bound = box.boxmin[k] if side == 0 else box.boxmax[k]
+            layers = spec.qz if k == 0 else 1
+            cell_k = spec.extents[k] / spec.ncells[k]
+            rad = layers * cell_k
+            parts["r"].append(s.r.at[:, k].set(2.0 * bound - s.r[:, k]))
+            for nm in ("v", "a", "a0"):
+                w = getattr(s, nm)
+                parts[nm].append(w.at[:, k].set(-w[:, k]))
+            keeps.append(alive & (jnp.abs(s.r[:, k] - bound) < rad))
+        n_rep = 1 + len(walls)
+        tile = lambda x: jnp.tile(x, (n_rep,))
+        ext = {nm: jnp.concatenate(ps, axis=0)
+               for nm, ps in parts.items()}
+        m_e, h_e = tile(s.m), tile(s.h)
+        rho_e, snd_e, pt_e = tile(s.rho), tile(s.sound), tile(s.ptype)
+        keep = jnp.concatenate(keeps, axis=0)
+        b = g.bin_particles(spec, ext["r"], discard=~keep)
+        idx = jnp.arange(N, dtype=jnp.int32)      # targets: parents only
+        ag = gather_active_candidates(spec, b, ext["r"], idx, alive)
+        cid = jnp.maximum(ag.ids, 0)
+        nb = {
+            "v": jnp.where(ag.mask[..., None], ext["v"][cid], 0.0),
+            "a": jnp.where(ag.mask[..., None], ext["a"][cid], 0.0),
+            "a0": jnp.where(ag.mask[..., None], ext["a0"][cid], 0.0),
+            "m": jnp.where(ag.mask, m_e[cid], 0.0),
+            "h": jnp.where(ag.mask, h_e[cid], 1.0),
+            "rho": jnp.where(ag.mask, rho_e[cid], 1.0),
+            "sound": jnp.where(ag.mask, snd_e[cid], 0.0),
+            "ptype": jnp.where(ag.mask, pt_e[cid], -1),
+        }
+        return drag_twofluid_view(kern, law, dt, s.v, s.a, s.a0, s.m,
+                                  s.h, s.rho, s.sound, s.ptype, ag.dr,
+                                  jnp.where(ag.mask, cid % N, 0), nb,
+                                  ag.mask, test_particle=test_particle,
+                                  dudt_size=N)
 
     b = g.bin_particles(spec, s.r, discard=~alive)
     idx = jnp.arange(s.N, dtype=jnp.int32)

@@ -71,10 +71,15 @@ def density_mfv_grid27(kern: SmoothingKernel, spec: Grid27Spec,
                        h_fac: float, h_converge: float,
                        r_d: Array, m_d: Array, h_d: Array, fill: Array,
                        hmax: float, slab_chunk: int = None,
-                       ghost_fn=None) -> MfvGridDensity:
+                       ghost_fn=None, count_fill: Array = None) -> MfvGridDensity:
     """Number-density h iteration over the structured grid
     (MfvCommon::ComputeH, MfvCommon.cpp:105-240): h = h_fac / ndens^(1/nd),
-    with the omega/zeta grad-h corrections on the NUMBER density."""
+    with the omega/zeta grad-h corrections on the NUMBER density.
+
+    `count_fill` (optional, defaults to `fill`) restricts the overflow
+    check to a subset of filled slots — the mirror path's parent rows
+    (edge-of-band image copies legitimately miss their own second-layer
+    neighbours and run h past hmax; their h result is discarded)."""
     nd = spec.ndim
     invndim = 1.0 / nd
     ghost = ghost_fn or add_ghost_layers
@@ -170,8 +175,9 @@ def density_mfv_grid27(kern: SmoothingKernel, spec: Grid27Spec,
     # Omega correction on number density (MfvCommon.cpp:199-205)
     invomega = 1.0 / (1.0 + invndim * h_final * invom / ndens_safe)
     zeta_final = -invndim * m_d * h_final * zeta * invomega / ndens_safe
-    overflow = jnp.any(jnp.where(fill, ~done, False)) | \
-        jnp.any(jnp.where(fill, h_final, 0.0) > 0.99 * hmax)
+    cfill = fill if count_fill is None else count_fill
+    overflow = jnp.any(jnp.where(cfill, ~done, False)) | \
+        jnp.any(jnp.where(cfill, h_final, 0.0) > 0.99 * hmax)
     sane = lambda x, v: jnp.where(fill, x, v)
     return MfvGridDensity(h=sane(h_final, 1.0), ndens=sane(ndens, 1.0),
                           rho=sane(rho, 1.0), invomega=sane(invomega, 1.0),

@@ -254,12 +254,18 @@ def sm2012_hydro_pass_grid(kern: SmoothingKernel,
 def sm2012_pass_dense(kern: SmoothingKernel, visc: ArtificialViscosity,
                       gamma: float, spec, h_fac: float, h_converge: float,
                       binning, s, alive, hydro_forces: bool,
-                      ghost_fn=None):
+                      ghost_fn=None, count_alive=None):
     """SM2012 hydro pass over DENSE shifted cell tensors: h-rho iteration
     via density_grid27, then the q sum and the view force kernel
     accumulated over the (2qz+1)*3^(nd-1) shifts.  `binning` is the
     particle binning for `spec` (local slab inside shard_map).  Returns
-    the updated SphState."""
+    the updated SphState.
+
+    `count_alive` (optional) restricts the overflow check to a subset of
+    rows — the mirror path passes the parent rows only, because image
+    copies at the edge of the image band legitimately miss their own
+    second-layer neighbours and run h past hmax (their h result is
+    discarded)."""
     import dataclasses as _dc
 
     from . import sph_grid27 as g
@@ -272,8 +278,10 @@ def sm2012_pass_dense(kern: SmoothingKernel, visc: ArtificialViscosity,
     hmax = g.hmax_of(spec, kern.kernrange)
 
     r_d, m_d, h_d = d(s.r), d(s.m), d(s.h)
+    cf = None if count_alive is None else d(count_alive)
     dens = g.density_grid27(kern, spec, h_fac, h_converge,
-                            r_d, m_d, h_d, fill, hmax, ghost_fn=ghost)
+                            r_d, m_d, h_d, fill, hmax, ghost_fn=ghost,
+                            count_fill=cf)
 
     # dense q sum + forces over the shift stencil, accumulated through
     # the shared view kernel (flattened (cells*K, K_nb) views per shift)

@@ -343,7 +343,7 @@ def density_grid27(kern: SmoothingKernel, spec: Grid27Spec,
                    h_fac: float, h_converge: float,
                    r_d: Array, m_d: Array, h_d: Array, fill: Array,
                    hmax: float, slab_chunk: int = None,
-                   ghost_fn=None) -> Grid27Density:
+                   ghost_fn=None, count_fill: Array = None) -> Grid27Density:
     """Grad-h h-rho iteration over the structured grid (27 static shifts).
 
     All tensors are dense (*ncells, K, ...); returns dense results.
@@ -352,6 +352,13 @@ def density_grid27(kern: SmoothingKernel, spec: Grid27Spec,
     slab's while_loop converges independently — stragglers don't force
     extra sweeps over the whole grid — and (b) the (cells, K, K) pair
     temporaries stay small.
+
+    `count_fill` (optional, defaults to `fill`) restricts the OVERFLOW
+    check to a subset of filled slots: the mirror path's image copies near
+    the outer edge of the image layer legitimately miss their own
+    second-layer neighbours so their h runs past hmax, but their h result
+    is discarded (parents re-scatter onto images before the force pass) —
+    only PARENT slots decide whether the grid must be replanned.
     """
     nd = spec.ndim
     invndim = 1.0 / nd
@@ -469,8 +476,9 @@ def density_grid27(kern: SmoothingKernel, spec: Grid27Spec,
     dh_drho = -invndim * h_final / jnp.maximum(rho, 1e-300)
     invomega = 1.0 / (1.0 - dh_drho * invom)
     zeta_final = dh_drho * zeta * invomega
-    overflow = jnp.any(jnp.where(fill, ~done, False)) | \
-        jnp.any(jnp.where(fill, h_final, 0.0) > 0.99 * hmax)
+    cfill = fill if count_fill is None else count_fill
+    overflow = jnp.any(jnp.where(cfill, ~done, False)) | \
+        jnp.any(jnp.where(cfill, h_final, 0.0) > 0.99 * hmax)
     # Sanitise EMPTY slots to benign values: they participate as (masked)
     # neighbours in the force pass, and NaN/inf there would poison valid
     # pairs through 0*NaN.
@@ -681,8 +689,12 @@ def _hydro_pass_grid27_mirror(kern, visc, box: DomainBox, spec: Grid27Spec,
     fill = dense_fill_mask(spec, b)
     r_d = d(r_ext)
 
+    # only PARENT slots decide overflow: edge-of-band images miss their
+    # own second-layer neighbours and legitimately run past hmax
+    is_parent = jnp.arange(r_ext.shape[0]) < N
     dens = density_grid27(kern, spec, h_fac, h_converge,
-                          r_d, d(tile(s.m)), d(tile(s.h)), fill, hmax)
+                          r_d, d(tile(s.m)), d(tile(s.h)), fill, hmax,
+                          count_fill=d(keep & is_parent))
     back = lambda x_d: from_dense(spec, b, x_d)[:N]
     sane = lambda x_d, v0: jnp.where(live, back(x_d), v0)
     h_new = sane(dens.h, 1.0)

@@ -331,6 +331,93 @@ def _shard_local_binning(plan: DistPlan, box, s: SphState, alive: Array):
     return loc, r_loc, b
 
 
+def mirror_extend_state(box, spec, s, alive, vec_names=("v",)):
+    """Reflected whole-set image copies of the per-particle state for the
+    mirror-wall grid path (the sharded generalisation of
+    ops/sph_grid27.grid_mirror_extend to ANY per-particle field set; the
+    reference's mirror ghosts, src/Hydrodynamics/Ghosts.cpp:161-202 +
+    src/Headers/Particle.h:601-668): one image block per wall.  Vector
+    fields named in `vec_names` get their wall-normal component negated;
+    every other per-particle field tiles from the parent.  Images deeper
+    than one image layer (qz rows on the slab axis) are beyond kernel
+    reach of every interior particle and are dropped via `keep`.
+    Returns (s_ext, keep, n_rep)."""
+    import dataclasses as _dc
+
+    walls = box.mirror_walls()
+    N = s.N
+    r_parts, keep_parts = [s.r], [alive]
+    vec_parts = {nm: [getattr(s, nm)] for nm in vec_names}
+    for (k, side) in walls:
+        bound = box.boxmin[k] if side == 0 else box.boxmax[k]
+        layers = spec.qz if k == 0 else 1
+        cell_k = spec.extents[k] / spec.ncells[k]
+        rad = layers * cell_k
+        r_parts.append(s.r.at[:, k].set(2.0 * bound - s.r[:, k]))
+        keep_parts.append(alive & (jnp.abs(s.r[:, k] - bound) < rad))
+        for nm in vec_parts:
+            w = getattr(s, nm)
+            vec_parts[nm].append(w.at[:, k].set(-w[:, k]))
+    n_rep = 1 + len(walls)
+    tile = lambda x: jnp.tile(x, (n_rep,) + (1,) * (x.ndim - 1))
+    upd = {nm: jnp.concatenate(ps, axis=0) for nm, ps in vec_parts.items()}
+    upd["r"] = jnp.concatenate(r_parts, axis=0)
+    for f in _dc.fields(s):
+        nm = f.name
+        if nm in upd or nm == "bucket_map":
+            continue
+        x = getattr(s, nm)
+        if x is not None and getattr(x, "ndim", 0) >= 1 \
+                and x.shape[0] == N:
+            upd[nm] = tile(x)
+    return s.replace(**upd), jnp.concatenate(keep_parts, axis=0), n_rep
+
+
+def _shard_mirror_binning(plan: DistPlan, box, s, alive: Array,
+                          vec_names=("v",)):
+    """Mirror-wall analogue of _shard_local_binning: per-shard slab spec,
+    mirror-extended state (each shard extends its OWN local particles —
+    a parent and its image always share a shard, so no extra
+    communication; halo ppermutes carry image cells across slab seams
+    like any other cells) and the extended binning.  Runs INSIDE
+    shard_map.  Per-parent results come back as from_dense(...)[:N]."""
+    spec, local = plan.global_spec, plan.local_spec
+    cell0 = spec.extents[0] / spec.ncells[0]
+    nz_loc = local.ncells[0]
+    idx = lax.axis_index("dp")
+    z0 = spec.lo[0] + idx * nz_loc * cell0
+    loc = dataclasses.replace(local, lo=(z0,) + local.lo[1:])
+    # transverse mirror walls can coexist with a periodic slab axis:
+    # min-image-unwrap z about the slab centre so seam-crossers bin onto
+    # the correct edge row
+    r_loc = s.r
+    if 0 in box.periodic_dims():
+        Lz = spec.extents[0]
+        zc = z0 + 0.5 * nz_loc * cell0
+        dz = r_loc[:, 0] - zc
+        dz = dz - Lz * jnp.round(dz / Lz)
+        r_loc = r_loc.at[:, 0].set(zc + dz)
+    s_ext, keep, n_rep = mirror_extend_state(box, spec,
+                                             s.replace(r=r_loc), alive,
+                                             vec_names)
+    b = g.bin_particles(loc, s_ext.r, discard=~keep)
+    return loc, s_ext, keep, b, n_rep
+
+
+def _slice_parent(s_like, N: int, n_rep: int):
+    """Undo mirror_extend_state on a returned state pytree: keep the
+    first-N (parent) rows of every extended per-particle field."""
+    import dataclasses as _dc
+
+    upd = {}
+    for f in _dc.fields(s_like):
+        x = getattr(s_like, f.name)
+        if x is not None and getattr(x, "ndim", 0) >= 1 \
+                and x.shape[0] == n_rep * N:
+            upd[f.name] = x[:N]
+    return s_like.replace(**upd)
+
+
 def dist_sm2012_pass(mesh: Mesh, plan: DistPlan, kern, visc,
                      gamma: float, box, h_fac: float, h_converge: float,
                      hydro_forces: bool, s: SphState, alive: Array):
@@ -339,8 +426,20 @@ def dist_sm2012_pass(mesh: Mesh, plan: DistPlan, kern, visc,
     halos.  Runs INSIDE shard_map."""
     from ..ops.sm2012 import sm2012_pass_dense
 
-    loc, r_loc, b = _shard_local_binning(plan, box, s, alive)
     ghost = _plan_ghost_fn(plan)
+    if plan.global_spec.mirror:
+        loc, s_ext, keep, b, n_rep = _shard_mirror_binning(plan, box, s,
+                                                           alive)
+        is_parent = jnp.arange(s_ext.N) < s.N
+        out = sm2012_pass_dense(kern, visc, gamma, loc, h_fac,
+                                h_converge, b, s_ext, keep, hydro_forces,
+                                ghost_fn=ghost,
+                                count_alive=keep & is_parent)
+        overflow = lax.pmax(out.neib_overflow.astype(jnp.int32),
+                            "dp") > 0
+        out = _slice_parent(out, s.N, n_rep)
+        return out.replace(r=s.r, neib_overflow=overflow)
+    loc, r_loc, b = _shard_local_binning(plan, box, s, alive)
     out = sm2012_pass_dense(kern, visc, gamma, loc, h_fac, h_converge,
                             b, s.replace(r=r_loc), alive, hydro_forces,
                             ghost_fn=ghost)
@@ -356,8 +455,16 @@ def dist_cd2010_pass(plan: DistPlan, kern, visc, box,
     (alpha_new, dalphadt) in local particle order."""
     from ..ops.forces import cullen_dehnen_dense
 
-    loc, r_loc, b = _shard_local_binning(plan, box, s, alive)
     ghost = _plan_ghost_fn(plan)
+    if plan.global_spec.mirror:
+        loc, s_ext, keep, b, _ = _shard_mirror_binning(
+            plan, box, s, alive, vec_names=("v", "a"))
+        alpha_new, dal = cullen_dehnen_dense(
+            kern, visc, loc, b, s_ext.r, s_ext.v, s_ext.a, s_ext.m,
+            s_ext.h, s_ext.rho, s_ext.sound, s_ext.hfactor, s_ext.alpha,
+            keep, ghost_fn=ghost)
+        return alpha_new[:s.N], dal[:s.N]
+    loc, r_loc, b = _shard_local_binning(plan, box, s, alive)
     return cullen_dehnen_dense(kern, visc, loc, b, r_loc, s.v, s.a,
                                s.m, s.h, s.rho, s.sound, s.hfactor,
                                s.alpha, alive, ghost_fn=ghost)
@@ -371,8 +478,17 @@ def dist_drag_pass(plan: DistPlan, kern, law, box, dt,
     Runs INSIDE shard_map; returns a per-local-particle DragResult."""
     from ..ops.dust import drag_pass_dense
 
-    loc, r_loc, b = _shard_local_binning(plan, box, s, alive)
     ghost = _plan_ghost_fn(plan)
+    if plan.global_spec.mirror:
+        # image copies reflect v AND a/a0 (the drag kick-start velocity
+        # difference uses both, Dust.cpp:52-55)
+        loc, s_ext, keep, b, n_rep = _shard_mirror_binning(
+            plan, box, s, alive, vec_names=("v", "a", "a0"))
+        dt_r = jnp.broadcast_to(jnp.asarray(dt, s.r.dtype), (s.N,))
+        res = drag_pass_dense(kern, law, loc, jnp.tile(dt_r, n_rep), b,
+                              s_ext, keep, test_particle, ghost_fn=ghost)
+        return type(res)(*(x[:s.N] for x in res))
+    loc, r_loc, b = _shard_local_binning(plan, box, s, alive)
     return drag_pass_dense(kern, law, loc, dt, b, s.replace(r=r_loc),
                            alive, test_particle, ghost_fn=ghost)
 
@@ -416,9 +532,12 @@ def _dist_hydro_pass_mirror(plan: DistPlan, kern, visc, box, eos,
     fill = g.dense_fill_mask(loc, b)
     r_d = d(r_ext)
     ghost = _plan_ghost_fn(plan)
+    # only PARENT slots decide overflow: edge-of-band images miss their
+    # own second-layer neighbours and legitimately run past hmax
+    is_parent = jnp.arange(r_ext.shape[0]) < N
     dens = g.density_grid27(kern, loc, h_fac, h_converge,
                             r_d, d(tile(s.m)), d(tile(s.h)), fill, hmax,
-                            ghost_fn=ghost)
+                            ghost_fn=ghost, count_fill=d(keep & is_parent))
     back = lambda x: g.from_dense(loc, b, x)[:N]
     live = alive
     sane = lambda x_d, v0: jnp.where(live, back(x_d), v0)
@@ -514,24 +633,40 @@ def dist_levelneib_pass(plan: DistPlan, kern, box, s: SphState,
     GradhSph.cpp:461, exchanged over MPI ghosts): dense 27-shift
     max-reduction over the local slab with ppermute halos.  Runs INSIDE
     shard_map; returns levelneib in local particle order."""
-    loc, r_loc, b = _shard_local_binning(plan, box, s, alive)
     ghost = _plan_ghost_fn(plan)
-    nd = s.ndim
+    if plan.global_spec.mirror:
+        # image copies carry the PARENT's level (a neighbour pair that
+        # interacts only through a wall image still syncs levels)
+        loc, s_ext, keep, b, _ = _shard_mirror_binning(plan, box, s,
+                                                       alive)
+        lvl = _levelneib_body(kern, loc, b, ghost, s_ext.r, s_ext.h,
+                              s_ext.level, keep)
+        return jnp.where(alive, lvl[:s.N], s.levelneib)
+    loc, r_loc, b = _shard_local_binning(plan, box, s, alive)
+    lvl = _levelneib_body(kern, loc, b, ghost, r_loc, s.h, s.level,
+                          alive)
+    return jnp.where(alive, lvl, s.levelneib)
+
+
+def _levelneib_body(kern, loc, b, ghost, r_use: Array, h: Array,
+                    level: Array, mask: Array) -> Array:
+    """Dense 27-shift max-neighbour-level reduction (shared by the plain
+    and mirror-extended levelneib passes)."""
+    nd = r_use.shape[1]
     d = lambda x: g.to_dense(loc, b, x)
     back = lambda x: g.from_dense(loc, b, x)
-    fill = g.dense_fill_mask(loc, b) & d(alive)
+    fill = g.dense_fill_mask(loc, b) & d(mask)
     K = loc.k_cell
-    r_d = d(r_loc)
+    r_d = d(r_use)
     # packed per-neighbour channels: [h, level (as float)]
-    pk = jnp.stack([d(s.h), d(s.level).astype(r_d.dtype)], axis=-1)
+    pk = jnp.stack([d(h), d(level).astype(r_d.dtype)], axis=-1)
     rp = ghost(loc, r_d, shift_vec=True)
     pkp = ghost(loc, pk)
     fp_ = ghost(loc, fill)
 
     flat = lambda x: x.reshape((-1,) + x.shape[nd + 1:])
     Np = int(np.prod(loc.ncells)) * K
-    r_f = flat(r_d)
-    h_f = flat(d(s.h))
+    h_f = flat(d(h))
     kr2 = kern.kernrange * kern.kernrange
     lvl_max = jnp.zeros((Np,), jnp.int32)
     for sh in g._shifts(nd, loc.qz):
@@ -554,7 +689,7 @@ def dist_levelneib_pass(plan: DistPlan, kern, box, s: SphState,
             .astype(jnp.int32))
     lvl_max = jnp.maximum(lvl_max, 0)
     shp = loc.ncells + (K,)
-    return jnp.where(alive, back(lvl_max.reshape(shp)), s.levelneib)
+    return back(lvl_max.reshape(shp))
 
 
 def dist_tree_gravity(treespec, bucket_map: Array, s: SphState,
@@ -623,16 +758,52 @@ def dist_tree_gravity(treespec, bucket_map: Array, s: SphState,
 
 
 # -- distributed meshless finite-volume passes ---------------------------
+def _mfv_mirror_tensors(box, s, s_ext):
+    """Per-wall tensor reflections for the mirror-extended MfvState
+    (matches sim/mfv_sim._mirror_tensor_images; reference reflect()
+    helpers, src/Headers/Particle.h:601-668): under the wall-k
+    reflection R (identity with R_kk = -1), B -> R B R^T and the
+    primitive-gradient matrix grad -> S grad R^T with S flipping the
+    v_k row.  mirror_extend_state already reflected r/v/a0 and tiled
+    everything else; only B and grad need the matrix fix-up."""
+    nd = s.ndim
+    Bs, grads = [s.B], [s.grad]
+    for (k, _side) in box.mirror_walls():
+        sign = jnp.ones((nd,), s.B.dtype).at[k].set(-1.0)
+        row = jnp.concatenate([sign, jnp.ones((2,), s.B.dtype)])
+        Bs.append(s.B * sign[None, :, None] * sign[None, None, :])
+        grads.append(s.grad * row[None, :, None] * sign[None, None, :])
+    return s_ext.replace(B=jnp.concatenate(Bs, axis=0),
+                         grad=jnp.concatenate(grads, axis=0))
+
+
 def _dist_mfv_binning(plan: DistPlan, box, s, alive: Array):
     """MFV variant of _shard_local_binning (duck-typed on .r) plus the
     dense/back converters and halo ghost fn shared by the three MFV
-    passes.  Runs INSIDE shard_map."""
-    loc, r_loc, b = _shard_local_binning(plan, box, s, alive)
+    passes.  Runs INSIDE shard_map.
+
+    Returns (loc, s_use, b, ghost, d, back, fill): s_use is the state
+    whose per-particle fields feed the dense kernels — under mirror
+    walls it is the image-extended state (each shard extends its OWN
+    local particles; `back` then slices the parent rows), otherwise the
+    input state with slab-unwrapped coordinates."""
     ghost = _plan_ghost_fn(plan)
+    if plan.global_spec.mirror:
+        loc, s_ext, keep, b, _ = _shard_mirror_binning(
+            plan, box, s, alive, vec_names=("v", "a0"))
+        s_ext = _mfv_mirror_tensors(box, s, s_ext)
+        d = lambda x: g.to_dense(loc, b, x)
+        back = lambda x: g.from_dense(loc, b, x)[: s.N]
+        fill = g.dense_fill_mask(loc, b) & d(keep)
+        # parent rows only decide overflow (edge-of-band images miss
+        # their own second-layer neighbours and run h past hmax)
+        cfill = fill & d(keep & (jnp.arange(s_ext.N) < s.N))
+        return loc, s_ext, b, ghost, d, back, fill, cfill
+    loc, r_loc, b = _shard_local_binning(plan, box, s, alive)
     d = lambda x: g.to_dense(loc, b, x)
     back = lambda x: g.from_dense(loc, b, x)
     fill = g.dense_fill_mask(loc, b) & d(alive)
-    return loc, r_loc, b, ghost, d, back, fill
+    return loc, s.replace(r=r_loc), b, ghost, d, back, fill, fill
 
 
 def dist_mfv_density_pass(plan: DistPlan, kern, box, h_fac: float,
@@ -642,11 +813,12 @@ def dist_mfv_density_pass(plan: DistPlan, kern, box, h_fac: float,
     shard_map."""
     from ..ops.mfv_grid27 import density_mfv_grid27
 
-    loc, r_loc, b, ghost, d, back, fill = _dist_mfv_binning(
+    loc, su, b, ghost, d, back, fill, cfill = _dist_mfv_binning(
         plan, box, s, alive)
     hmax = g.hmax_of(plan.global_spec, kern.kernrange)
-    dens = density_mfv_grid27(kern, loc, h_fac, h_converge, d(r_loc),
-                              d(s.m), d(s.h), fill, hmax, ghost_fn=ghost)
+    dens = density_mfv_grid27(kern, loc, h_fac, h_converge, d(su.r),
+                              d(su.m), d(su.h), fill, hmax,
+                              ghost_fn=ghost, count_fill=cfill)
     sane = lambda x, v0: jnp.where(alive, back(x), v0)
     rho = sane(dens.rho, 1.0)
     u, pressure, sound = eos.thermal_update(jnp.maximum(rho, 1e-30), s.u)
@@ -668,10 +840,10 @@ def dist_mfv_gradient_pass(plan: DistPlan, kern, box, s, alive: Array,
     (MeshlessFVTree::UpdateGradientMatrices).  Runs INSIDE shard_map."""
     from ..ops.mfv_grid27 import gradients_mfv_grid27
 
-    loc, r_loc, b, ghost, d, back, fill = _dist_mfv_binning(
+    loc, su, b, ghost, d, back, fill, _cf = _dist_mfv_binning(
         plan, box, s, alive)
-    dense = {"r": d(r_loc), "h": d(s.h), "ndens": d(s.ndens),
-             "Wprim": d(s.Wprim), "sound": d(s.sound)}
+    dense = {"r": d(su.r), "h": d(su.h), "ndens": d(su.ndens),
+             "Wprim": d(su.Wprim), "sound": d(su.sound)}
     res = gradients_mfv_grid27(kern, loc, dense, fill, ghost_fn=ghost,
                                limiter=limiter)
     sane = lambda x, v0: jnp.where(alive, back(x), v0)
@@ -696,13 +868,13 @@ def dist_mfv_flux_pass(plan: DistPlan, kern, cfg, box, dt, s,
     from ..ops.mfv import FluxResult
     from ..ops.mfv_grid27 import fluxes_mfv_grid27
 
-    loc, r_loc, b, ghost, d, back, fill = _dist_mfv_binning(
+    loc, su, b, ghost, d, back, fill, _cf = _dist_mfv_binning(
         plan, box, s, alive)
-    dense = {"r": d(r_loc), "h": d(s.h), "ndens": d(s.ndens),
-             "hfactor": d(s.hfactor), "Wprim": d(s.Wprim),
-             "sound": d(s.sound), "a0": d(s.a0), "B": d(s.B),
-             "grad": d(s.grad), "alpha_slope": d(s.alpha_slope),
-             "bad": d(s.bad_grad.astype(s.h.dtype))}
+    dense = {"r": d(su.r), "h": d(su.h), "ndens": d(su.ndens),
+             "hfactor": d(su.hfactor), "Wprim": d(su.Wprim),
+             "sound": d(su.sound), "a0": d(su.a0), "B": d(su.B),
+             "grad": d(su.grad), "alpha_slope": d(su.alpha_slope),
+             "bad": d(su.bad_grad.astype(s.h.dtype))}
     res = fluxes_mfv_grid27(kern, cfg, loc, dt, dense, fill,
                             ghost_fn=ghost)
     dQdt = jnp.where(alive[:, None], back(res.dQdt), 0.0)

@@ -41,11 +41,20 @@ class DistributedMfvSimulation(MfvMusclSimulation):
             self.n_shards = n_dev
         if self.n_shards > n_dev:
             raise ValueError(f"Nmpi={self.n_shards} > {n_dev} devices")
+        if self.box.mirror_walls() and self.neib_search != "bruteforce":
+            # the base class routes mirror walls to the single-chip
+            # all-pairs image path; the SHARDED MFV kernels carry
+            # image-cell support (parallel/dist._dist_mfv_binning), so
+            # re-enable the grid path here
+            self.use_celllist = True
         unsupported = []
         if not self.use_celllist:
             unsupported.append("bruteforce neighbour search")
-        if self.box.mirror_walls():
-            unsupported.append("mirror boundaries")
+        if self.use_block:
+            # the sharded step is global-dt; raising beats silently
+            # ignoring Nlevels (the single-chip MFV block tick exists,
+            # sim/mfv_sim._build_block_tick)
+            unsupported.append("block timesteps (Nlevels > 1)")
         if unsupported:
             raise NotImplementedError(
                 "distributed MFV does not yet support: "
@@ -136,6 +145,7 @@ class DistributedMfvSimulation(MfvMusclSimulation):
                 v_mid = Qcons[..., :ndim] \
                     / jnp.maximum(m_new, 1e-30)[:, None]
                 r = box.wrap(s.r0 + 0.5 * (s.v0 + v_mid) * dt)
+                r, v_mid = box.reflect(r, v_mid)
                 s_mid = s.replace(r=r, m=m_new)
                 a, gpot, ovf = self._dist_gravity(s_mid, alive)
                 s = s.replace(neib_overflow=s.neib_overflow | ovf)
@@ -158,6 +168,12 @@ class DistributedMfvSimulation(MfvMusclSimulation):
                 m, rho, v, u = mfv_ops.state_from_qcons(ndim, Qcons,
                                                         s.ndens)
                 r = box.wrap(s.r0 + 0.5 * (s.v0 + v) * dt)
+                # mirror walls: reflect escapers with flipped normal
+                # velocity; Qcons momentum follows (matches the
+                # single-chip step, sim/mfv_sim.py:469-476)
+                r, v = box.reflect(r, v)
+                Qcons = Qcons.at[..., :ndim].set(
+                    v * jnp.maximum(Qcons[..., ndim], 1e-30)[:, None])
                 s = s.replace(m=m, v=v, u=u, r=r, Qcons0=Qcons,
                               r0=r, v0=v)
             s = dens(s, alive)

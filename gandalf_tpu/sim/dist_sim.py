@@ -53,24 +53,16 @@ class DistributedGradhSphSimulation(GradhSphSimulation):
             self.n_shards = n_dev
         if self.n_shards > n_dev:
             raise ValueError(f"Nmpi={self.n_shards} > {n_dev} devices")
+        if self.box.mirror_walls() and self.neib_search != "bruteforce":
+            # the base class routes mirror x {self-gravity, dust, block,
+            # sinks} to the single-chip all-pairs fallback; the SHARDED
+            # kernels carry image-cell support for every coupling
+            # (parallel/dist._shard_mirror_binning), so re-enable the
+            # grid path here
+            self.use_celllist = True
         unsupported = []
         if not self.use_celllist:
             unsupported.append("bruteforce neighbour search")
-        if self.box.mirror_walls():
-            # plain grad-h mirror walls shard via the image-cell layers
-            # (parallel/dist._dist_hydro_pass_mirror); couplings whose
-            # sharded kernels have no image support stay excluded
-            for flag, name in ((self.self_gravity,
-                                "mirror walls + self-gravity"),
-                               (self.has_dust, "mirror walls + dust"),
-                               (self.use_block,
-                                "mirror walls + block timesteps"),
-                               (self.sink_particles or self.create_sinks,
-                                "mirror walls + sinks"),
-                               (getattr(self, "scheme", "") == "sm2012",
-                                "mirror walls + sm2012")):
-                if flag:
-                    unsupported.append(name)
         if unsupported:
             raise NotImplementedError(
                 "distributed mode does not yet support: "
@@ -390,7 +382,9 @@ class DistributedGradhSphSimulation(GradhSphSimulation):
 
         def local_gas_tick(s: SphState, B):
             s, active, t = advance(s, B, u_mode)
-            s = s.replace(r=box.wrap(s.r), r0=box.wrap(s.r0), t=t)
+            r = box.wrap(s.r)
+            r, v = box.reflect(r, s.v)
+            s = s.replace(r=r, v=v, r0=box.wrap(s.r0), t=t)
             alive = s.alive
             s, _ = self._dist_force_pass(s, None, alive)
             if sim.has_dust:
@@ -434,7 +428,9 @@ class DistributedGradhSphSimulation(GradhSphSimulation):
             sinks = sinks._replace(
                 r=sinks.r0 + sinks.v0 * dtb + 0.5 * sinks.a0 * dtb * dtb,
                 v=sinks.v0 + sinks.a0 * dtb)
-            s = s.replace(r=box.wrap(s.r), r0=box.wrap(s.r0), t=t)
+            r = box.wrap(s.r)
+            r, v = box.reflect(r, s.v)
+            s = s.replace(r=r, v=v, r0=box.wrap(s.r0), t=t)
             alive = s.alive
             s, sinks = self._dist_force_pass(s, sinks, alive)
             s = s.replace(levelneib=dist.dist_levelneib_pass(
@@ -530,7 +526,9 @@ class DistributedGradhSphSimulation(GradhSphSimulation):
                 sinks = sinks._replace(
                     r=sinks.r0 + sinks.v0 * dt + 0.5 * sinks.a0 * dt * dt,
                     v=sinks.v0 + sinks.a0 * dt)
-                s = s.replace(r=box.wrap(s.r), r0=box.wrap(s.r0))
+                r = box.wrap(s.r)
+                r, v = box.reflect(r, s.v)
+                s = s.replace(r=r, v=v, r0=box.wrap(s.r0))
             alive = s.alive
             s, sinks = self._dist_force_pass(s, sinks, alive)
             if sim.has_dust:

@@ -89,10 +89,24 @@ class MfvMusclSimulation(SimulationBase):
             raise NotImplementedError(
                 "block timesteps are wired to the MUSCL MFV scheme "
                 "(the reference's RK2 block coupling differs)")
+        # periodic-image gravity corrections (reference always applies
+        # Ewald to periodic self-gravity, Simulation.cpp:1189; the MFV
+        # tree walk takes the same correction table as SPH)
+        self.ewald_table = None
+        self.use_ewald = False
         if self.self_gravity and self.box.periodic_dims() \
                 and bool(p.intparams["ewald"]):
-            raise NotImplementedError("periodic MFV self-gravity with "
-                                      "Ewald corrections not wired yet")
+            if len(self.box.periodic_dims()) != self.ndim \
+                    or self.ndim != 3:
+                raise NotImplementedError(
+                    "periodic self-gravity requires a fully-periodic 3D "
+                    "box (mixed-periodicity Ewald not implemented)")
+            self.use_ewald = True
+            from ..ops.ewald import build_ewald_table
+
+            self.ewald_table = build_ewald_table(
+                self.box.size, ngrid=max(p.intparams["nEwaldGrid"], 9),
+                ewald_mult=p.floatparams["ewald_mult"])
         # neighbour-search strategy (mirrors the SPH controller): anything
         # but "bruteforce" maps to the structured-grid production path
         # (ops/mfv_grid27.py, the MeshlessFVTree analogue); mirror walls
@@ -295,7 +309,8 @@ class MfvMusclSimulation(SimulationBase):
             a_g, gpot, overflow = tree_gravity_grouped(
                 self.treespec, s.bucket_map, s.r, s.m, s.h, self.kern,
                 alive=s.alive, zh=s.zeta * s.hfactor,
-                periodic_extent=pext, zeta_scaling="mfv")
+                periodic_extent=pext, zeta_scaling="mfv",
+                ewald_table=self.ewald_table if self.use_ewald else None)
             return a_g, gpot, overflow
         from ..ops.mfv import mfv_smoothed_gravity
 

@@ -780,14 +780,13 @@ class GradhSphSimulation(SimulationBase):
             self.drag_law = DragLaw.from_params(p)
         # -- final neighbour-path gate.  Mirror walls run on the grid via
         # reflected image-cell layers (ops/sph_grid27.grid_mirror_extend)
-        # for the plain grad-h configs; the couplings that have their own
+        # for the grad-h + dust configs; the couplings that have their own
         # grid kernels without mirror support (self-gravity tree zeta
-        # coupling, dust, SM2012 q-pass, block ticks, sink searches) fall
+        # coupling, SM2012 q-pass, block ticks, sink searches) fall
         # back to the image-based all-pairs path.
         if self.box.mirror_walls():
             mirror_grid_ok = (self._mirror_grid_ok
                               and not self.self_gravity
-                              and not self.has_dust
                               and not self.use_block
                               and not (self.sink_particles
                                        or self.create_sinks))
@@ -1671,7 +1670,38 @@ class GradhSphSimulation(SimulationBase):
         tp = self.dust_forces == "test_particle"
         if self.use_celllist:
             d = drag_pass_grid(self.kern, self.drag_law, self.gridspec,
-                               dt, s, s.alive, tp)
+                               dt, s, s.alive, tp, box=self.box)
+        elif self.box.mirror_walls():
+            # the reference's drag neighbour lists include mirror ghosts
+            # (UpdateAllDragForces walks the tree with ghosts); images
+            # flip the wall-normal component of v AND a/a0 (the drag
+            # kick-start velocity difference uses both, Dust.cpp:52-55)
+            N = s.N
+            walls = self.box.mirror_walls()
+            parts = {"r": [s.r], "v": [s.v], "a": [s.a], "a0": [s.a0]}
+            keeps = [s.alive]
+            for (k, side) in walls:
+                bound = self.box.boxmin[k] if side == 0 \
+                    else self.box.boxmax[k]
+                parts["r"].append(s.r.at[:, k].set(2.0 * bound
+                                                   - s.r[:, k]))
+                for nm in ("v", "a", "a0"):
+                    w = getattr(s, nm)
+                    parts[nm].append(w.at[:, k].set(-w[:, k]))
+                keeps.append(s.alive)
+            n_rep = 1 + len(walls)
+            tile = lambda x: jnp.tile(x, (n_rep,))
+            ext = {nm: jnp.concatenate(ps, axis=0)
+                   for nm, ps in parts.items()}
+            dt_e = jnp.tile(jnp.broadcast_to(
+                jnp.asarray(dt, s.r.dtype), (N,)), (n_rep,))
+            d = drag_twofluid(self.kern, self.drag_law, self.box, dt_e,
+                              ext["r"], ext["v"], ext["a"], ext["a0"],
+                              tile(s.m), tile(s.h), tile(s.rho),
+                              tile(s.sound), tile(s.ptype),
+                              alive=jnp.concatenate(keeps, axis=0),
+                              test_particle=tp)
+            d = type(d)(*(x[:N] for x in d))
         else:
             d = drag_twofluid(self.kern, self.drag_law, self.box, dt,
                               s.r, s.v, s.a, s.a0, s.m, s.h, s.rho,

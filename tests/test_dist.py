@@ -574,6 +574,77 @@ class TestDistributedMirror:
             np.testing.assert_allclose(s4[k], s1[k], rtol=2e-11,
                                        atol=1e-12, err_msg=k)
 
+    def test_mirror_block_matches_single(self):
+        """Mirror walls x hierarchical block timesteps: the levelneib
+        pass carries image cells (a pair interacting only through a wall
+        image still syncs levels) and the drift reflects escapers."""
+        over = {"boundary_lhs[1]": "mirror", "boundary_rhs[1]": "mirror",
+                "Nlevels": 3}
+        s1 = _sorted_state(_run(0, grav=0, n_steps=8,
+                                neib_search="bruteforce", **over))
+        s4 = _sorted_state(_run(4, grav=0, n_steps=8, **over))
+        for k in ("r", "v", "rho", "u", "h"):
+            np.testing.assert_allclose(s4[k], s1[k], rtol=2e-10,
+                                       atol=1e-11, err_msg=k)
+
+    def test_mirror_dust_matches_single(self):
+        """Mirror walls x two-fluid drag: image copies reflect v AND
+        a/a0 (the drag kick-start difference uses both).  Single-chip
+        oracle is the image-based all-pairs path."""
+        over = {"boundary_lhs[2]": "mirror", "boundary_rhs[2]": "mirror",
+                "dust_forces": "full_twofluid", "drag_law": "fixed",
+                "drag_coeff": 2.0}
+        s1 = _sorted_state(_run(0, grav=0, dust_frac=0.25, **over))
+        s4 = _sorted_state(_run(4, grav=0, dust_frac=0.25, **over))
+        for k in ("r", "v", "rho", "u", "h"):
+            np.testing.assert_allclose(s4[k], s1[k], rtol=2e-10,
+                                       atol=1e-11, err_msg=k)
+
+    def test_mirror_sm2012_matches_single(self):
+        """Mirror walls x SM2012: the dense q/force kernels run over the
+        mirror-extended binning; single-chip oracle is the image-based
+        all-pairs q-pass."""
+        over = {"boundary_lhs[1]": "mirror", "boundary_rhs[1]": "mirror"}
+        s1 = _sorted_state(_run(0, grav=0, sim="sm2012sph", **over))
+        s4 = _sorted_state(_run(4, grav=0, sim="sm2012sph", **over))
+        for k in ("r", "v", "rho", "u", "h"):
+            np.testing.assert_allclose(s4[k], s1[k], rtol=2e-10,
+                                       atol=1e-11, err_msg=k)
+
+    def test_mirror_self_gravity_oracle(self):
+        """Mirror walls x self-gravity: hydro runs the image-cell grid
+        pass, gravity walks the tree over REAL particles only (mirror
+        images do not gravitate, matching the single-chip direct sum) —
+        gate gpot against the direct oracle to multipole truncation."""
+        from gandalf_tpu.ops.sph_gravity import direct_sph_gravity
+        from gandalf_tpu.parallel import dist as dist_mod
+
+        over = {"boundary_lhs[1]": "mirror", "boundary_rhs[1]": "mirror"}
+        sim = _run(4, grav=1, n_steps=1, **over)
+        host = dist_mod.unshard_state(sim.distplan, sim.state,
+                                      sim._n_orig)
+        g = direct_sph_gravity(sim.kern, host.r, host.m, host.h,
+                               host.zeta, host.hfactor)
+        gp_ref = np.asarray(g.gpot)
+        err = np.abs(np.asarray(host.gpot) - gp_ref) / np.abs(gp_ref)
+        assert np.median(err) < 2e-3, f"median gpot err {np.median(err)}"
+        assert np.percentile(err, 99) < 3e-2, \
+            f"p99 gpot err {np.percentile(err, 99)}"
+
+
+    def test_mirror_mfv_matches_single(self):
+        """Mirror walls x MeshlessFV: the sharded MFV density/gradient/
+        flux kernels run over the mirror-extended binning (image B/grad
+        blocks reflected per wall, parallel/dist._mfv_mirror_tensors);
+        single-chip oracle is the all-pairs image path."""
+        over = {"boundary_lhs[1]": "mirror", "boundary_rhs[1]": "mirror",
+                "sim": "mfvmuscl", "riemann_solver": "hllc"}
+        s1 = _sorted_state(_run(0, grav=0, n_steps=2, n_side=12, **over))
+        s4 = _sorted_state(_run(4, grav=0, n_steps=2, n_side=12, **over))
+        for k in ("r", "v", "rho", "u", "h"):
+            np.testing.assert_allclose(s4[k], s1[k], rtol=5e-9,
+                                       atol=5e-11, err_msg=k)
+
 
 def _cluster_z(ic):
     """Concentrate particles toward z=0 (z -> z^2): a 4-shard uniform

@@ -162,6 +162,27 @@ class TestDustGridPath:
                 np.asarray(getattr(a.state, f)),
                 rtol=1e-7, atol=1e-10, err_msg=f)
 
+    def test_dustybox_mirror_grid_matches_bruteforce(self):
+        """Mirror walls x dust on the grid path (ops/dust.drag_pass_grid
+        image branch + the mirror hydro grid pass) vs the all-pairs
+        image oracle.  h_converge is tightened because the two h solvers
+        bisect against different upper bounds (grid-cell hmax vs 1e30)
+        and only agree to the convergence tolerance."""
+        sims = {}
+        for neib in ("bruteforce", "kdtree"):
+            p = _dustybox_params(neib_search=neib, h_converge=1e-10,
+                                 **{"boundary_lhs[0]": "mirror",
+                                    "boundary_rhs[0]": "mirror"})
+            sims[neib] = _run(p, 0.3)
+        a, b = sims["bruteforce"], sims["kdtree"]
+        assert not a.use_celllist and b.use_celllist
+        assert abs(a.t - b.t) < 1e-10
+        for f in ("v", "rho", "u", "h"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(b.state, f)),
+                np.asarray(getattr(a.state, f)),
+                rtol=1e-6, atol=1e-9, err_msg=f)
+
     def test_dustybox_grid_relaxation(self):
         """The analytic exponential velocity relaxation holds on the grid
         path (same gate as the brute test)."""

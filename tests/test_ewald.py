@@ -222,3 +222,39 @@ class TestEwaldTreeWalk:
         for _ in range(3):
             sim.main_loop_step()
         assert np.isfinite(np.asarray(sim.state.v)).all()
+
+    def test_mfv_jeans_tree_path_runs(self):
+        """Periodic MFV self-gravity with ewald=1: the MFV controller
+        builds the same correction table and the MFV tree walk applies
+        it (reference: MeshlessFV sims share Ewald via the common
+        periodic gravity path, Simulation.cpp:1189)."""
+        from gandalf_tpu.params import Parameters
+        from gandalf_tpu.sim.simulation import SimulationBase
+
+        p = Parameters()
+        for k, v in dict(
+                ndim=3, sim="mfvmuscl", ic="box", run_id="",
+                dimensionless=1, gas_eos="energy_eqn",
+                self_gravity=1, hydro_forces=1, ewald=1,
+                riemann_solver="hllc", zero_mass_flux=1,
+                rhofluid1=1.0, press1=1.0,
+                neib_search="kdtree",
+                **{"Nlattice1[0]": 8, "Nlattice1[1]": 8, "Nlattice1[2]": 8,
+                   "boxmin[0]": 0.0, "boxmax[0]": 1.0,
+                   "boxmin[1]": 0.0, "boxmax[1]": 1.0,
+                   "boxmin[2]": 0.0, "boxmax[2]": 1.0},
+                **{f"boundary_lhs[{k}]": "periodic" for k in range(3)},
+                **{f"boundary_rhs[{k}]": "periodic" for k in range(3)}
+        ).items():
+            p.set(k, v)
+        sim = SimulationBase.factory(p)
+        sim.SetupSimulation()
+        assert sim.use_celllist and sim.use_ewald \
+            and sim.treespec is not None
+        for _ in range(3):
+            sim.main_loop_step()
+        s = sim.state
+        assert np.isfinite(np.asarray(s.v)).all()
+        # a uniform lattice feels zero net Ewald force: momentum stays 0
+        mom = (np.asarray(s.m)[:, None] * np.asarray(s.v)).sum(0)
+        assert np.abs(mom).max() < 1e-8
