@@ -531,14 +531,11 @@ def vsig_near_grid27(spec: Grid27Spec, dense: dict, fill: Array,
     return vsig.reshape(spec.ncells + (K,))
 
 
-def vsig_far_cells(spec: Grid27Spec, dense: dict, fill: Array):
-    """Far-field cell-aggregate bound for the conservative limiter (the
-    cell-opening branch of the reference walk, Tree.cpp:944-975, turned
-    into a dense O(C^2) cell-pair pass with per-cell sound/velocity
-    aggregates — conservative: the bound only over-limits, never under).
-
-    Returns per-cell (A, Bc): a particle's far-field contribution is
-    bounded by h_i * max(sound_i * A + Bc, 0)."""
+def vsig_cell_aggregates(spec: Grid27Spec, dense: dict, fill: Array):
+    """Per-cell (maxsound, occ, vmax, vmin) aggregates for the far-field
+    limiter bound.  `spec` may be a shard-local slab: the aggregates are
+    purely per-cell, so the distributed pass all_gathers them and feeds
+    the GLOBAL grid's geometry (vsig_far_from_agg)."""
     nd = spec.ndim
     C = int(np.prod(spec.ncells))
     K = spec.k_cell
@@ -551,6 +548,28 @@ def vsig_far_cells(spec: Grid27Spec, dense: dict, fill: Array):
     big = 1e30
     vmax = jnp.max(jnp.where(fillc[..., None], v, -big), axis=1)
     vmin = jnp.min(jnp.where(fillc[..., None], v, big), axis=1)
+    return maxsound, occ, vmax, vmin
+
+
+def vsig_far_cells(spec: Grid27Spec, dense: dict, fill: Array):
+    """Far-field cell-aggregate bound for the conservative limiter (the
+    cell-opening branch of the reference walk, Tree.cpp:944-975, turned
+    into a dense O(C^2) cell-pair pass with per-cell sound/velocity
+    aggregates — conservative: the bound only over-limits, never under).
+
+    Returns per-cell (A, Bc): a particle's far-field contribution is
+    bounded by h_i * max(sound_i * A + Bc, 0)."""
+    maxsound, occ, vmax, vmin = vsig_cell_aggregates(spec, dense, fill)
+    return vsig_far_from_agg(spec, maxsound, occ, vmax, vmin)
+
+
+def vsig_far_from_agg(spec: Grid27Spec, maxsound, occ, vmax, vmin):
+    """The geometry half of vsig_far_cells: O(C^2) cell-pair pass over
+    the FULL grid given per-cell aggregates (shape (C,) / (C, nd) in
+    z-major cell order)."""
+    nd = spec.ndim
+    C = int(np.prod(spec.ncells))
+    big = 1e30
 
     # cell centres / half-widths from the static geometry
     csize = np.array([spec.extents[k] / spec.ncells[k] for k in range(nd)])

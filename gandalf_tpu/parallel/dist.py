@@ -861,10 +861,16 @@ def dist_mfv_gradient_pass(plan: DistPlan, kern, box, s, alive: Array,
 
 
 def dist_mfv_flux_pass(plan: DistPlan, kern, cfg, box, dt, s,
-                       alive: Array):
+                       alive: Array, block=None):
     """Sharded MUSCL Godunov flux accumulation
     (MeshlessFVTree::UpdateGodunovFluxes).  Runs INSIDE shard_map;
-    returns a FluxResult in local particle order."""
+    returns a FluxResult in local particle order.
+
+    Block-timestep mode: `block` carries (start, dt_own) per local
+    particle; the packed neighbour tensor then also ships dt_own/start
+    through the halo ppermutes, so dt_pair = min(dt_i, dt_j) is exact
+    across slab seams (the reference exchanges part.dt on its MPI
+    ghosts).  Mirror images inherit the parent's start/dt_own."""
     from ..ops.mfv import FluxResult
     from ..ops.mfv_grid27 import fluxes_mfv_grid27
 
@@ -875,11 +881,69 @@ def dist_mfv_flux_pass(plan: DistPlan, kern, cfg, box, dt, s,
              "sound": d(su.sound), "a0": d(su.a0), "B": d(su.B),
              "grad": d(su.grad), "alpha_slope": d(su.alpha_slope),
              "bad": d(su.bad_grad.astype(s.h.dtype))}
+    if block is not None:
+        start, dt_own = block
+        n_rep = su.N // s.N
+        if n_rep > 1:
+            start = jnp.tile(start, (n_rep,))
+            dt_own = jnp.tile(dt_own, (n_rep,))
+        dense["dt_own"] = d(dt_own)
+        dense["start"] = d(start.astype(s.h.dtype))
     res = fluxes_mfv_grid27(kern, cfg, loc, dt, dense, fill,
                             ghost_fn=ghost)
     dQdt = jnp.where(alive[:, None], back(res.dQdt), 0.0)
     rdmdt = jnp.where(alive[:, None], back(res.rdmdt_dot), 0.0)
+    if block is not None:
+        return FluxResult(
+            dQdt=dQdt, rdmdt_dot=rdmdt,
+            dQ=jnp.where(alive[:, None], back(res.dQ), 0.0),
+            rdmdt=jnp.where(alive[:, None], back(res.rdmdt), 0.0))
     return FluxResult(dQdt=dQdt, rdmdt_dot=rdmdt)
+
+
+def dist_mfv_vsig_pass(plan: DistPlan, kern, box, s, alive: Array):
+    """Sharded conservative distant-signal-velocity bound
+    (Tree::ComputeSignalVelocityFromDistantInteractions,
+    src/Tree/Tree.cpp:891-1040): the near field is exact over the local
+    slab's shift neighbourhood (halo ppermutes supply seam cells); the
+    far field uses the global O(C^2) cell-aggregate bound — the per-cell
+    aggregates (4 scalars + 2 vectors per cell) are all_gathered and
+    every shard evaluates its own rows of the global geometry.  Mirror
+    images are excluded, matching the single-chip walk.  Runs INSIDE
+    shard_map; returns the per-local-particle vsig bound."""
+    from ..ops.mfv_grid27 import (vsig_cell_aggregates, vsig_far_from_agg,
+                                  vsig_near_grid27)
+
+    loc, r_loc, b = _shard_local_binning(plan, box, s, alive)
+    ghost = _plan_ghost_fn(plan)
+    d = lambda x: g.to_dense(loc, b, x)
+    back = lambda x: g.from_dense(loc, b, x)
+    fill = g.dense_fill_mask(loc, b) & d(alive)
+    dense = {"r": d(r_loc), "v": d(s.v), "sound": d(s.sound),
+             "h": d(s.h)}
+    near = back(vsig_near_grid27(loc, dense, fill, ghost_fn=ghost))
+
+    gs = plan.global_spec
+    rest = 1
+    for n in gs.ncells[1:]:
+        rest *= n
+    aggs = vsig_cell_aggregates(loc, dense, fill)
+    gathered = [lax.all_gather(x, "dp") for x in aggs]
+
+    def to_global(x_all):
+        # concatenate each shard's REAL rows (row_len is host-static)
+        rows = [x_all[si, : int(plan.row_len[si]) * rest]
+                for si in range(plan.n_shards)]
+        return jnp.concatenate(rows, axis=0)
+
+    ms_g, occ_g, vmax_g, vmin_g = [to_global(x) for x in gathered]
+    A, Bc = vsig_far_from_agg(gs, ms_g, occ_g, vmax_g, vmin_g)
+    idx = lax.axis_index("dp")
+    starts = jnp.asarray(plan.row_start, jnp.int32)
+    cell_of = jnp.clip(b.cell_of, 0, loc.total_cells - 1)
+    gcell = cell_of + starts[idx] * rest
+    far = s.h * jnp.maximum(s.sound * A[gcell] + Bc[gcell], 0.0)
+    return jnp.maximum(near, far)
 
 
 # ---------------------------------------------------------------------------

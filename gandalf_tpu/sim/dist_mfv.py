@@ -47,18 +47,10 @@ class DistributedMfvSimulation(MfvMusclSimulation):
             # image-cell support (parallel/dist._dist_mfv_binning), so
             # re-enable the grid path here
             self.use_celllist = True
-        unsupported = []
         if not self.use_celllist:
-            unsupported.append("bruteforce neighbour search")
-        if self.use_block:
-            # the sharded step is global-dt; raising beats silently
-            # ignoring Nlevels (the single-chip MFV block tick exists,
-            # sim/mfv_sim._build_block_tick)
-            unsupported.append("block timesteps (Nlevels > 1)")
-        if unsupported:
             raise NotImplementedError(
                 "distributed MFV does not yet support: "
-                + ", ".join(unsupported))
+                "bruteforce neighbour search")
 
     # -- planning (borrowed from the SPH dist controller) ------------------
     def _plan_all(self, r_np: np.ndarray, h_np: np.ndarray,
@@ -86,6 +78,7 @@ class DistributedMfvSimulation(MfvMusclSimulation):
         return {self.state.N}
 
     _dist_specs = _DistGradh._dist_specs
+    _sched_specs = _DistGradh._sched_specs
     _place = _DistGradh._place
 
     # -- sharded step ------------------------------------------------------
@@ -190,9 +183,137 @@ class DistributedMfvSimulation(MfvMusclSimulation):
                            out_specs=specs, check_rep=False)
         return jax.jit(sm)
 
+    def _build_dist_block(self, bootstrap: bool):
+        """Hierarchical block timesteps over the sharded MFV runtime (the
+        reference runs the MeshlessFV flavours block-stepped under MPI
+        through the same ComputeBlockTimesteps machinery,
+        src/Common/Simulation.cpp:1763-2197 + MfvIntegration.cpp):
+        per-particle levels/flux accumulators shard with the particles,
+        the scalar ladder reductions are pmin/pmax inside the tick, the
+        block flux pass ships dt_own/start through the halo ppermutes so
+        dt_pair is exact across slab seams, and the conservative
+        distant-vsig walk all_gathers per-cell aggregates for its global
+        far-field bound."""
+        from ..integrate.block import BlockConfig
+        from ..integrate.mfv_block import (advance_mfv,
+                                           check_timesteps_mfv,
+                                           end_timestep_mfv,
+                                           init_schedule_mfv)
+
+        box, plan = self.box, self.distplan
+        kern, eos, cfg = self.kern, self.eos, self.mfv_cfg
+        h_fac, h_conv = self.h_fac, self.h_converge
+        bcfg = BlockConfig(nlevels=self.nlevels,
+                           level_diff_max=self.level_diff_max)
+
+        def dens(s, alive):
+            return dist.dist_mfv_density_pass(plan, kern, box, h_fac,
+                                              h_conv, eos, s, alive)
+
+        def grads(s, alive):
+            return dist.dist_mfv_gradient_pass(
+                plan, kern, box, s, alive,
+                limiter=self.mfv_cfg.slope_limiter)
+
+        def dt_crit_part(s, alive):
+            vsig = s.vsig_max
+            if self.time_step_limiter == "conservative":
+                vsig = jnp.maximum(vsig, dist.dist_mfv_vsig_pass(
+                    plan, kern, box, s, alive))
+            return self._dt_criterion_part(s.replace(vsig_max=vsig))
+
+        def local_boot(s: MfvState):
+            alive = s.alive
+            s = dens(s, alive)
+            Q0 = mfv_ops.qcons_from_state(self.ndim, s.m, s.v, s.u)
+            s = s.replace(Qcons0=Q0, r0=s.r, v0=s.v)
+            if self.self_gravity:
+                a, gpot, ovf = self._dist_gravity(s, alive)
+                s = s.replace(a=a, a0=a, gpot=gpot,
+                              neib_overflow=s.neib_overflow | ovf)
+            s = grads(s, alive)
+            s, sched = init_schedule_mfv(bcfg, s, dt_crit_part(s, alive),
+                                         axis_name="dp")
+            return s.replace(dt=sched.dt_base), sched
+
+        def local_tick(s: MfvState, B):
+            alive = s.alive
+            # ---- flux pass for starting pairs (UpdateGodunovFluxes) ----
+            start = (B.n == s.nlast) & alive
+            dt_own = B.dt_base * B.nstep_part.astype(s.m.dtype)
+            flux = dist.dist_mfv_flux_pass(plan, kern, cfg, box,
+                                           B.dt_base, s, alive,
+                                           block=(start, dt_own))
+            s = s.replace(
+                dQ=s.dQ + flux.dQ,
+                rdmdt=s.rdmdt + flux.rdmdt,
+                dQdt=jnp.where(start[:, None], flux.dQdt, s.dQdt))
+            # ---- advance: predict conserved state + drift all ----------
+            s, active, t, _ = advance_mfv(s, B)
+            r = box.wrap(s.r)
+            r, v = box.reflect(r, s.v)
+            rho = s.m * s.ndens
+            u, pressure, sound = eos.thermal_update(
+                jnp.maximum(rho, 1e-30), s.u)
+            s = s.replace(r=r, v=v, rho=rho, u=u, pressure=pressure,
+                          sound=sound)
+            # ---- Saitoh-Makino simple limiter --------------------------
+            if self.time_step_limiter == "simple":
+                active, nstep_p, level, s = check_timesteps_mfv(
+                    bcfg, s, B, active)
+            else:
+                nstep_p, level = B.nstep_part, s.level
+            # ---- dense density / gravity refresh -----------------------
+            s = dens(s, alive)
+            if self.self_gravity:
+                a, gpot, ovf = self._dist_gravity(s, alive)
+                s = s.replace(a=a, gpot=gpot,
+                              neib_overflow=s.neib_overflow | ovf)
+            s = s.replace(levelneib=dist.dist_levelneib_pass(
+                plan, kern, box, s, alive))
+            # ---- timestep criterion (+ conservative limiter) -----------
+            dt_crit = dt_crit_part(s, alive)
+            # ---- commit enders + ladder (EndTimestep) ------------------
+            cooling = (self._apply_radws_cooling
+                       if self.use_radws_energy else None)
+            s, B = end_timestep_mfv(bcfg, eos, s, B, active, level,
+                                    nstep_p, dt_crit, t,
+                                    axis_name="dp", cooling_fn=cooling)
+            # ---- gradients for the NEXT tick's fluxes ------------------
+            s = grads(s, alive)
+            return s.replace(nstep=s.nstep + 1), B
+
+        specs = self._dist_specs()
+        sspecs = self._sched_specs()
+        if bootstrap:
+            fn, in_specs = local_boot, (specs,)
+        else:
+            fn, in_specs = local_tick, (specs, sspecs)
+        out_specs = (specs, sspecs)
+        try:
+            sm = shard_map(fn, mesh=self.mesh, in_specs=in_specs,
+                           out_specs=out_specs, check_vma=False)
+        except TypeError:  # older jax spells it check_rep
+            sm = shard_map(fn, mesh=self.mesh, in_specs=in_specs,
+                           out_specs=out_specs, check_rep=False)
+        return jax.jit(sm)
+
     def _compile(self):
-        self._step_fn = self._build_dist_step(bootstrap=False)
-        self._bootstrap_fn = self._build_dist_step(bootstrap=True)
+        build = self._build_dist_block if self.use_block \
+            else self._build_dist_step
+        self._step_fn = build(bootstrap=False)
+        self._bootstrap_fn = build(bootstrap=True)
+
+    def _run_dist(self, bootstrap: bool):
+        fn = self._bootstrap_fn if bootstrap else self._step_fn
+        if self.use_block:
+            if bootstrap:
+                self.state, self._blocksched = fn(self.state)
+            else:
+                self.state, self._blocksched = fn(self.state,
+                                                  self._blocksched)
+        else:
+            self.state = fn(self.state)
 
     # -- host lifecycle ----------------------------------------------------
     def SetupSimulation(self):
@@ -212,7 +333,7 @@ class DistributedMfvSimulation(MfvMusclSimulation):
                 self._plan_dist_tree(np.asarray(self.state.r))
             self._place()
             self._compile()
-            self.state = self._bootstrap_fn(self.state)
+            self._run_dist(bootstrap=True)
             tries = 0
             while bool(self.state.neib_overflow):
                 tries += 1
@@ -220,16 +341,29 @@ class DistributedMfvSimulation(MfvMusclSimulation):
                     raise RuntimeError("distributed MFV setup keeps "
                                        "overflowing")
                 self._replan(growth=1.3)
-                self.state = self._bootstrap_fn(self.state)
+                self._run_dist(bootstrap=True)
         self._init_output_cadence()
 
     def _replan(self, growth: float = 1.3):
+        sched = getattr(self, "_blocksched", None)
+        if self.use_block and sched is not None:
+            # per-particle schedule arrays migrate with the particles
+            nstep_h = dist.unshard_array(self.distplan, sched.nstep_part,
+                                         self._n_orig)
+            dtnext_h = dist.unshard_array(self.distplan, sched.dt_next,
+                                          self._n_orig)
         host = dist.unshard_state(self.distplan, self.state, self._n_orig)
         alive = np.asarray(host.alive)
         h_np = np.asarray(host.h)[alive]
         self._plan_all(np.asarray(host.r), h_np, growth=growth)
         host = host.replace(neib_overflow=jnp.asarray(False))
         self.state = dist.shard_state(self.distplan, host)
+        if self.use_block and sched is not None:
+            self._blocksched = sched._replace(
+                nstep_part=jnp.asarray(dist.shard_array(
+                    self.distplan, nstep_h, 1)),
+                dt_next=jnp.asarray(dist.shard_array(
+                    self.distplan, dtnext_h, 1e30)))
         if self.self_gravity:
             self._plan_dist_tree(np.asarray(self.state.r))
         self._place()
@@ -243,12 +377,15 @@ class DistributedMfvSimulation(MfvMusclSimulation):
         self._clamp_dt_to_tend()
         with self.timing.block("MAIN_LOOP"):
             prev = self.state
-            self.state = self._step_fn(prev)
+            prev_sched = getattr(self, "_blocksched", None)
+            self._run_dist(bootstrap=False)
             if bool(self.state.neib_overflow):
                 with self.timing.block("GRID_REPLAN"):
                     self.state = prev
+                    if prev_sched is not None:
+                        self._blocksched = prev_sched
                     self._replan(growth=1.5)
-                    self.state = self._step_fn(self.state)
+                    self._run_dist(bootstrap=False)
                     if bool(self.state.neib_overflow):
                         raise RuntimeError("distributed MFV neighbour "
                                            "overflow persists")

@@ -547,6 +547,52 @@ class TestDistributedMfv:
         u0 = 66.67 / ((1.6666666666666667 - 1.0) * 1.0)
         assert s4["u"].max() < u0
 
+    def test_block_matches_single_device(self):
+        """MFV block ticks (Nlevels=3, Saitoh-Makino simple limiter) over
+        the sharded runtime vs the single-chip grid block tick: the block
+        flux pass ships dt_own/start through the halo ppermutes so
+        dt_pair = min(dt_i, dt_j) is exact across slab seams, and the
+        ladder reductions are pmin/pmax inside the tick."""
+        over = dict(sim="mfvmuscl", riemann_solver="hllc", Nlevels=3,
+                    time_step_limiter="simple")
+        s1 = _sorted_state(_run(0, grav=0, n_steps=8, n_side=12, **over))
+        s4 = _sorted_state(_run(4, grav=0, n_steps=8, n_side=12, **over))
+        for k in ("r", "v", "rho", "u", "h"):
+            np.testing.assert_allclose(s4[k], s1[k], rtol=5e-10,
+                                       atol=1e-11, err_msg=k)
+
+    def test_block_conservative_matches_single_device(self):
+        """The conservative distant-vsig limiter walk in distributed
+        mode: the near field runs over halo'd local slabs, the far field
+        all_gathers per-cell aggregates and evaluates the SAME global
+        cell geometry as the single-chip walk — so the bound (and hence
+        the ladder) matches the single-chip grid run to roundoff."""
+        over = dict(sim="mfvmuscl", riemann_solver="hllc", Nlevels=3,
+                    time_step_limiter="conservative")
+        s1 = _sorted_state(_run(0, grav=0, n_steps=6, n_side=12, **over))
+        s4 = _sorted_state(_run(4, grav=0, n_steps=6, n_side=12, **over))
+        for k in ("r", "v", "rho", "u", "h"):
+            np.testing.assert_allclose(s4[k], s1[k], rtol=5e-10,
+                                       atol=1e-11, err_msg=k)
+
+    def test_block_gravity_ladder_and_replan(self):
+        """MFV block x distributed tree gravity: the ladder occupies more
+        than one level, mid-interval re-decomposition migrates the
+        per-particle schedule arrays, and mass stays exactly conserved
+        (zero_mass_flux defaults off, so this checks the dQ ledger)."""
+        over = dict(sim="mfvmuscl", riemann_solver="hllc", Nlevels=4,
+                    time_step_limiter="simple")
+        sim = _run(4, grav=1, n_steps=2, n_side=12, **over)
+        assert int(sim._blocksched.level_max) >= 1
+        sim.params.intparams["ntreebuildstep"] = 2
+        m0 = sim._state_to_host()["m"].sum()
+        for _ in range(4):
+            sim.main_loop_step()
+        d = sim._state_to_host()
+        assert d["m"].sum() == pytest.approx(m0, rel=1e-12)
+        assert np.isfinite(d["rho"]).all() and np.isfinite(d["v"]).all()
+        assert sim.t > 0
+
 
 class TestDistributedMirror:
     """Mirror/wall boundaries over the sharded runtime: each shard extends
