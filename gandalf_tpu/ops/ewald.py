@@ -1,20 +1,48 @@
-"""Ewald summation for (fully) periodic self-gravity.
+"""Ewald summation for periodic and mixed-periodic self-gravity.
 
 Analogue of the reference Ewald class (src/Common/Ewald.cpp:60-470,
-CalculatePeriodicCorrection :496-620, ewald_periodicity == 7): a host-side
-table of the periodic-minus-Newtonian correction field is precomputed once
-on a grid over the positive octant of the half-cell, and the jitted force
-pass adds a trilinearly-interpolated correction for every pair.
+CalculatePeriodicCorrection :496-620): a host-side table of the
+periodic-minus-Newtonian correction field is precomputed once on a grid
+over the positive octant, and the jitted force pass adds a trilinearly
+interpolated correction for every pair.
 
-The field follows the classic gravitational Ewald split (Hernquist,
-Bouchet & Suto 1991): real-space erfc-damped image sum + reciprocal-space
-Gaussian sum + the k = 0 neutralising-background term (the "Jeans swindle"),
-with the direct 1/r (1/r^2) term subtracted.  The acceleration components
-are odd and the potential even under per-coordinate sign flips, so the
-octant table covers the whole cell.
+Fully periodic boxes (reference ewald_periodicity == 7) follow the classic
+gravitational Ewald split (Hernquist, Bouchet & Suto 1991): real-space
+erfc-damped image sum + reciprocal-space Gaussian sum + the k = 0
+neutralising-background term (the "Jeans swindle"), with the direct 1/r
+(1/r^2) term subtracted.
 
-Mixed periodic/open boundaries (reference ewald_periodicity 1-6) are not
-implemented; fully-periodic boxes only.
+Mixed periodicity (reference ewald_periodicity 1-6, Ewald.cpp:149-420,
+following the FLASH implementation):
+
+- **2D periodic / 1 open dim** (cases 3/5/6): real-space erfc images over
+  the periodic plane lattice; the reciprocal sum has the closed erfc form
+      psi_h = (pi/A) cos(k.rho)/k [e^{kz} erfc(az + k/2a)
+                                   + e^{-kz} erfc(k/2a - az)]
+  plus the k = 0 slab term -(2pi/A)[z erf(az) + e^{-a^2 z^2}/(a sqrt(pi))].
+  No background subtraction is needed: a plane-periodic mass sheet has a
+  well-defined field.  Beyond the table range the field is the uniform
+  sheet: acc -> 2pi/A toward the plane (reference accPlane branch,
+  Ewald.cpp:604-620).
+- **1D periodic / 2 open dims** (cases 1/2/4): real-space images along
+  the axis; the reciprocal h != 0 terms are the Bessel-type integrals
+      I_h(rho) = int_0^a dt/t e^{-rho^2 t^2 - (pi h/(L t))^2}
+  (evaluated by vectorised Simpson quadrature, the analogue of the
+  reference's SimpsonInt over GravInt1p2i), and the log-divergent h = 0
+  term is renormalised to
+      psi_0 = -(1/L)[gamma + log(a^2 rho^2) + E_1(a^2 rho^2)]
+  which tends to the line-mass potential -(2/L) log rho + const at large
+  rho and to 0 at rho = 0.  Beyond the table range the field is the line
+  mass: acc -> 2/(L rho) toward the axis (reference potC1p2i branch,
+  Ewald.cpp:580-603); with this renormalisation the matching constant is
+  analytic, potC = (gamma + 2 log a)/L.
+
+The acceleration components are odd and the potential even under
+per-coordinate sign flips, so the octant table covers the whole cell.
+The table convention matches the tree walk's pair convention: for
+dr = r_j - r_i the total interaction is  a_i += m_j (dr/|dr|^3 + acorr),
+gpot_i += m_j (1/|dr| + potcorr),  i.e. acc = -grad(pot) in the positive
+(1/r) potential convention.
 """
 
 from __future__ import annotations
@@ -23,9 +51,11 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 import numpy as np
-from scipy.special import erfc
+from scipy.special import erfc, erfcx, exp1
 
 Array = jnp.ndarray
+
+_EULER_GAMMA = 0.5772156649015328606
 
 
 class EwaldTable(NamedTuple):
@@ -33,36 +63,60 @@ class EwaldTable(NamedTuple):
     acc: Array          # (nx, ny, nz, 3) correction acceleration
     inv_dgrid: Array    # (3,) inverse grid spacing
     nmax: Array         # (3,) last valid cell index (ngrid - 2)
+    # -- mixed-periodicity metadata (static Python values: the table is
+    #    closed over by the jitted walks, never passed as a traced arg) --
+    far_kind: int = 7           # 7 = fully periodic, 2 = 2D periodic,
+                                # 1 = 1D periodic
+    open_axes: tuple = ()       # aperiodic axis indices
+    per_axes: tuple = (0, 1, 2)  # periodic axis indices
+    L_per: float = 0.0          # 1D: periodic length L
+    area: float = 0.0           # 2D: periodic cell area A
+    pot_const: float = 0.0      # 1D: far-field potential constant potC
+    far_thresh: tuple = None    # per-axis |dr| beyond which the analytic
+                                # far field replaces the table (open axes)
 
 
-def build_ewald_table(lbox, ngrid: int = 17, nseries: int = 5,
-                      ewald_mult: float = 1.0) -> EwaldTable:
-    """Precompute the periodic correction field on a (ngrid,)*3 grid over
-    [0, L/2]^3 (host-side numpy; Ewald.cpp:268-420 analogue)."""
-    lx, ly, lz = (float(lbox[0]), float(lbox[1]), float(lbox[2]))
-    V = lx * ly * lz
-    alpha = 2.0 * ewald_mult / lx        # reference: 2 * ewald_mult / lx_per
+def _octant_grid(L: np.ndarray, per, ngrid: int):
+    """Per-axis octant sample points: periodic axes span [0, L/2] with
+    ngrid points; open axes span [0, 2 L_ref] with 4 (ngrid-2) + 1 points
+    (reference Lewald = 4 * half, Ncells = 4 (nEwaldGrid-2) + 1)."""
+    paxes = [k for k in range(3) if per[k]]
+    L_ref = L[paxes[0]]
+    pts = []
+    for k in range(3):
+        if per[k]:
+            pts.append(np.linspace(0.0, 0.5 * L[k], ngrid))
+        else:
+            pts.append(np.linspace(0.0, 2.0 * L_ref, 4 * (ngrid - 2) + 1))
+    return pts, L_ref
 
-    ax = np.linspace(0.0, 0.5 * lx, ngrid)
-    ay = np.linspace(0.0, 0.5 * ly, ngrid)
-    az = np.linspace(0.0, 0.5 * lz, ngrid)
-    X, Y, Z = np.meshgrid(ax, ay, az, indexing="ij")
-    r = np.stack([X, Y, Z], axis=-1).reshape(-1, 3)     # (G, 3)
 
-    # image / wave-number lattice inside a sphere of radius nseries
-    rng = np.arange(-nseries, nseries + 1)
-    NX, NY, NZ = np.meshgrid(rng, rng, rng, indexing="ij")
+def _image_lattice(L: np.ndarray, per, L_ref: float, nseries: int):
+    """Integer image offsets over the PERIODIC dims inside the reference's
+    elliptic cut (Ewald.cpp:310: cr1 ni^2 + cr2 nj^2 + cr3 nk^2 <= R^2
+    with cr_k = (L_k/L_ref)^2)."""
+    rngs = []
+    for k in range(3):
+        if per[k]:
+            nk = int(np.ceil(nseries * L_ref / L[k])) + 1
+            rngs.append(np.arange(-nk, nk + 1))
+        else:
+            rngs.append(np.array([0]))
+    NX, NY, NZ = np.meshgrid(*rngs, indexing="ij")
     nvec = np.stack([NX, NY, NZ], axis=-1).reshape(-1, 3)
-    nvec = nvec[np.sum(nvec * nvec, axis=1) <= nseries * nseries]
+    w = (nvec * (L / L_ref)[None, :]) ** 2
+    return nvec[np.sum(w, axis=1) <= nseries * nseries + 1e-12]
 
-    # --- real-space sum: erfc-damped images -------------------------------
-    L = np.array([lx, ly, lz])
+
+def _realspace_sum(r: np.ndarray, nvec: np.ndarray, L: np.ndarray,
+                   alpha: float):
+    """erfc-damped short-range image sum (Ewald.cpp:306-326)."""
     pot = np.zeros(len(r))
     acc = np.zeros((len(r), 3))
-    for n in nvec:                                       # few hundred terms
-        rn = r + n * L                                   # (G, 3)
+    for n in nvec:
+        rn = r + n * L
         d2 = np.sum(rn * rn, axis=1)
-        d2s = np.where(d2 > 0, d2, 1.0)                  # origin masked below
+        d2s = np.where(d2 > 0, d2, 1.0)
         d = np.sqrt(d2s)
         e = erfc(alpha * d)
         g = e / d
@@ -70,6 +124,87 @@ def build_ewald_table(lbox, ngrid: int = 17, nseries: int = 5,
              * np.exp(-alpha * alpha * d2)) / (d * d2s)
         pot += np.where(d2 > 0, g, 0.0)
         acc += np.where(d2[:, None] > 0, rn * s[:, None], 0.0)
+    return pot, acc
+
+
+def _subtract_direct(r: np.ndarray, pot: np.ndarray, acc: np.ndarray):
+    d2 = np.sum(r * r, axis=1)
+    d2s = np.where(d2 > 0, d2, 1.0)
+    d = np.sqrt(d2s)
+    pot -= np.where(d2 > 0, 1.0 / d, 0.0)
+    acc -= np.where(d2[:, None] > 0, r / (d * d2s)[:, None], 0.0)
+    pot[0] = 0.0
+    acc[0] = 0.0
+    return pot, acc
+
+
+def build_ewald_table(lbox, ngrid: int = 17, nseries: int = 5,
+                      ewald_mult: float = 1.0,
+                      periodic=(True, True, True)) -> EwaldTable:
+    """Precompute the periodic correction field on an octant grid
+    (host-side numpy; Ewald.cpp:268-420 analogue).  `periodic` selects
+    the mixed-periodicity case (at least one axis must be periodic)."""
+    per = tuple(bool(p) for p in periodic)
+    L = np.array([float(lbox[k]) for k in range(3)])
+    npd = sum(per)
+    if npd == 0:
+        raise ValueError("Ewald table needs >= 1 periodic axis")
+    if npd == 3:
+        return _build_table_3p(L, ngrid, nseries, ewald_mult)
+
+    paxes = tuple(k for k in range(3) if per[k])
+    oaxes = tuple(k for k in range(3) if not per[k])
+    pts, L_ref = _octant_grid(L, per, ngrid)
+    alpha = 2.0 * ewald_mult / L_ref
+    X, Y, Z = np.meshgrid(*pts, indexing="ij")
+    r = np.stack([X, Y, Z], axis=-1).reshape(-1, 3)
+
+    nvec = _image_lattice(L, per, L_ref, nseries)
+    pot, acc = _realspace_sum(r, nvec, L, alpha)
+
+    if npd == 2:
+        _recip_2p(r, L, alpha, nseries, paxes, oaxes[0], pot, acc)
+    else:
+        _recip_1p(r, L, alpha, nseries, paxes[0], oaxes, pot, acc)
+    pot_const = 0.0      # both far fields are in canonical conventions
+
+    pot, acc = _subtract_direct(r, pot, acc)
+
+    shape = tuple(len(p) for p in pts)
+    extents = np.array([p[-1] for p in pts])
+    inv_dgrid = (np.array(shape) - 1) / extents
+    # switch to the analytic far field at the last valid cell of each
+    # OPEN axis; periodic axes are min-imaged into range by construction
+    far_thresh = tuple(
+        (shape[k] - 2) / inv_dgrid[k] if k in oaxes else np.inf
+        for k in range(3))
+    return EwaldTable(
+        pot=jnp.asarray(pot.reshape(shape)),
+        acc=jnp.asarray(acc.reshape(shape + (3,))),
+        inv_dgrid=jnp.asarray(inv_dgrid),
+        nmax=jnp.asarray([n - 2 for n in shape], jnp.int32),
+        far_kind=npd, open_axes=oaxes, per_axes=paxes,
+        L_per=float(L[paxes[0]]),
+        area=float(np.prod(L[list(paxes)])),
+        pot_const=float(pot_const), far_thresh=far_thresh)
+
+
+def _build_table_3p(L, ngrid, nseries, ewald_mult) -> EwaldTable:
+    """Fully periodic table (ewald_periodicity == 7)."""
+    lx, ly, lz = L
+    V = lx * ly * lz
+    alpha = 2.0 * ewald_mult / lx        # reference: 2 * ewald_mult / lx_per
+
+    pts = [np.linspace(0.0, 0.5 * L[k], ngrid) for k in range(3)]
+    X, Y, Z = np.meshgrid(*pts, indexing="ij")
+    r = np.stack([X, Y, Z], axis=-1).reshape(-1, 3)
+
+    rng = np.arange(-nseries, nseries + 1)
+    NX, NY, NZ = np.meshgrid(rng, rng, rng, indexing="ij")
+    nvec = np.stack([NX, NY, NZ], axis=-1).reshape(-1, 3)
+    nvec = nvec[np.sum(nvec * nvec, axis=1) <= nseries * nseries]
+
+    pot, acc = _realspace_sum(r, nvec, L, alpha)
 
     # --- reciprocal-space sum ----------------------------------------------
     hvec = nvec[np.any(nvec != 0, axis=1)]
@@ -80,18 +215,12 @@ def build_ewald_table(lbox, ngrid: int = 17, nseries: int = 5,
     pot += (np.cos(phase) @ damp) / (np.pi * V)
     acc += (np.sin(phase) @ (damp[:, None] * kt)) * (2.0 / V)
 
-    # k = 0 neutralising background + subtract the direct Newtonian term
+    # k = 0 neutralising background
     pot -= np.pi / (alpha * alpha * V)
-    d2 = np.sum(r * r, axis=1)
-    d2s = np.where(d2 > 0, d2, 1.0)
-    d = np.sqrt(d2s)
-    pot -= np.where(d2 > 0, 1.0 / d, 0.0)
-    acc -= np.where(d2[:, None] > 0, r / (d * d2s)[:, None], 0.0)
-    pot[0] = 0.0                                         # origin (self term)
-    acc[0] = 0.0
+    pot, acc = _subtract_direct(r, pot, acc)
 
     shape = (ngrid, ngrid, ngrid)
-    inv_dgrid = (ngrid - 1) / (0.5 * np.array([lx, ly, lz]))
+    inv_dgrid = (ngrid - 1) / (0.5 * L)
     return EwaldTable(
         pot=jnp.asarray(pot.reshape(shape)),
         acc=jnp.asarray(acc.reshape(shape + (3,))),
@@ -99,12 +228,108 @@ def build_ewald_table(lbox, ngrid: int = 17, nseries: int = 5,
         nmax=jnp.asarray([ngrid - 2] * 3, jnp.int32))
 
 
-def ewald_correction(table: EwaldTable, dr: Array):
-    """Trilinear lookup of (acc_corr, pot_corr) for minimum-image pair
-    vectors dr (..., 3)  (CalculatePeriodicCorrection, Ewald.cpp:496-620).
+def _recip_2p(r, L, alpha, nseries, paxes, oax, pot, acc):
+    """2D-periodic reciprocal sum, closed erfc form (the analogue of the
+    reference's PotLong2p1i / AccLong2p1i*, Ewald.cpp:786-900)."""
+    p1, p2 = paxes
+    A = L[p1] * L[p2]
+    z = r[:, oax]
+    x1, x2 = r[:, p1], r[:, p2]
 
-    Odd symmetry in each coordinate for the matching acceleration
-    component; even for the potential and cross components."""
+    # h = 0 slab term
+    pot += -(2.0 * np.pi / A) * (z * erf_np(alpha * z)
+                                 + np.exp(-alpha * alpha * z * z)
+                                 / (alpha * np.sqrt(np.pi)))
+    acc[:, oax] += (2.0 * np.pi / A) * erf_np(alpha * z)
+
+    n1 = int(np.ceil(nseries * L[p1] / L[p1]))  # = nseries
+    n2 = int(np.ceil(nseries * L[p1] / L[p2]))
+    for h1 in range(-n1, n1 + 1):
+        for h2 in range(-n2, n2 + 1):
+            if h1 == 0 and h2 == 0:
+                continue
+            kt2 = (h1 / L[p1]) ** 2 + (h2 / L[p2]) ** 2
+            if kt2 * L[p1] ** 2 > nseries * nseries:
+                continue
+            k = 2.0 * np.pi * np.sqrt(kt2)
+            s = alpha * z + k / (2.0 * alpha)
+            # e^{kz} erfc(az + k/2a) = erfcx(s) e^{-a^2 z^2 - k^2/4a^2}
+            t1 = erfcx(s) * np.exp(-alpha * alpha * z * z
+                                   - k * k / (4.0 * alpha * alpha))
+            t2 = np.exp(-k * z) * erfc(k / (2.0 * alpha) - alpha * z)
+            phase = 2.0 * np.pi * (h1 * x1 / L[p1] + h2 * x2 / L[p2])
+            B = t1 + t2
+            pot += (np.pi / A) * np.cos(phase) / k * B
+            acc[:, oax] += -(np.pi / A) * np.cos(phase) * (t1 - t2)
+            for (pk, hk) in ((p1, h1), (p2, h2)):
+                acc[:, pk] += (np.pi / A) * np.sin(phase) \
+                    * (2.0 * np.pi * hk / L[pk]) / k * B
+
+
+def _recip_1p(r, L, alpha, nseries, pax, oaxes, pot, acc):
+    """1D-periodic reciprocal sum: renormalised h = 0 log term + Simpson
+    quadrature of the h != 0 Bessel-type integrals (the analogue of the
+    reference's SimpsonInt over GravInt1p2i/DerGravInt1p2i,
+    Ewald.cpp:690-760)."""
+    Lp = L[pax]
+    x = r[:, pax]
+    q1, q2 = r[:, oaxes[0]], r[:, oaxes[1]]
+    rho2 = q1 * q1 + q2 * q2
+    arho2 = alpha * alpha * rho2
+
+    # h = 0 renormalised to the CANONICAL line-potential convention
+    # (alpha-independent zero point):
+    #   psi0 = -(1/L)[log(rho^2) + E1(a^2 rho^2)]
+    # -> -(2/L) log rho at large rho (the line mass, matching the far
+    # field with pot_const = 0) and (gamma + 2 log a)/L at rho -> 0
+    # (where the alpha dependence cancels against the real-space sum).
+    pos = arho2 > 1e-300
+    psi0 = np.full_like(rho2, (_EULER_GAMMA + 2.0 * np.log(alpha)) / Lp)
+    psi0[pos] = -(np.log(rho2[pos]) + exp1(arho2[pos])) / Lp
+    pot += psi0
+    # -d psi0/d q_i = (2/(L rho^2)) (1 - e^{-a^2 rho^2}) q_i
+    fac0 = np.zeros_like(rho2)
+    fac0[pos] = 2.0 * (1.0 - np.exp(-arho2[pos])) / (Lp * rho2[pos])
+    acc[:, oaxes[0]] += fac0 * q1
+    acc[:, oaxes[1]] += fac0 * q2
+
+    # h != 0: I_h / J_h quadrature over t in (0, alpha], vectorised over
+    # the distinct rho^2 of the grid (t -> alpha u, Simpson in u)
+    n_quad = 1001
+    u = np.linspace(0.0, 1.0, n_quad)[1:]                # drop u = 0
+    w = np.full(n_quad - 1, 2.0)
+    w[::2] = 4.0                                          # Simpson weights
+    w[-1] = 1.0
+    du = u[1] - u[0]
+    t = alpha * u                                         # (T,)
+    for h in range(1, max(nseries, 2) + 3):
+        bh = (np.pi * h / (Lp * t)) ** 2                  # (T,)
+        damp = np.exp(-bh)
+        if damp.max() < 1e-14:
+            break
+        # integrands: (G, T) in chunks to bound memory
+        Ih = np.zeros(len(r))
+        Jh = np.zeros(len(r))
+        chunk = 65536
+        for i0 in range(0, len(r), chunk):
+            sl = slice(i0, i0 + chunk)
+            e = np.exp(-rho2[sl, None] * (t * t)[None, :]) * damp[None, :]
+            Ih[sl] = (e / t[None, :] * w[None, :]).sum(1) * du * alpha / 3.0
+            Jh[sl] = (e * t[None, :] * w[None, :]).sum(1) * du * alpha / 3.0
+        ph = 2.0 * np.pi * h * x / Lp
+        pot += (4.0 / Lp) * np.cos(ph) * Ih
+        acc[:, pax] += (4.0 / Lp) * np.sin(ph) \
+            * (2.0 * np.pi * h / Lp) * Ih
+        acc[:, oaxes[0]] += (8.0 / Lp) * np.cos(ph) * Jh * q1
+        acc[:, oaxes[1]] += (8.0 / Lp) * np.cos(ph) * Jh * q2
+
+
+def erf_np(x):
+    return 1.0 - erfc(x)
+
+
+def _trilinear(table: EwaldTable, dr: Array):
+    """Octant trilinear lookup with per-coordinate odd/even symmetry."""
     sign = jnp.sign(dr)
     b = jnp.abs(dr) * table.inv_dgrid
     i0 = jnp.clip(b.astype(jnp.int32), 0, table.nmax)
@@ -122,6 +347,45 @@ def ewald_correction(table: EwaldTable, dr: Array):
                 pot = pot + wt * table.pot[ix, iy, iz]
                 acc = acc + wt[..., None] * table.acc[ix, iy, iz]
     return acc * sign, pot
+
+
+def ewald_correction(table: EwaldTable, dr: Array):
+    """(acc_corr, pot_corr) for minimum-image pair vectors dr (..., 3)
+    (CalculatePeriodicCorrection, Ewald.cpp:496-620).  Mixed-periodicity
+    tables switch to the analytic line/sheet far field beyond the table
+    range in the open dims (Ewald.cpp:570-620)."""
+    acc_t, pot_t = _trilinear(table, dr)
+    if table.far_kind == 7:
+        return acc_t, pot_t
+
+    d2 = jnp.sum(dr * dr, axis=-1)
+    dinv = 1.0 / jnp.sqrt(jnp.maximum(d2, 1e-300))
+    dinv3 = dinv * dinv * dinv
+    if table.far_kind == 2:
+        # uniform-sheet far field (reference accPlane branch)
+        o = table.open_axes[0]
+        ap = 2.0 * np.pi / table.area
+        zo = dr[..., o]
+        pot_f = -(jnp.abs(zo) * ap + dinv)
+        acc_f = -dr * dinv3[..., None]
+        acc_f = acc_f.at[..., o].add(ap * jnp.sign(zo))
+        out = jnp.abs(zo) > table.far_thresh[o]
+    else:
+        # line-mass far field (reference potC1p2i branch)
+        p = table.per_axes[0]
+        q1, q2 = table.open_axes
+        c = dr[..., q1] ** 2 + dr[..., q2] ** 2
+        cs = jnp.maximum(c, 1e-300)
+        Lp = table.L_per
+        pot_f = -(jnp.log(cs) / Lp + table.pot_const + dinv)
+        acc_f = -dr * dinv3[..., None]
+        d_fac = 2.0 / (Lp * cs)
+        acc_f = acc_f.at[..., q1].add(dr[..., q1] * d_fac)
+        acc_f = acc_f.at[..., q2].add(dr[..., q2] * d_fac)
+        out = (jnp.abs(dr[..., q1]) > table.far_thresh[q1]) \
+            | (jnp.abs(dr[..., q2]) > table.far_thresh[q2])
+    return (jnp.where(out[..., None], acc_f, acc_t),
+            jnp.where(out, pot_f, pot_t))
 
 
 def ewald_pair_gravity(table: EwaldTable, box, r: Array, m: Array):

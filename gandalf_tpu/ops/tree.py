@@ -212,6 +212,14 @@ def build_tree(spec: TreeSpec, r_s: Array, m_s: Array,
                       quad=quads)
 
 
+def _ext_safe(extent, dtype) -> Array:
+    """Periodic extent vector for min-image wrapping; 0 entries (open
+    dims in mixed-periodicity Ewald mode) disable wrapping on that axis
+    by mapping to a huge period."""
+    L = jnp.asarray(extent, dtype)
+    return jnp.where(L > 0, L, jnp.asarray(1e30, dtype))
+
+
 def _safe_invr(drsqd: Array) -> Array:
     """1/|dr| that is 0 (not inf) at coincident points, with the clamp set
     so that inv_r^5 cannot overflow the dtype (masked cells multiply by
@@ -394,7 +402,7 @@ def tree_gravity(spec: TreeSpec, tree: TreeLevels,
                 # periodic walk geometry: a cell CLOSE through the seam
                 # must be opened (its multipole would otherwise be
                 # evaluated at an invalid min-image distance)
-                _Lg = jnp.asarray(ewald_extent, dtype)
+                _Lg = _ext_safe(ewald_extent, dtype)
                 dcc = dcc - _Lg * jnp.round(dcc / _Lg)
             gap = jnp.maximum(jnp.abs(dcc) - gh, 0.0)
             dsqd = jnp.sum(gap * gap, axis=-1)
@@ -431,7 +439,7 @@ def tree_gravity(spec: TreeSpec, tree: TreeLevels,
                     # the Ewald-corrected periodic sum is defined on the
                     # MIN-IMAGE separation; far cells' unwrapped dr can
                     # exceed the half-box
-                    _L = jnp.asarray(ewald_extent, dtype)
+                    _L = _ext_safe(ewald_extent, dtype)
                     dr = dr - _L * jnp.round(dr / _L)
                 a_f, p_f = _mp_accel(dr, m_a, q6)
                 if ewald_table is not None:
@@ -460,7 +468,7 @@ def tree_gravity(spec: TreeSpec, tree: TreeLevels,
             else:
                 dr = com_c[None, :, :] - rt[:, None, :]   # (L, W, ndim)
                 if ewald_table is not None:
-                    _L = jnp.asarray(ewald_extent, dtype)
+                    _L = _ext_safe(ewald_extent, dtype)
                     dr = dr - _L * jnp.round(dr / _L)
                 a_f, p_f = _mp_accel(dr, m_a[None, :],
                                      q6[None] if q6 is not None else None)
@@ -543,7 +551,7 @@ def tree_gravity(spec: TreeSpec, tree: TreeLevels,
             from .ewald import ewald_correction
 
             drv = cn[None, :, :] - ct[:, None, :]
-            _L = jnp.asarray(ewald_extent, dtype)
+            _L = _ext_safe(ewald_extent, dtype)
             drv = drv - _L * jnp.round(drv / _L)
             dsq = jnp.sum(drv * drv, axis=-1)
             inv_d = jnp.where(self_pair, 0.0, _safe_invr(dsq))
@@ -571,7 +579,7 @@ def tree_gravity(spec: TreeSpec, tree: TreeLevels,
             ch = leaf_half[nidx]
             dgc = cc - gc
             if ewald_table is not None:
-                _Lg = jnp.asarray(ewald_extent, dtype)
+                _Lg = _ext_safe(ewald_extent, dtype)
                 dgc = dgc - _Lg * jnp.round(dgc / _Lg)
             gapv = jnp.maximum(jnp.abs(dgc) - ch - gh, 0.0)
             gap2 = jnp.sum(gapv * gapv, axis=-1)
@@ -590,7 +598,7 @@ def tree_gravity(spec: TreeSpec, tree: TreeLevels,
             if ewald_table is not None:
                 # keep the smoothed-pair images consistent with the
                 # min-imaged near field
-                _Ls = jnp.asarray(ewald_extent, dtype)
+                _Ls = _ext_safe(ewald_extent, dtype)
                 drs = drs - _Ls * jnp.round(drs / _Ls)
             dsqs = jnp.sum(drs * drs, axis=-1)
             selfp = dsqs <= 0.0

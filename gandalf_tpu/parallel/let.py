@@ -365,7 +365,8 @@ def let_gravity(plan: LetPlan, gmap_loc: Array, r: Array, m: Array,
                     if ewald_table is not None:
                         # periodic walk geometry: a cell CLOSE through
                         # the seam must be opened (ops/tree.py:386-391)
-                        _Lg = jnp.asarray(periodic_extent, dtype)
+                        from ..ops.tree import _ext_safe
+                        _Lg = _ext_safe(periodic_extent, dtype)
                         dcc = dcc - _Lg * jnp.round(dcc / _Lg)
                     gap = jnp.maximum(jnp.abs(dcc) - gh, 0.0)
                     dsqd = jnp.sum(gap * gap, axis=-1)
@@ -382,7 +383,8 @@ def let_gravity(plan: LetPlan, gmap_loc: Array, r: Array, m: Array,
                     m_a = jnp.where(accept, mm, 0.0)
                     dr = com[None, :, :] - rt[:, None, :]
                     if ewald_table is not None:
-                        _L = jnp.asarray(periodic_extent, dtype)
+                        from ..ops.tree import _ext_safe
+                        _L = _ext_safe(periodic_extent, dtype)
                         dr = dr - _L * jnp.round(dr / _L)
                     a_f, p_f = _mp_eval(
                         dr, m_a[None, :],

@@ -96,17 +96,18 @@ class MfvMusclSimulation(SimulationBase):
         self.use_ewald = False
         if self.self_gravity and self.box.periodic_dims() \
                 and bool(p.intparams["ewald"]):
-            if len(self.box.periodic_dims()) != self.ndim \
-                    or self.ndim != 3:
+            if self.ndim != 3:
                 raise NotImplementedError(
-                    "periodic self-gravity requires a fully-periodic 3D "
-                    "box (mixed-periodicity Ewald not implemented)")
+                    "Ewald periodic self-gravity requires a 3D box "
+                    "(matches the reference, Ewald.cpp ndim == 3 guard)")
             self.use_ewald = True
             from ..ops.ewald import build_ewald_table
 
+            pdims = self.box.periodic_dims()
             self.ewald_table = build_ewald_table(
                 self.box.size, ngrid=max(p.intparams["nEwaldGrid"], 9),
-                ewald_mult=p.floatparams["ewald_mult"])
+                ewald_mult=p.floatparams["ewald_mult"],
+                periodic=tuple(k in pdims for k in range(3)))
         # neighbour-search strategy (mirrors the SPH controller): anything
         # but "bruteforce" maps to the structured-grid production path
         # (ops/mfv_grid27.py, the MeshlessFVTree analogue); mirror walls

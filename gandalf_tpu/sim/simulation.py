@@ -636,19 +636,24 @@ class GradhSphSimulation(SimulationBase):
             # ewald = 0 opts out of the periodic-image corrections and
             # treats the box's mass as isolated (the reference always
             # applies Ewald here, Simulation.cpp:1189, but exposes the
-            # same `ewald` switch in its defaults table)
-            if len(self.box.periodic_dims()) != self.ndim or self.ndim != 3:
+            # same `ewald` switch in its defaults table).  Mixed
+            # periodicity (1 or 2 periodic axes, reference
+            # ewald_periodicity 1-6) builds the line/sheet-corrected
+            # table (Ewald.cpp:149-420).
+            if self.ndim != 3:
                 raise NotImplementedError(
-                    "periodic self-gravity requires a fully-periodic 3D box "
-                    "(mixed-periodicity Ewald not implemented)")
+                    "Ewald periodic self-gravity requires a 3D box "
+                    "(matches the reference, Ewald.cpp ndim == 3 guard)")
             self.use_ewald = True
         self.h_fac = p.floatparams["h_fac"]
         if self.use_ewald:
             from ..ops.ewald import build_ewald_table
 
+            pdims = self.box.periodic_dims()
             self.ewald_table = build_ewald_table(
                 self.box.size, ngrid=max(p.intparams["nEwaldGrid"], 9),
-                ewald_mult=p.floatparams["ewald_mult"])
+                ewald_mult=p.floatparams["ewald_mult"],
+                periodic=tuple(k in pdims for k in range(3)))
         self.h_converge = p.floatparams["h_converge"]
         # radiation field (reference SphSimulation.cpp:75,672-679: updated
         # every nradstep; sources are the sink/star particles with N_LyC

@@ -64,6 +64,136 @@ class TestEwaldTable:
         assert np.linalg.norm(np.asarray(ac[0])) < 0.2 * newt
 
 
+class TestMixedPeriodicityEwald:
+    """Mixed-periodicity Ewald (reference ewald_periodicity 1-6,
+    Ewald.cpp:149-420): 2D-periodic closed erfc forms, 1D-periodic
+    quadrature + renormalised log term, analytic sheet/line far fields
+    beyond the table range."""
+
+    def test_2p_alpha_independence(self):
+        """The real/reciprocal split must cancel the splitting parameter:
+        tables at different alpha/nseries represent the same sum."""
+        t1 = build_ewald_table([1.0] * 3, ngrid=9,
+                               periodic=(True, True, False))
+        t2 = build_ewald_table([1.0] * 3, ngrid=9, nseries=6,
+                               ewald_mult=1.3, periodic=(True, True, False))
+        assert np.abs(np.asarray(t1.acc) - np.asarray(t2.acc)).max() < 1e-10
+        assert np.abs(np.asarray(t1.pot) - np.asarray(t2.pot)).max() < 1e-10
+
+    def test_1p_alpha_independence(self):
+        t1 = build_ewald_table([1.0] * 3, ngrid=9,
+                               periodic=(True, False, False))
+        t2 = build_ewald_table([1.0] * 3, ngrid=9, nseries=6,
+                               ewald_mult=1.3, periodic=(True, False, False))
+        assert np.abs(np.asarray(t1.acc) - np.asarray(t2.acc)).max() < 1e-10
+        assert np.abs(np.asarray(t1.pot) - np.asarray(t2.pot)).max() < 1e-10
+
+    @staticmethod
+    def _brute_images(dr, N, axes):
+        """Direct image-sum acceleration with Richardson extrapolation in
+        the (slowly 1/N-converging) image count."""
+        def partial(NN):
+            n = np.arange(-NN, NN + 1)
+            if len(axes) == 1:
+                off = np.zeros((len(n), 3))
+                off[:, axes[0]] = n
+            else:
+                NA, NB = np.meshgrid(n, n, indexing="ij")
+                off = np.zeros(NA.shape + (3,))
+                off[..., axes[0]] = NA
+                off[..., axes[1]] = NB
+                off = off.reshape(-1, 3)
+            rn = dr[None, :] + off
+            d = np.linalg.norm(rn, axis=1)
+            return (rn / d[:, None] ** 3).sum(0)
+        return 2.0 * partial(2 * N) - partial(N)
+
+    def test_2p_brute_image_oracle(self):
+        """Total (direct + correction) force vs the direct image sum over
+        the periodic plane lattice."""
+        tab = build_ewald_table([1.0] * 3, ngrid=9,
+                                periodic=(True, True, False))
+        for p in ([0.23, 0.11, 0.4], [0.4, 0.45, 0.05], [0.1, 0.2, 1.2]):
+            p = np.asarray(p)
+            a_ref = self._brute_images(p, 48, (0, 1))
+            ac, _ = ewald_correction(tab, jnp.asarray(p[None, :]))
+            a_tab = np.asarray(ac[0]) + p / np.linalg.norm(p) ** 3
+            assert np.abs(a_tab - a_ref).max() < 5e-3, (p, a_tab, a_ref)
+
+    def test_1p_brute_image_oracle(self):
+        tab = build_ewald_table([1.0] * 3, ngrid=9,
+                                periodic=(False, False, True))
+        for p in ([0.11, 0.4, 0.23], [0.45, 0.05, 0.4], [1.2, 0.2, 0.1]):
+            p = np.asarray(p)
+            a_ref = self._brute_images(p, 200, (2,))
+            ac, _ = ewald_correction(tab, jnp.asarray(p[None, :]))
+            a_tab = np.asarray(ac[0]) + p / np.linalg.norm(p) ** 3
+            assert np.abs(a_tab - a_ref).max() < 5e-3, (p, a_tab, a_ref)
+
+    def test_far_field_continuity(self):
+        """The analytic line/sheet far field must join the table smoothly
+        at the switch radius (acc and pot)."""
+        for per in ((True, False, False), (True, True, False)):
+            tab = build_ewald_table([1.0] * 3, ngrid=9, periodic=per)
+            oax = tab.open_axes[0]
+            edge = tab.far_thresh[oax]
+            lo = np.array([0.2, 0.3, 0.3])
+            hi = lo.copy()
+            lo[oax], hi[oax] = edge - 1e-4, edge + 1e-4
+            a_lo, p_lo = ewald_correction(tab, jnp.asarray(lo[None, :]))
+            a_hi, p_hi = ewald_correction(tab, jnp.asarray(hi[None, :]))
+            assert np.abs(np.asarray(a_lo) - np.asarray(a_hi)).max() < 1e-3
+            # pot has a genuine O(acc * dz) slope across the interval
+            # (acc = -grad pot); the jump minus the trapezoid-integrated
+            # slope isolates the table/far-formula mismatch
+            slope = -0.5 * float(a_lo[0][oax] + a_hi[0][oax])
+            dpot = float(p_hi[0]) - float(p_lo[0])
+            assert abs(dpot - slope * 2e-4) < 3e-4
+
+    def test_2p_sheet_limit(self):
+        """Far beyond the table the field is the uniform sheet:
+        acc -> 2 pi / A toward the plane (reference accPlane,
+        Ewald.cpp:604-620)."""
+        tab = build_ewald_table([1.0] * 3, ngrid=9,
+                                periodic=(True, True, False))
+        p = np.array([0.13, 0.27, 5.0])
+        ac, _ = ewald_correction(tab, jnp.asarray(p[None, :]))
+        total = np.asarray(ac[0]) + p / np.linalg.norm(p) ** 3
+        assert abs(total[2] - 2.0 * np.pi) < 1e-6
+        assert np.abs(total[:2]).max() < 1e-6
+
+    def test_slab_sim_tree_path_runs(self):
+        """Full controller on a slab box (periodic x,y / open z) with
+        ewald = 1: the mixed table feeds the tree walk (zero-extent open
+        dims disable the min-image wrap) and momentum stays conserved."""
+        from gandalf_tpu.params import Parameters
+        from gandalf_tpu.sim.simulation import SimulationBase
+
+        p = Parameters()
+        for k, v in dict(
+                ndim=3, sim="gradhsph", ic="box", run_id="",
+                dimensionless=1, gas_eos="energy_eqn",
+                self_gravity=1, hydro_forces=1, ewald=1,
+                rhofluid1=1.0, press1=1.0, neib_search="kdtree",
+                **{"Nlattice1[0]": 8, "Nlattice1[1]": 8, "Nlattice1[2]": 8,
+                   "boxmin[0]": 0.0, "boxmax[0]": 1.0,
+                   "boxmin[1]": 0.0, "boxmax[1]": 1.0,
+                   "boxmin[2]": 0.0, "boxmax[2]": 1.0},
+                **{f"boundary_lhs[{k}]": "periodic" for k in range(2)},
+                **{f"boundary_rhs[{k}]": "periodic" for k in range(2)}
+        ).items():
+            p.set(k, v)
+        sim = SimulationBase.factory(p)
+        sim.SetupSimulation()
+        assert sim.use_ewald and sim.ewald_table.far_kind == 2
+        for _ in range(3):
+            sim.main_loop_step()
+        s = sim.state
+        assert np.isfinite(np.asarray(s.v)).all()
+        mom = (np.asarray(s.m)[:, None] * np.asarray(s.v)).sum(0)
+        assert np.abs(mom).max() < 1e-8
+
+
 class TestEwaldPairGravity:
     def test_momentum_conserving(self, table):
         rng = np.random.default_rng(11)
