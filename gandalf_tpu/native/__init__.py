@@ -87,5 +87,9 @@ def load():
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
     ]
+    lib.xorshift_fill.restype = ctypes.c_uint64
+    lib.xorshift_fill.argtypes = [
+        ctypes.c_uint64, ctypes.c_int64, ctypes.c_void_p,
+    ]
     _LIB = lib
     return _LIB

@@ -268,6 +268,23 @@ int64_t tree_walk_stats(const double* r, const double* m, const double* h,
   return 0;
 }
 
+// Sequential xorshift fill (reference RandomNumber.h:64-131 XorshiftRand:
+// triple 21/35/4 + MLCG output multiply): advances the single-word state
+// by n steps, writing floatrand() values.  Returns the new state.  Used
+// by the IC generators' draw-exact rejection sampling (utils/rng.py) —
+// same-seed ICs consume the stream in the reference's particle order.
+uint64_t xorshift_fill(uint64_t x, int64_t n, double* out) {
+  const uint64_t A = 4768777513237032717ULL;
+  const double inv = 1.0 / 1.84467440737095e19;
+  for (int64_t i = 0; i < n; ++i) {
+    x ^= x >> 21;
+    x ^= x << 35;
+    x ^= x >> 4;
+    out[i] = static_cast<double>(x * A) * inv;
+  }
+  return x;
+}
+
 // Cell binning helper for the structured grid: computes flattened cell ids
 // (row-major over ncells) with clamping.  Used by the grid27 planner's
 // host-side occupancy histogram.

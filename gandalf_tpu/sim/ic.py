@@ -17,6 +17,55 @@ import numpy as np
 from ..utils.rng import rng_from_params as _rng_from_params
 
 
+def _sample_sphere(rng, n: int, ndim: int, radius: float) -> np.ndarray:
+    """Uniform points in a sphere.  With the bit-exact xorshift generator
+    this follows the reference's EXACT draw order and rejection cadence
+    (Ic::AddRandomSphere, src/Ic/Ic.cpp:481-492) so same-seed ICs are
+    particle-identical; the numpy-Generator path keeps the batched
+    equivalent-distribution sampler."""
+    from ..utils.rng import XorshiftRand
+
+    if isinstance(rng, XorshiftRand):
+        return radius * rng.random_sphere(n, ndim)
+    pts = []
+    got = 0
+    while got < n:
+        cand = rng.uniform(-radius, radius, size=(2 * n, ndim))
+        cand = cand[(cand ** 2).sum(-1) <= radius * radius]
+        pts.append(cand[: n - got])
+        got += len(pts[-1])
+    return np.concatenate(pts, axis=0)
+
+
+def _mc_density_field(rng, n: int, ndim: int, lo, hi, density_fn,
+                      rho_max: float) -> np.ndarray:
+    """Monte-Carlo density-field sampling.  The xorshift path replays the
+    reference cadence exactly (Ic::AddMonteCarloDensityField preceded by
+    the 10^6-sample GetMaximumDensity scan, src/Ic/Ic.cpp:375-428);
+    `rho_max` is used directly on the numpy-Generator path (same
+    distribution, batched)."""
+    from ..utils.rng import XorshiftRand
+
+    lo = np.asarray(lo, float)
+    hi = np.asarray(hi, float)
+    if isinstance(rng, XorshiftRand):
+        # GetMaximumDensity prelude: 1e6 samples, ndim draws each
+        u = rng.fill(1000000 * ndim).reshape(-1, ndim)
+        rho_scan = float(np.max(np.asarray(
+            density_fn(lo[None, :] + (hi - lo)[None, :] * u))))
+        return rng.montecarlo_field(n, ndim, lo, hi, density_fn,
+                                    max(rho_scan, 1e-300))
+    out = []
+    need = n
+    while need > 0:
+        cand = lo + (hi - lo) * rng.random((2 * need + 64, ndim))
+        keep = rng.random(len(cand)) * rho_max < np.asarray(
+            density_fn(cand))
+        out.append(cand[keep][:need])
+        need = n - sum(len(o) for o in out)
+    return np.concatenate(out)[:n]
+
+
 def add_cubic_lattice(n_lattice, boxmin, boxmax) -> np.ndarray:
     """Cell-centred cubic lattice (Ic::AddCubicLattice, src/Ic/Ic.cpp:629)."""
     ndim = len(n_lattice)
@@ -166,13 +215,8 @@ def sphere_ic(params, eos) -> Dict[str, np.ndarray]:
     h_fac = fp["h_fac"]
     dist = params.stringparams["particle_distribution"]
     if dist == "random":
-        rng = _rng_from_params(params)
-        pts = []
-        while len(pts) < n_target:
-            cand = rng.uniform(-radius, radius, size=(n_target * 2, ndim))
-            cand = cand[(cand ** 2).sum(-1) <= radius * radius]
-            pts.extend(cand.tolist())
-        r = np.asarray(pts[:n_target])
+        r = _sample_sphere(_rng_from_params(params), n_target, ndim,
+                           radius)
     else:
         r = add_lattice_sphere(n_target, radius, ndim)
     N = r.shape[0]
@@ -347,13 +391,7 @@ def bossbodenheimer_ic(params, eos) -> Dict[str, np.ndarray]:
 
     dist = params.stringparams["particle_distribution"]
     if dist == "random":
-        rng = _rng_from_params(params)
-        pts = []
-        while len(pts) < Npart:
-            cand = rng.uniform(-radius, radius, size=(Npart * 2, 3))
-            cand = cand[(cand ** 2).sum(-1) <= radius * radius]
-            pts.extend(cand.tolist())
-        r = np.asarray(pts[:Npart])
+        r = _sample_sphere(_rng_from_params(params), Npart, 3, radius)
     else:
         r = add_lattice_sphere(Npart, radius, 3)
     N = r.shape[0]
@@ -964,15 +1002,10 @@ def basic_sine_ic(params, eos) -> Dict[str, np.ndarray]:
     lam = hi[0] - lo[0]
     rng = _rng_from_params(params)
     # rejection sampling against the density envelope
-    out = []
-    need = N
-    while need > 0:
-        cand = lo + (hi - lo) * rng.random((2 * need + 16, ndim))
-        dens = 1.0 + amp * np.sin(2.0 * np.pi * cand[:, 0] / lam)
-        keep = rng.random(len(cand)) * (1.0 + abs(amp)) < dens
-        out.append(cand[keep][:need])
-        need = N - sum(len(o) for o in out)
-    r = np.concatenate(out)[:N]
+    # (Ic::AddMonteCarloDensityField over BasicIc::GetValue)
+    dens_fn = lambda rr: 1.0 + amp * np.sin(2.0 * np.pi
+                                            * rr[:, 0] / lam)
+    r = _mc_density_field(rng, N, ndim, lo, hi, dens_fn, 1.0 + abs(amp))
     volume = np.prod(hi - lo)
     m = np.full(N, rho0 * volume / N)
     h = fp["h_fac"] * (m / rho0) ** (1.0 / ndim)
@@ -1443,14 +1476,7 @@ def silcc_ic(params, eos) -> Dict[str, np.ndarray]:
     rng = _rng_from_params(params)
     # rejection-sample the density field (Ic::AddMonteCarloDensityField)
     rho_max = rho_func(np.array([[0.0, 0.0, 0.0]]))[0]
-    pts = []
-    need = N
-    while need > 0:
-        cand = lo + (hi - lo) * rng.random((2 * need + 64, 3))
-        keep = rng.random(len(cand)) < rho_func(cand) / rho_max
-        pts.append(cand[keep][:need])
-        need = N - sum(len(p) for p in pts)
-    r = np.concatenate(pts)[:N]
+    r = _mc_density_field(rng, N, 3, lo, hi, rho_func, rho_max)
 
     # total mass from the integrated profile (SilccIc.cpp:73-80)
     a_mid, h_mid = fp["a_midplane"], fp["h_midplane"]

@@ -48,13 +48,80 @@ class XorshiftRand:
             v = self.floatrand()
         return float(np.sqrt(-2.0 * np.log(u)) * np.cos(2 * np.pi * v))
 
+    def fill(self, n: int) -> np.ndarray:
+        """n sequential floatrand() draws, advancing the state by exactly
+        n steps (native C loop when available — the state is the single
+        uint64, so save/restore enables DRAW-EXACT rejection sampling)."""
+        from ..native import load
+
+        lib = load()
+        out = np.empty(int(n), np.float64)
+        if lib is not None and hasattr(lib, "xorshift_fill"):
+            import ctypes
+
+            self.x = np.uint64(lib.xorshift_fill(
+                int(self.x), int(n),
+                out.ctypes.data_as(ctypes.c_void_p)))
+            return out
+        for i in range(int(n)):
+            out[i] = self.floatrand()
+        return out
+
+    def random_sphere(self, n: int, ndim: int) -> np.ndarray:
+        """Unit-sphere rejection sampling with the reference's EXACT draw
+        order and consumption (Ic::AddRandomSphere, src/Ic/Ic.cpp:481-492:
+        per trial, ndim draws rpos_k = 1 - 2 u; accept while |rpos|^2 <= 1;
+        the stream position after the n-th acceptance matches the
+        reference bit-for-bit, so later draws stay in sync)."""
+        out = np.empty((n, ndim))
+        got = 0
+        while got < n:
+            x0 = self.x                       # save the stream position
+            T = max(2 * (n - got), 1024)
+            rpos = 1.0 - 2.0 * self.fill(T * ndim).reshape(T, ndim)
+            acc = np.nonzero((rpos ** 2).sum(1) <= 1.0)[0]
+            take = min(len(acc), n - got)
+            if got + take == n and take > 0:
+                # rewind to the exact post-acceptance stream position
+                self.x = x0
+                self.fill((int(acc[take - 1]) + 1) * ndim)
+            if take > 0:
+                out[got:got + take] = rpos[acc[:take]]
+            got += take
+        return out
+
+    def montecarlo_field(self, n: int, ndim: int, box_min, box_max,
+                         density_fn, rho_max: float) -> np.ndarray:
+        """Monte-Carlo density-field sampling with the reference's exact
+        draw cadence (Ic::AddMonteCarloDensityField, Ic.cpp:500-528: per
+        trial ndim position draws + one rho draw; accept while
+        rho(r) >= rho_max * u)."""
+        lo = np.asarray(box_min, float)
+        hi = np.asarray(box_max, float)
+        out = np.empty((n, ndim))
+        got = 0
+        while got < n:
+            x0 = self.x
+            T = max(2 * (n - got), 1024)
+            u = self.fill(T * (ndim + 1)).reshape(T, ndim + 1)
+            rr = lo[None, :] + (hi - lo)[None, :] * u[:, :ndim]
+            rho = rho_max * u[:, ndim]
+            acc = np.nonzero(np.asarray(density_fn(rr)) >= rho)[0]
+            take = min(len(acc), n - got)
+            if got + take == n and take > 0:
+                self.x = x0
+                self.fill((int(acc[take - 1]) + 1) * (ndim + 1))
+            if take > 0:
+                out[got:got + take] = rr[acc[:take]]
+            got += take
+        return out
+
     # numpy-Generator-style adapters (IC generators consume these)
     def random(self, size=None):
         if size is None:
             return self.floatrand()
         n = int(np.prod(size))
-        out = np.asarray([self.floatrand() for _ in range(n)])
-        return out.reshape(size)
+        return self.fill(n).reshape(size)
 
     def uniform(self, lo=0.0, hi=1.0, size=None):
         return lo + (hi - lo) * self.random(size)

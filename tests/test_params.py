@@ -168,3 +168,70 @@ def test_xorshift_matches_reference_sequence():
     assert 2.0 <= u <= 4.0
     g = XorshiftRand(7).standard_normal((64,))
     assert abs(g.mean()) < 0.5 and 0.5 < g.std() < 1.6
+
+
+def test_xorshift_fill_matches_scalar_stream():
+    """fill(n) (native C loop) produces the same values and ends at the
+    same stream position as n scalar floatrand() calls."""
+    import numpy as np
+
+    from gandalf_tpu.utils.rng import XorshiftRand
+
+    a, b = XorshiftRand(42), XorshiftRand(42)
+    got = a.fill(1000)
+    ref = np.asarray([b.floatrand() for _ in range(1000)])
+    np.testing.assert_array_equal(got, ref)
+    assert a.x == b.x
+    assert a.floatrand() == b.floatrand()
+
+
+def test_random_sphere_matches_reference_loop():
+    """random_sphere reproduces the reference AddRandomSphere loop
+    (Ic.cpp:481-492) draw-for-draw: positions identical AND the stream
+    position afterwards identical, so later draws stay in sync."""
+    import numpy as np
+
+    from gandalf_tpu.utils.rng import XorshiftRand
+
+    n, ndim = 257, 3
+    fast = XorshiftRand(1234)
+    got = fast.random_sphere(n, ndim)
+
+    ref = XorshiftRand(1234)
+    out = np.empty((n, ndim))
+    for i in range(n):
+        while True:
+            rpos = np.array([1.0 - 2.0 * ref.floatrand()
+                             for _ in range(ndim)])
+            if (rpos ** 2).sum() <= 1.0:
+                break
+        out[i] = rpos
+    np.testing.assert_array_equal(got, out)
+    assert fast.x == ref.x
+
+
+def test_montecarlo_field_matches_reference_loop():
+    """montecarlo_field reproduces AddMonteCarloDensityField
+    (Ic.cpp:500-528) draw-for-draw."""
+    import numpy as np
+
+    from gandalf_tpu.utils.rng import XorshiftRand
+
+    lo, hi = np.zeros(3), np.ones(3)
+    dens = lambda rr: 1.0 + 0.8 * np.sin(2 * np.pi
+                                         * np.atleast_2d(rr)[:, 0])
+    n = 101
+    fast = XorshiftRand(99)
+    got = fast.montecarlo_field(n, 3, lo, hi, dens, 1.8)
+
+    ref = XorshiftRand(99)
+    out = np.empty((n, 3))
+    for i in range(n):
+        while True:
+            rr = np.array([ref.floatrand() for _ in range(3)])
+            rho = 1.8 * ref.floatrand()
+            if dens(rr[None, :])[0] >= rho:
+                break
+        out[i] = rr
+    np.testing.assert_array_equal(got, out)
+    assert fast.x == ref.x
