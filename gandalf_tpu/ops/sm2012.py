@@ -254,7 +254,7 @@ def sm2012_hydro_pass_grid(kern: SmoothingKernel,
 def sm2012_pass_dense(kern: SmoothingKernel, visc: ArtificialViscosity,
                       gamma: float, spec, h_fac: float, h_converge: float,
                       binning, s, alive, hydro_forces: bool,
-                      ghost_fn=None, count_alive=None):
+                      ghost_fn=None, count_alive=None, n_real=None):
     """SM2012 hydro pass over DENSE shifted cell tensors: h-rho iteration
     via density_grid27, then the q sum and the view force kernel
     accumulated over the (2qz+1)*3^(nd-1) shifts.  `binning` is the
@@ -265,7 +265,16 @@ def sm2012_pass_dense(kern: SmoothingKernel, visc: ArtificialViscosity,
     rows — the mirror path passes the parent rows only, because image
     copies at the edge of the image band legitimately miss their own
     second-layer neighbours and run h past hmax (their h result is
-    discarded)."""
+    discarded).
+
+    `n_real` (optional, mirror path) is the PARENT particle count of a
+    mirror-extended state (row layout [parents, wall-1 images, ...], so
+    parent(row) = row % n_real).  Image rows then take their parent's
+    freshly computed h/rho (and q below) as NEIGHBOUR values — by mirror
+    symmetry the image's true field equals its parent's, while its own
+    band-truncated recomputation is wrong near the band edge (the same
+    parent re-scatter the grad-h mirror grid pass does,
+    sph_grid27._hydro_pass_grid27_mirror)."""
     import dataclasses as _dc
 
     from . import sph_grid27 as g
@@ -282,6 +291,11 @@ def sm2012_pass_dense(kern: SmoothingKernel, visc: ArtificialViscosity,
     dens = g.density_grid27(kern, spec, h_fac, h_converge,
                             r_d, m_d, h_d, fill, hmax, ghost_fn=ghost,
                             count_fill=cf)
+    par = None
+    if n_real is not None and s.N != n_real:
+        par = jnp.arange(s.N, dtype=jnp.int32) % n_real
+        sync = lambda x_d: d(back(x_d)[par])
+        dens = dens._replace(h=sync(dens.h), rho=sync(dens.rho))
 
     # dense q sum + forces over the shift stencil, accumulated through
     # the shared view kernel (flattened (cells*K, K_nb) views per shift)
@@ -326,6 +340,9 @@ def sm2012_pass_dense(kern: SmoothingKernel, visc: ArtificialViscosity,
         ssqd = drsqd * (1.0 / h_f ** 2)[:, None]
         q = q + jnp.sum(jnp.where(ok, mu_f * kern.w0_s2(ssqd), 0.0), -1)
     q = q * (1.0 / h_f) ** nd
+    if par is not None:
+        # image rows take the parent's q (mirror symmetry; see n_real)
+        q = flat(d(back(q.reshape(spec.ncells + (K,)))[par]))
     q_safe = jnp.maximum(q, 1e-30)
 
     a = jnp.zeros((Np, nd), r_f.dtype)

@@ -434,7 +434,8 @@ def dist_sm2012_pass(mesh: Mesh, plan: DistPlan, kern, visc,
         out = sm2012_pass_dense(kern, visc, gamma, loc, h_fac,
                                 h_converge, b, s_ext, keep, hydro_forces,
                                 ghost_fn=ghost,
-                                count_alive=keep & is_parent)
+                                count_alive=keep & is_parent,
+                                n_real=s.N)
         overflow = lax.pmax(out.neib_overflow.astype(jnp.int32),
                             "dp") > 0
         out = _slice_parent(out, s.N, n_rep)

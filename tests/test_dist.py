@@ -649,8 +649,11 @@ class TestDistributedMirror:
     def test_mirror_sm2012_matches_single(self):
         """Mirror walls x SM2012: the dense q/force kernels run over the
         mirror-extended binning; single-chip oracle is the image-based
-        all-pairs q-pass."""
-        over = {"boundary_lhs[1]": "mirror", "boundary_rhs[1]": "mirror"}
+        all-pairs q-pass.  h_converge is tightened because the two h
+        solvers bisect against different upper bounds (grid-cell hmax vs
+        1e30) and only agree to the convergence tolerance."""
+        over = {"boundary_lhs[1]": "mirror", "boundary_rhs[1]": "mirror",
+                "h_converge": 1e-12}
         s1 = _sorted_state(_run(0, grav=0, sim="sm2012sph", **over))
         s4 = _sorted_state(_run(4, grav=0, sim="sm2012sph", **over))
         for k in ("r", "v", "rho", "u", "h"):
