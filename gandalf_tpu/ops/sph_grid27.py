@@ -326,6 +326,23 @@ def _shift_view(spec: Grid27Spec, padded: Array, sh) -> Array:
     return out
 
 
+def _concat_shift_table(spec: Grid27Spec, padded: Array,
+                        k_axis_from_end: int) -> Array:
+    """All shift views concatenated along the slot axis: (*nc, K, ...) ->
+    (*nc, S*K, ...) where S = stencil size.
+
+    The TPU pads the minor two dims of every (cells, K, K) pair block to
+    (8, 128) tiles, so K = 65 runs at barely 45% lane utilisation per
+    shift; one (cells, K, S*K) block pads S*K = 1755 -> 1792 instead
+    (~2% waste, measured ~1.8x on the pair math).  The table is a real
+    copy (27 slices), but it is linear in pairs/K — negligible next to
+    the quadratic pair work it feeds."""
+    axis = padded.ndim - 1 - k_axis_from_end
+    views = [_shift_view(spec, padded, sh)
+             for sh in _shifts(spec.ndim, spec.qz)]
+    return jnp.concatenate(views, axis=axis)
+
+
 class Grid27Density(NamedTuple):
     h: Array
     rho: Array
@@ -370,7 +387,7 @@ def density_grid27(kern: SmoothingKernel, spec: Grid27Spec,
 
     n0 = spec.ncells[0]
     if slab_chunk is None:
-        slab_chunk = _auto_slab(spec)
+        slab_chunk = _auto_slab(spec, concat=True)
     slab_chunk = min(slab_chunk, n0)
     n_slabs = -(-n0 // slab_chunk)
     pad0_amount = n_slabs * slab_chunk - n0
@@ -390,8 +407,6 @@ def density_grid27(kern: SmoothingKernel, spec: Grid27Spec,
     def slab_view(x_p, s, c):
         return jax.lax.dynamic_slice_in_dim(x_p, s * c, c + 2 * qz, axis=0)
 
-    shifts = _shifts(nd, qz)
-
     def slab_fn(s):
         """Converge one slab of slab_chunk rows along dim 0."""
         c = slab_chunk
@@ -405,25 +420,22 @@ def density_grid27(kern: SmoothingKernel, spec: Grid27Spec,
         fill_c = jax.lax.dynamic_slice_in_dim(pad_first(fill), s * c, c,
                                               axis=0)
         sub = dataclasses.replace(spec, ncells=(c,) + spec.ncells[1:])
+        # concatenated neighbour tables, built ONCE per slab (reused by
+        # every h iteration): one (c, K, S*K) pair block per sweep instead
+        # of S separate (c, K, K) blocks — see _concat_shift_table
+        r_tab = _concat_shift_table(sub, rp, 1)
+        m_tab = _concat_shift_table(sub, mp, 0)
 
         def sums_at(h):
             invh = 1.0 / h
             invhsqd = invh * invh
-            rho = jnp.zeros_like(h)
-            invom = jnp.zeros_like(h)
-            zeta = jnp.zeros_like(h)
-            for sh in shifts:
-                r_nb = _shift_view(sub, rp, sh)
-                m_nb = _shift_view(sub, mp, sh)
-                dr = r_nb[..., None, :, :] - r_dc[..., :, None, :]
-                drsqd = jnp.sum(dr * dr, axis=-1)
-                ssqd = drsqd * invhsqd[..., None]
-                rho = rho + jnp.sum(m_nb[..., None, :] * kern.w0_s2(ssqd),
-                                    -1)
-                invom = invom + jnp.sum(m_nb[..., None, :]
-                                        * kern.womega_s2(ssqd), -1)
-                zeta = zeta + jnp.sum(m_nb[..., None, :]
-                                      * kern.wzeta_s2(ssqd), -1)
+            dr = r_tab[..., None, :, :] - r_dc[..., :, None, :]
+            drsqd = jnp.sum(dr * dr, axis=-1)
+            ssqd = drsqd * invhsqd[..., None]
+            m_b = m_tab[..., None, :]
+            rho = jnp.sum(m_b * kern.w0_s2(ssqd), -1)
+            invom = jnp.sum(m_b * kern.womega_s2(ssqd), -1)
+            zeta = jnp.sum(m_b * kern.wzeta_s2(ssqd), -1)
             hfac = invh ** nd
             return rho * hfac, invom * hfac * invh, zeta * invhsqd
 
@@ -495,15 +507,17 @@ from .forces import ACOND_NONE, ACOND_PRICE2008, ACOND_WADSLEY2008  # noqa: E402
 from .forces import AVISC_MON97, AVISC_MON97MM97, AVISC_NONE  # noqa: E402
 
 
-def _auto_slab(spec: Grid27Spec) -> int:
-    """Largest dim-0 slab whose (cells, K, K) pair temporaries stay under
-    ~256 MB in f32 INCLUDING TPU tile padding (the minor dim pads to 128
-    lanes and the second-minor to 8 sublanes, so K = 43 really costs
-    48 x 128 — a 3.3x expansion that OOMed the 1M benchmark)."""
+def _auto_slab(spec: Grid27Spec, concat: bool = False) -> int:
+    """Largest dim-0 slab whose pair temporaries stay under ~256 MB in f32
+    INCLUDING TPU tile padding (the minor dim pads to 128 lanes and the
+    second-minor to 8 sublanes, so K = 43 really costs 48 x 128 — a 3.3x
+    expansion that OOMed the 1M benchmark).  concat=True sizes for the
+    (cells, K, S*K) concatenated-table block instead of (cells, K, K)."""
     import numpy as np
 
     k = spec.k_cell
-    k_pad = (-(-k // 8) * 8) * (-(-k // 128) * 128)     # padded K*K footprint
+    cols = k * len(_shifts(spec.ndim, spec.qz)) if concat else k
+    k_pad = (-(-k // 8) * 8) * (-(-cols // 128) * 128)  # padded pair block
     rest = int(np.prod(spec.ncells[1:])) * k_pad
     return max(1, int(6.4e7 // max(rest, 1)))
 
@@ -528,7 +542,7 @@ def forces_grid27(kern: SmoothingKernel, visc: ArtificialViscosity,
 
     n0 = spec.ncells[0]
     if slab_chunk is None:
-        slab_chunk = _auto_slab(spec)
+        slab_chunk = _auto_slab(spec, concat=True)
     slab_chunk = min(slab_chunk, n0)
     n_slabs = -(-n0 // slab_chunk)
     pad0_amount = n_slabs * slab_chunk - n0
@@ -600,66 +614,67 @@ def forces_grid27(kern: SmoothingKernel, visc: ArtificialViscosity,
 def _force_shifts(kern, visc, spec, nd, i_of, rp, vp, pkp, fp_, r_d, v_i,
                   h_i, invh_i, invrho_i, press_i, sound_i, invom_i, hfac_i,
                   alpha_i, u_i, a, dudt, div_v):
-    """Accumulate pair forces over the shift stencil for one slab."""
-    for sh in _shifts(nd, spec.qz):
-        r_nb = _shift_view(spec, rp, sh)
-        v_nb = _shift_view(spec, vp, sh)
-        pk_nb = _shift_view(spec, pkp, sh)
-        f_nb = _shift_view(spec, fp_, sh)
+    """Accumulate pair forces over the shift stencil for one slab — ONE
+    (cells, K, S*K) pair block over the concatenated neighbour tables
+    (full-lane tiles; see _concat_shift_table)."""
+    r_nb = _concat_shift_table(spec, rp, 1)
+    v_nb = _concat_shift_table(spec, vp, 1)
+    pk_nb = _concat_shift_table(spec, pkp, 1)
+    f_nb = _concat_shift_table(spec, fp_, 0)
 
-        g = lambda k: pk_nb[..., None, :, i_of[k]]     # (*nc, 1, K)
-        dr = r_nb[..., None, :, :] - r_d[..., :, None, :]  # (*nc, K, K, nd)
-        drsqd = jnp.sum(dr * dr, axis=-1)
-        drmag = jnp.sqrt(drsqd)
-        valid = f_nb[..., None, :] & (drmag > 0.0)
-        inv_drmag = jnp.where(valid, 1.0 / jnp.maximum(drmag, 1e-300), 0.0)
-        unit = dr * inv_drmag[..., None]
+    g = lambda k: pk_nb[..., None, :, i_of[k]]     # (*nc, 1, S*K)
+    dr = r_nb[..., None, :, :] - r_d[..., :, None, :]  # (*nc, K, S*K, nd)
+    drsqd = jnp.sum(dr * dr, axis=-1)
+    drmag = jnp.sqrt(drsqd)
+    valid = f_nb[..., None, :] & (drmag > 0.0)
+    inv_drmag = jnp.where(valid, 1.0 / jnp.maximum(drmag, 1e-300), 0.0)
+    unit = dr * inv_drmag[..., None]
 
-        m_j = g("m")
-        h_j = jnp.where(valid, g("h"), 1.0)
-        rho_j = jnp.where(valid, g("rho"), 1.0)
-        invrho_j = 1.0 / rho_j
-        wkerni = hfac_i[..., None] * kern.w1(drmag * invh_i[..., None])
-        wkernj = g("hfactor") * kern.w1(drmag / h_j)
-        wkerni = jnp.where(valid, wkerni, 0.0)
-        wkernj = jnp.where(valid, wkernj, 0.0)
+    m_j = g("m")
+    h_j = jnp.where(valid, g("h"), 1.0)
+    rho_j = jnp.where(valid, g("rho"), 1.0)
+    invrho_j = 1.0 / rho_j
+    wkerni = hfac_i[..., None] * kern.w1(drmag * invh_i[..., None])
+    wkernj = g("hfactor") * kern.w1(drmag / h_j)
+    wkerni = jnp.where(valid, wkerni, 0.0)
+    wkernj = jnp.where(valid, wkernj, 0.0)
 
-        dvdr = jnp.sum((v_nb[..., None, :, :] - v_i[..., :, None, :])
-                       * unit, axis=-1)
-        div_v = div_v - jnp.sum(m_j * dvdr * wkerni, axis=-1)
+    dvdr = jnp.sum((v_nb[..., None, :, :] - v_i[..., :, None, :])
+                   * unit, axis=-1)
+    div_v = div_v - jnp.sum(m_j * dvdr * wkerni, axis=-1)
 
-        paux = ((press_i * invom_i * invrho_i * invrho_i)[..., None] * wkerni
-                + g("pressure") * g("invomega") * invrho_j * invrho_j
-                * wkernj)
+    paux = ((press_i * invom_i * invrho_i * invrho_i)[..., None] * wkerni
+            + g("pressure") * g("invomega") * invrho_j * invrho_j
+            * wkernj)
 
-        approach = valid & (dvdr < 0.0)
-        if visc.avisc != AVISC_NONE:
-            winvrho = 0.25 * (wkerni + wkernj) * (invrho_i[..., None]
-                                                  + invrho_j)
-            if visc.avisc == AVISC_MON97:
-                alpha_eff = visc.alpha_visc
-            else:
-                alpha_eff = 0.5 * (alpha_i[..., None] + g("alpha"))
-            vsignal = (sound_i[..., None] + g("sound")
-                       - visc.beta_visc * alpha_eff * dvdr)
-            paux = paux - jnp.where(approach,
-                                    alpha_eff * vsignal * dvdr * winvrho, 0.0)
-            dudt = dudt - jnp.sum(
-                jnp.where(approach,
-                          0.5 * m_j * alpha_eff * vsignal * dvdr * dvdr
-                          * winvrho, 0.0), axis=-1)
-            if visc.acond == ACOND_WADSLEY2008:
-                cond_t = m_j * dvdr * (g("u") - u_i[..., None]) * (
-                    invrho_i[..., None] * wkerni + invrho_j * wkernj)
-                dudt = dudt + jnp.sum(jnp.where(approach, cond_t, 0.0), -1)
-            elif visc.acond == ACOND_PRICE2008:
-                cond_t = (0.5 * m_j * (u_i[..., None] - g("u")) * winvrho
-                          * (invrho_i[..., None] + invrho_j)
-                          * jnp.sqrt(jnp.abs(press_i[..., None]
-                                             - g("pressure"))))
-                dudt = dudt + jnp.sum(jnp.where(approach, cond_t, 0.0), -1)
+    approach = valid & (dvdr < 0.0)
+    if visc.avisc != AVISC_NONE:
+        winvrho = 0.25 * (wkerni + wkernj) * (invrho_i[..., None]
+                                              + invrho_j)
+        if visc.avisc == AVISC_MON97:
+            alpha_eff = visc.alpha_visc
+        else:
+            alpha_eff = 0.5 * (alpha_i[..., None] + g("alpha"))
+        vsignal = (sound_i[..., None] + g("sound")
+                   - visc.beta_visc * alpha_eff * dvdr)
+        paux = paux - jnp.where(approach,
+                                alpha_eff * vsignal * dvdr * winvrho, 0.0)
+        dudt = dudt - jnp.sum(
+            jnp.where(approach,
+                      0.5 * m_j * alpha_eff * vsignal * dvdr * dvdr
+                      * winvrho, 0.0), axis=-1)
+        if visc.acond == ACOND_WADSLEY2008:
+            cond_t = m_j * dvdr * (g("u") - u_i[..., None]) * (
+                invrho_i[..., None] * wkerni + invrho_j * wkernj)
+            dudt = dudt + jnp.sum(jnp.where(approach, cond_t, 0.0), -1)
+        elif visc.acond == ACOND_PRICE2008:
+            cond_t = (0.5 * m_j * (u_i[..., None] - g("u")) * winvrho
+                      * (invrho_i[..., None] + invrho_j)
+                      * jnp.sqrt(jnp.abs(press_i[..., None]
+                                         - g("pressure"))))
+            dudt = dudt + jnp.sum(jnp.where(approach, cond_t, 0.0), -1)
 
-        a = a + jnp.sum((m_j * paux)[..., None] * unit, axis=-2)
+    a = a + jnp.sum((m_j * paux)[..., None] * unit, axis=-2)
 
     # div_v normalisation and dalphadt happen in the caller (whole grid)
     return a, dudt, div_v
