@@ -1,11 +1,23 @@
 """SPH kernel-interpolated rendering grids (analogue of Render,
 src/Headers/Render.h:53-128 / src/Common/Render.cpp).
 
-Column-integrated and slice grids of any particle quantity:
-  A(x_px) = sum_j (m_j/rho_j) A_j W(|x_px - r_j|, h_j)
-evaluated on a pixel grid.  TPU-native: one vectorised (pixels x particles)
-kernel sum, chunked over pixel rows — rendering is itself a jax op here, so
-it runs on the accelerator (the reference renders in C++ on the host).
+Shepard-normalised SPH interpolation of any particle quantity on a pixel
+grid, exactly as the reference renders:
+
+  values[c]     = sum_j wnorm_j A_j W(...)
+  rendernorm[c] = sum_j wnorm_j     W(...)
+  A(c)          = values[c] / rendernorm[c]   (where rendernorm > 1e-10)
+
+with wnorm_j = (m_j/rho_j) / h_j^ndim (Render.cpp:212-252, 385-414).  For
+3D column renders the kernel is the LOS-integrated 3D kernel wLOS
+(Render.cpp:229 + TabulatedKernel::initializeTableLOS); 2D renders use the
+2D kernel; slice renders (`zslice`) use the 3D kernel at the full 3D
+distance including the pixel-to-plane offset (CreateSliceRenderingGrid,
+Render.cpp:257-414).  Pixels sit at cell centres (rgrid, Render.cpp:344-352).
+
+TPU-native: one vectorised (pixels x particles) kernel sum chunked over
+pixel rows — rendering is itself a jax op here, so it runs on the
+accelerator (the reference renders in C++ on the host).
 """
 
 from __future__ import annotations
@@ -23,16 +35,7 @@ def render_grid(snap, xquantity: str, yquantity: str, quantity: str,
                 column: bool = True, zslice: float = None) -> np.ndarray:
     """2D rendering grid of `quantity` over the (xquantity, yquantity)
     plane (CreateColumnRenderingGrid / CreateSliceRenderingGrid,
-    reference src/Common/Render.cpp:64-232).
-
-    For column rendering the 2D column kernel sum uses the 2D kernel
-    normalisation (the reference uses dedicated LOS kernels; the 2D kernel
-    is the standard approximation for column plots).  With `zslice` set
-    (3D snapshots) the grid is a true z-plane slice: the FULL-DIMENSIONAL
-    kernel evaluated at the 3D distance including the pixel-to-slice
-    offset (z_j - zslice), matching CreateSliceRenderingGrid
-    (Render.cpp:169-232) rather than a column integral.
-    """
+    reference src/Common/Render.cpp:93-252, 257-414)."""
     axes = {"x": 0, "y": 1, "z": 2}
     ix = axes[xquantity]
     iy = axes[yquantity]
@@ -43,37 +46,55 @@ def render_grid(snap, xquantity: str, yquantity: str, quantity: str,
     h = np.asarray(snap.data["h"])
     A = np.asarray(snap.extract_array(quantity))
 
-    px = jnp.linspace(xmin, xmax, nx)
-    py = jnp.linspace(ymin, ymax, ny)
+    # pixel centres (reference rgrid, Render.cpp:344-352)
+    dx = (xmax - xmin) / nx
+    dy = (ymax - ymin) / ny
+    px = xmin + (jnp.arange(nx) + 0.5) * dx
+    py = ymin + (jnp.arange(ny) + 0.5) * dy
 
     rx = jnp.asarray(r[:, ix])
     ry = jnp.asarray(r[:, iy])
-    w = jnp.asarray(m / np.maximum(rho, 1e-300) * A)
     hj = jnp.asarray(h)
+    invh = 1.0 / hj
+    wnorm = jnp.asarray(m / np.maximum(rho, 1e-300)) * invh ** ndim
+    Aj = jnp.asarray(A)
+
+    kern = kernel_factory(kernel, max(ndim, 2))
 
     if zslice is not None and ndim == 3:
         iz = ({0, 1, 2} - {ix, iy}).pop()
-        kern3d = kernel_factory(kernel, 3)
         dz = jnp.asarray(r[:, iz]) - zslice
 
         @jax.jit
         def row(yv):
-            dx = px[:, None] - rx[None, :]
-            dy = yv - ry[None, :]
-            s = jnp.sqrt(dx * dx + dy * dy + dz[None, :] ** 2) \
-                / hj[None, :]
-            wk = kern3d.w0(s) / hj[None, :] ** 3
-            return jnp.sum(w[None, :] * wk, axis=-1)
+            ddx = px[:, None] - rx[None, :]
+            ddy = yv - ry[None, :]
+            s = jnp.sqrt(ddx * ddx + ddy * ddy + dz[None, :] ** 2) \
+                * invh[None, :]
+            wk = wnorm[None, :] * kern.w0(s)
+            return (jnp.sum(wk * Aj[None, :], axis=-1),
+                    jnp.sum(wk, axis=-1))
     else:
-        kern2d = kernel_factory(kernel, 2)
 
         @jax.jit
         def row(yv):
-            dx = px[:, None] - rx[None, :]
-            dy = yv - ry[None, :]
-            s = jnp.sqrt(dx * dx + dy * dy) / hj[None, :]
-            wk = kern2d.w0(s) / hj[None, :] ** 2
-            return jnp.sum(w[None, :] * wk, axis=-1)
+            ddx = px[:, None] - rx[None, :]
+            ddy = yv - ry[None, :]
+            s = jnp.sqrt(ddx * ddx + ddy * ddy) * invh[None, :]
+            # 3D columns integrate the kernel along the LOS (wLOS);
+            # 2D uses the plane kernel; 1D renders nothing (wkern = 0,
+            # Render.cpp:230-231)
+            if ndim == 3:
+                wk = kern.wLOS(s)
+            elif ndim == 2:
+                wk = kern.w0(s)
+            else:
+                wk = jnp.zeros_like(s)
+            wk = wnorm[None, :] * wk
+            return (jnp.sum(wk * Aj[None, :], axis=-1),
+                    jnp.sum(wk, axis=-1))
 
-    grid = jax.lax.map(row, py)
-    return np.asarray(grid)
+    values, norm = jax.lax.map(row, py)
+    values = jnp.where(norm > 1e-10, values / jnp.maximum(norm, 1e-30),
+                       0.0)
+    return np.asarray(values)

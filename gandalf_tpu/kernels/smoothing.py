@@ -2,9 +2,12 @@
 
 TPU-native, branchless `jnp.where` piecewise polynomials — the vector unit
 evaluates all branches and selects, which is faster than any table gather on
-TPU, so the reference's TabulatedKernel (src/Headers/SmoothingKernel.h:47-548)
-is deliberately replaced by direct evaluation ("tabulated_kernel" is accepted
-and ignored).
+TPU.  The reference's TabulatedKernel (src/Headers/SmoothingKernel.h:548-720)
+is honoured with the same semantics but ZERO gathers: its floor-index lookup
+`table[int(s*res/kernrange)]` with `table[i] = f(i*kernrange/res)` is exactly
+`f(quantise(s))`, so `tabulated_kernel = 1` quantises the kernel argument to
+the table grid and evaluates the same polynomials — bit-compatible with the
+reference's table values at a cost of one floor+multiply instead of a gather.
 
 Conventions match the reference kernels
 (src/Hydrodynamics/{M4,Quintic,Gaussian}Kernel.cpp):
@@ -22,6 +25,7 @@ Conventions match the reference kernels
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Callable
 
@@ -83,6 +87,16 @@ class SmoothingKernel:
 
     def wdrag(self, s: Array) -> Array:
         return self.kernnormdrag * s * s * self.w0(s)
+
+    def wLOS(self, s: Array) -> Array:
+        """Line-of-sight-integrated 3D kernel for column rendering
+        (TabulatedKernel::initializeTableLOS + Render.cpp:229):
+        wLOS(b) = 2 * int_0^sqrt(R^2-b^2) W3d(sqrt(z^2 + b^2)) dz,
+        linearly interpolated on the same res-point impact-parameter grid
+        the reference tabulates."""
+        b, tab = _los_table(self.name)
+        return jnp.interp(s, jnp.asarray(b), jnp.asarray(tab),
+                          right=0.0)
 
 
 # ---------------------------------------------------------------------------
@@ -334,16 +348,106 @@ def _gaussian(ndim: int) -> SmoothingKernel:
                            w0, w1, womega, zero, zero, zero)
 
 
+@dataclasses.dataclass(frozen=True)
+class TabulatedKernel(SmoothingKernel):
+    """Reference TabulatedKernel semantics (SmoothingKernel.h:548-720)
+    without the memory table: every lookup quantises the argument to the
+    table grid (floor index, `tableLookup`) and evaluates the base kernel's
+    polynomial there — identical values, no gather.
+
+    The gravity lookups return the EXACT far forms 1/s^2 (wgrav) and 1/s
+    (wpot) for s >= kernrange, as GravTableLookup/GravPotTableLookup do;
+    the squared-argument variants quantise on the s^2 grid
+    (`initializeTableSqd` + `tableLookupSqd`)."""
+
+    base: SmoothingKernel = None
+    res: int = 1000
+
+    def _q2(self, ssqd: Array) -> Array:
+        step2 = self.kernrangesqd / self.res
+        return jnp.sqrt(jnp.floor(ssqd / step2) * step2)
+
+    def w0_s2(self, ssqd: Array) -> Array:
+        return jnp.where(ssqd < self.kernrangesqd,
+                         self.base.w0(self._q2(ssqd)), 0.0)
+
+    def womega_s2(self, ssqd: Array) -> Array:
+        return jnp.where(ssqd < self.kernrangesqd,
+                         self.base.womega(self._q2(ssqd)), 0.0)
+
+    def wzeta_s2(self, ssqd: Array) -> Array:
+        return jnp.where(ssqd < self.kernrangesqd,
+                         self.base.wzeta(self._q2(ssqd)), 0.0)
+
+    def wdrag(self, s: Array) -> Array:
+        step = self.kernrange / self.res
+        sq = jnp.floor(s / step) * step
+        return jnp.where(s < self.kernrange, self.base.wdrag(sq), 0.0)
+
+
+def tabulated(base: SmoothingKernel, res: int = 1000) -> TabulatedKernel:
+    """Wrap a kernel with the reference's table quantisation (res = the
+    reference's TabulatedKernel resaux default, SmoothingKernel.h:666)."""
+    rng = base.kernrange
+    step = rng / res
+
+    def q(s):
+        return jnp.floor(s / step) * step
+
+    def wrap(fn):
+        return lambda s: jnp.where(s < rng, fn(q(s)), 0.0)
+
+    def wrap_grav(fn, far):
+        return lambda s: jnp.where(s < rng, fn(q(s)), far(s))
+
+    inv2 = lambda s: 1.0 / jnp.maximum(s * s, 1e-60)
+    inv1 = lambda s: 1.0 / jnp.maximum(s, 1e-30)
+    return TabulatedKernel(
+        name=base.name, ndim=base.ndim, kernrange=base.kernrange,
+        kernnorm=base.kernnorm, kernnormdrag=base.kernnormdrag,
+        w0=wrap(base.w0), w1=wrap(base.w1), womega=wrap(base.womega),
+        wzeta=wrap(base.wzeta),
+        wgrav=wrap_grav(base.wgrav, inv2),
+        wpot=wrap_grav(base.wpot, inv1),
+        base=base, res=res)
+
+
 _FACTORIES = {"m4": _m4, "quintic": _quintic, "gaussian": _gaussian}
 
 
-def kernel_factory(name: str, ndim: int) -> SmoothingKernel:
+@functools.lru_cache(maxsize=None)
+def _los_table(name: str, res: int = 1000):
+    """LOS-integrated 3D kernel table (TabulatedKernel::initializeTableLOS,
+    src/Hydrodynamics/TabulatedKernel.cpp:145-182): tableLOS[i] =
+    2 * sum_j W3d(sqrt(z_j^2 + b^2)) dz over a 4000-step Riemann sum along
+    half the chord at impact parameter b = i*kernrange/res."""
+    import jax
+    import numpy as np
+
+    base = _FACTORIES[name](3)
+    R = base.kernrange
+    b = np.arange(res + 1) * (R / res)          # +1: interp endpoint at R
+    dist = np.sqrt(np.maximum(R * R - b * b, 0.0))
+    nsteps = 4000
+    z = dist[:, None] / nsteps * np.arange(nsteps)[None, :]
+    s = np.sqrt(z * z + (b * b)[:, None])
+    # the first call may land inside a jit trace (wLOS in a rendering
+    # kernel); the table is a constant — keep its construction eager
+    with jax.ensure_compile_time_eval():
+        w = np.asarray(base.w0(jnp.asarray(s)))
+    table = 2.0 * w.sum(axis=1) * (dist / nsteps)
+    return b, table
+
+
+def kernel_factory(name: str, ndim: int,
+                   tabulated_kernel: int = 0) -> SmoothingKernel:
     """Build a kernel by parameter-file name (reference kernel factory at
-    src/GradhSph/GradhSphSimulation.cpp:56-177; "tabulated_kernel" has no
-    TPU analogue and direct evaluation is used throughout)."""
+    src/GradhSph/GradhSphSimulation.cpp:56-177).  tabulated_kernel = 1
+    applies the reference's table quantisation (see TabulatedKernel)."""
     if ndim not in (1, 2, 3):
         raise ValueError(f"ndim must be 1, 2 or 3, got {ndim}")
     key = name.lower()
     if key not in _FACTORIES:
         raise ValueError(f"Unrecognised kernel: {name!r}")
-    return _FACTORIES[key](ndim)
+    kern = _FACTORIES[key](ndim)
+    return tabulated(kern) if tabulated_kernel else kern

@@ -35,7 +35,12 @@ _INT_DEFAULTS: Dict[str, int] = {
     "sph_single_timestep": 0,
     "nbody_single_timestep": 0,
     "conservative_sph_star_gravity": 1,
-    "tabulated_kernel": 1,
+    # reference default is 1 (table lookups are faster than polynomials on
+    # CPU); on TPU direct piecewise-polynomial evaluation is exact AND at
+    # least as fast, so the default here is direct.  tabulated_kernel = 1
+    # reproduces the reference's table quantisation exactly (see
+    # kernels.smoothing.TabulatedKernel).
+    "tabulated_kernel": 0,
     "hydro_forces": 1,
     "lombardi_method": 0,
     "zero_mass_flux": 1,

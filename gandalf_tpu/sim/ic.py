@@ -246,7 +246,8 @@ def sedov_ic(params, eos) -> Dict[str, np.ndarray]:
     h_fac = fp["h_fac"]
     smooth = bool(ip["smooth_ic"])
     from ..kernels.smoothing import kernel_factory
-    kern = kernel_factory(params.stringparams["kernel"], ndim)
+    kern = kernel_factory(params.stringparams["kernel"], ndim,
+                          params.intparams["tabulated_kernel"])
 
     r = add_cubic_lattice(n_lattice, boxmin, boxmax)
     N = r.shape[0]
@@ -1587,7 +1588,8 @@ def regularise_ic(params, ic: Dict[str, np.ndarray], rho_func=None,
 
     fp, ip = params.floatparams, params.intparams
     ndim = ip["ndim"]
-    kern = kernel_factory(params.stringparams["kernel"], ndim)
+    kern = kernel_factory(params.stringparams["kernel"], ndim,
+                          params.intparams["tabulated_kernel"])
     n_reg = max(ip["Nreg"], 1)
     alpha_reg = fp["alpha_reg"]
     rho_reg = fp["rho_reg"]

@@ -45,7 +45,8 @@ class MfvMusclSimulation(SimulationBase):
 
     def process_parameters(self):
         p = self.params
-        self.kern = kernel_factory(p.stringparams["kernel"], self.ndim)
+        self.kern = kernel_factory(p.stringparams["kernel"], self.ndim,
+                                   p.intparams["tabulated_kernel"])
         self.eos = eos_factory(p)
         self.box = DomainBox.from_params(p)
         if p.stringparams["riemann_solver"] not in ("hllc", "exact"):

@@ -33,7 +33,8 @@ class NbodySimulation(SimulationBase):
         self.hermite = HermiteConfig.from_params(p)
         self.scheme = p.stringparams["nbody"]
         self.softening = bool(p.intparams["nbody_softening"])
-        self.kern = kernel_factory(p.stringparams["kernel"], self.ndim)
+        self.kern = kernel_factory(p.stringparams["kernel"], self.ndim,
+                                   p.intparams["tabulated_kernel"])
         # external analytic potential (applied with its jerk so the Hermite
         # corrector stays 4th-order; SphSimulation.cpp:806)
         self.extpot = p.stringparams["external_potential"]

@@ -614,7 +614,8 @@ class GradhSphSimulation(SimulationBase):
             from ..units import inscale_parameters
 
             inscale_parameters(p, self.units)
-        self.kern = kernel_factory(p.stringparams["kernel"], self.ndim)
+        self.kern = kernel_factory(p.stringparams["kernel"], self.ndim,
+                                   p.intparams["tabulated_kernel"])
         self.eos = eos_factory(p)
         self.visc = ArtificialViscosity.from_params(p)
         self.box = DomainBox.from_params(p)

@@ -312,3 +312,41 @@ def test_energy_error_tracks_drift():
     assert err[0] == 0.0
     assert err[1] > 0.0
     assert ts[1] == 1.0
+
+
+class TestRenderNormalisation:
+    """The reference render is a SHEPARD-NORMALISED SPH average
+    (values[c] /= rendernorm[c], Render.cpp:246-252 and :411-414), with
+    the LOS-integrated 3D kernel for column renders (Render.cpp:229 +
+    TabulatedKernel::initializeTableLOS) — NOT a raw column integral."""
+
+    def test_constant_field_renders_constant(self):
+        """Shepard property: a constant quantity interpolates to exactly
+        that constant wherever any kernel support reaches, for both the
+        column and the slice render."""
+        from gandalf_tpu.analysis.render import render_grid
+
+        snap = make_snap(N=512, seed=3)
+        snap.data["u"] = np.full(512, 2.5)
+        for zslice in (None, 0.0):
+            grid = render_grid(snap, "x", "y", "u", -0.3, 0.3, -0.3, 0.3,
+                               nx=24, ny=24, zslice=zslice)
+            covered = grid != 0.0
+            assert covered.mean() > 0.9
+            np.testing.assert_allclose(grid[covered], 2.5, rtol=1e-5)
+
+    def test_los_kernel_normalised(self):
+        """wLOS integrates the 3D kernel along a chord: at b = 0 the
+        integral of wLOS over the impact plane equals the 3D kernel's
+        volume normalisation (= 1)."""
+        from gandalf_tpu.kernels.smoothing import kernel_factory
+
+        kern = kernel_factory("m4", 3)
+        b = np.linspace(0.0, kern.kernrange, 2001)
+        wl = np.asarray(kern.wLOS(b))
+        integral = np.trapezoid(wl * 2.0 * np.pi * b, b)
+        assert abs(integral - 1.0) < 1e-3
+        # wLOS(0) = 2 * int_0^R W(z) dz
+        s = np.linspace(0.0, kern.kernrange, 4001)
+        w0 = np.asarray(kern.w0(s))
+        assert abs(wl[0] - 2.0 * np.trapezoid(w0, s)) < 1e-3
