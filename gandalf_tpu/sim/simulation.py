@@ -216,8 +216,9 @@ class SimulationBase:
         boxes are re-stocked from live positions every step, so the MAC
         stays conservative as particles drift.  Returns True when the step
         must be recompiled (padded shape or caps changed)."""
-        from ..ops.tree import (grow_tree_caps, plan_buckets_kd,
-                                plan_tree_for_buckets, walk_stats_native)
+        from ..ops.tree import (grow_tree_caps, plan_buckets,
+                                plan_buckets_kd, plan_tree_for_buckets,
+                                walk_stats_native)
 
         p = self.params
         mp = p.stringparams["multipole"]
@@ -227,7 +228,15 @@ class SimulationBase:
         # gather/logistics-bound, so fewer groups win until the near-field
         # pair block's quadratic growth in L catches up)
         L = 32
-        gmap = plan_buckets_kd(r_np, leaf_size=L)
+        # Bucket layout mirrors the reference's tree factory
+        # (HydroTree::CreateTree, src/Tree/HydroTree.cpp:151-192):
+        # "kdtree" -> balanced longest-axis median buckets (KDTree.cpp);
+        # "octtree" -> Morton-ordered octant-run buckets (OctTree.cpp's
+        # Morton cell structure).  The implicit walk above both is shared.
+        if p.stringparams["neib_search"] == "octtree":
+            gmap = plan_buckets(r_np, leaf_size=L)
+        else:
+            gmap = plan_buckets_kd(r_np, leaf_size=L)
         # Cap sizing: MEASURED per distribution — the native walk-stats
         # pass replays the device MAC over a sample of groups and reports
         # the worst frontier/near/support demand (the reference sizes its

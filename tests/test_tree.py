@@ -74,6 +74,61 @@ def test_potential_accuracy(cluster):
     assert np.median(rel) < 1e-3
 
 
+def test_octtree_bucket_layout_accuracy(cluster):
+    """neib_search=octtree selects Morton-octant-run buckets (the
+    reference OctTree's Morton cell structure, src/Tree/OctTree.cpp:210)
+    under the same implicit walk — force accuracy must match the KD
+    layout's gate."""
+    from gandalf_tpu.ops.tree import (plan_buckets, plan_tree_for_buckets,
+                                      tree_gravity_grouped)
+
+    r, m = cluster
+    a_ref = direct_nbody(r, r * 0, m, compute_jerk=False).a
+    gmap = plan_buckets(np.asarray(r), leaf_size=32)
+    # every particle appears exactly once in the gather map
+    flat = np.asarray(gmap).ravel()
+    assert np.array_equal(np.sort(flat[flat >= 0]), np.arange(r.shape[0]))
+    spec = plan_tree_for_buckets(gmap, theta_sqd=0.1, quadrupole=True)
+    a, gpot, overflow = tree_gravity_grouped(spec, jnp.asarray(gmap), r, m)
+    assert not bool(overflow)
+    err = force_error(a, a_ref)
+    assert np.median(err) < 3e-3
+    assert err.mean() < 1e-2
+
+
+def test_octtree_param_selects_octant_planner():
+    """The simulation-level tree factory switch (reference
+    HydroTree::CreateTree, src/Tree/HydroTree.cpp:151-192)."""
+    from gandalf_tpu.params import Parameters
+    from gandalf_tpu.sim.simulation import GradhSphSimulation
+
+    rng = np.random.default_rng(7)
+    r = rng.random((500, 3))
+    gmaps = {}
+    for tree_type in ("kdtree", "octtree"):
+        p = Parameters()
+        for k, v in {"sim": "gradhsph", "ic": "box", "ndim": 3,
+                     "dimensionless": 1, "self_gravity": 1,
+                     "neib_search": tree_type,
+                     "Nlattice1[0]": 8, "Nlattice1[1]": 8,
+                     "Nlattice1[2]": 8}.items():
+            p.set(k, v)
+        sim = GradhSphSimulation(p)
+        sim.process_parameters()
+        from gandalf_tpu.state import make_sph_state
+        sim.state = make_sph_state(r, np.zeros_like(r),
+                                   np.full(len(r), 1.0 / len(r)),
+                                   np.full(len(r), 0.1),
+                                   np.full(len(r), 1.0))
+        sim._plan_tree_buckets(r)
+        gmaps[tree_type] = np.asarray(sim.state.bucket_map)
+        flat = gmaps[tree_type].ravel()
+        assert np.array_equal(np.sort(flat[flat >= 0]), np.arange(len(r)))
+    # the two layouts genuinely differ
+    assert gmaps["kdtree"].shape != gmaps["octtree"].shape or \
+        not np.array_equal(gmaps["kdtree"], gmaps["octtree"])
+
+
 def test_tree_mass_conservation(cluster):
     """Root cell must hold the total mass and COM (KD-tree invariant test,
     src/UnitTesting/TestTree.cpp:36-57 analogue)."""
