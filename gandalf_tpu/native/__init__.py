@@ -82,6 +82,14 @@ def load():
         ctypes.c_int32, ctypes.c_double, ctypes.c_double, ctypes.c_int64,
         ctypes.c_void_p,
     ]
+    lib.tree_walk_lists.restype = ctypes.c_int64
+    lib.tree_walk_lists.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
     lib.grid_cell_ids.restype = None
     lib.grid_cell_ids.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,

@@ -103,39 +103,26 @@ int64_t kd_plan_buckets(const double* r, int64_t N, int32_t ndim,
   return next_bucket;
 }
 
-// Walk-statistics pass: simulates the device's implicit-tree MAC walk
-// (gandalf_tpu/ops/tree.py tree_gravity) over a strided sample of target
-// groups and reports the worst-case frontier width, near-field leaf count
-// and kernel-support leaf count actually NEEDED by this particle
-// distribution.  Used at plan time to size TreeSpec caps from measurement
-// instead of the conservative worst-case law (reference analogue: the
-// Nneibmax growth loop, src/GradhSph/GradhSphTree.cpp:172-185, which also
-// sizes buffers from observed demand).
-//
-//   r       : (N x ndim) float64 positions
-//   m       : (N,) float64 masses, or nullptr (all occupied slots count)
-//   h       : (N,) float64 smoothing lengths, or nullptr (sup_max = 0)
-//   gmap    : (G_pad x leaf_size) int32 bucket map, -1 = empty slot
-//   sample  : walk every `stride`-th occupied group so that about `sample`
-//             groups are visited (<= 0 means walk all groups)
-//   out3    : int32[3] = {near_max, front_max, sup_max}
-// Returns 0 on success.
-int64_t tree_walk_stats(const double* r, const double* m, const double* h,
-                        int64_t N, int32_t ndim, const int32_t* gmap,
-                        int64_t G_pad, int32_t leaf_size, double theta_sqd,
-                        double kernrange, int64_t sample, int32_t* out3) {
-  out3[0] = out3[1] = out3[2] = 0;
-  if (G_pad <= 0 || ndim <= 0 || ndim > 8) return -1;
+}  // extern "C"
+
+namespace {
+
+// Bottom-up level tables: per cell lo/hi box, COM, mass, hmax.
+struct Level {
+  std::vector<double> lo, hi, com;
+  std::vector<double> mass, hmax;
+};
+
+// Builds the implicit binary tree's per-level cell properties from the
+// bucket gather map (shared by tree_walk_stats and tree_walk_lists).
+// Returns depth, or -1 when G_pad is not a power of two.
+int build_levels(const double* r, const double* m, const double* h,
+                 int32_t ndim, const int32_t* gmap, int64_t G_pad,
+                 int32_t leaf_size, std::vector<Level>& levels) {
   int depth = 0;
   while ((int64_t(1) << depth) < G_pad) ++depth;
   if ((int64_t(1) << depth) != G_pad) return -1;
-
-  // Bottom-up level tables: per cell lo/hi box, COM, mass, hmax.
-  struct Level {
-    std::vector<double> lo, hi, com;
-    std::vector<double> mass, hmax;
-  };
-  std::vector<Level> levels(depth + 1);
+  levels.assign(depth + 1, Level());
   Level& leaf = levels[depth];
   leaf.lo.assign(G_pad * ndim, 1e300);
   leaf.hi.assign(G_pad * ndim, -1e300);
@@ -188,6 +175,41 @@ int64_t tree_walk_stats(const double* r, const double* m, const double* h,
         for (int k = 0; k < ndim; ++k) pa.com[c * ndim + k] /= pa.mass[c];
     }
   }
+  return depth;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Walk-statistics pass: simulates the device's implicit-tree MAC walk
+// (gandalf_tpu/ops/tree.py tree_gravity) over a strided sample of target
+// groups and reports the worst-case frontier width, near-field leaf count
+// and kernel-support leaf count actually NEEDED by this particle
+// distribution.  Used at plan time to size TreeSpec caps from measurement
+// instead of the conservative worst-case law (reference analogue: the
+// Nneibmax growth loop, src/GradhSph/GradhSphTree.cpp:172-185, which also
+// sizes buffers from observed demand).
+//
+//   r       : (N x ndim) float64 positions
+//   m       : (N,) float64 masses, or nullptr (all occupied slots count)
+//   h       : (N,) float64 smoothing lengths, or nullptr (sup_max = 0)
+//   gmap    : (G_pad x leaf_size) int32 bucket map, -1 = empty slot
+//   sample  : walk every `stride`-th occupied group so that about `sample`
+//             groups are visited (<= 0 means walk all groups)
+//   out3    : int32[3] = {near_max, front_max, sup_max}
+// Returns 0 on success.
+int64_t tree_walk_stats(const double* r, const double* m, const double* h,
+                        int64_t N, int32_t ndim, const int32_t* gmap,
+                        int64_t G_pad, int32_t leaf_size, double theta_sqd,
+                        double kernrange, int64_t sample, int32_t* out3) {
+  out3[0] = out3[1] = out3[2] = 0;
+  if (G_pad <= 0 || ndim <= 0 || ndim > 8) return -1;
+  std::vector<Level> levels;
+  const int depth = build_levels(r, m, h, ndim, gmap, G_pad, leaf_size,
+                                 levels);
+  if (depth < 0) return -1;
+  const Level& leaf = levels[depth];
 
   int64_t n_occ = 0;
   for (int64_t g = 0; g < G_pad; ++g)
@@ -265,6 +287,131 @@ int64_t tree_walk_stats(const double* r, const double* m, const double* h,
   out3[0] = near_max;
   out3[1] = front_max;
   out3[2] = sup_max;
+  return 0;
+}
+
+// Interaction-list pass: the Verlet-list (drift-skin) analogue of the BH
+// MAC walk.  Walks the implicit tree once per target group at PLAN time
+// with a margin-deflated opening criterion and emits, per group,
+//  - the multipole cell list: cells accepted by the MAC under ANY
+//    per-particle drift <= margin since planning (packed linear cell id
+//    (1 << level) - 1 + idx over the level-concatenated cell table), and
+//  - the near-field leaf list: cells still open at the leaf level.
+// The device step then evaluates these static lists directly — no
+// per-level frontier iteration, no in-jit compaction — and re-stocks the
+// cell multipoles from live positions, so accuracy is the plain MAC's as
+// long as drift stays within the skin (an in-jit drift check triggers a
+// replan otherwise).  This replaces the per-step tree walk of the
+// reference (Tree::ComputeGravityInteractionAndGhostList,
+// src/Tree/Tree.cpp:628-735) with a cached-list design, the same
+// amortisation the reference applies to the tree BUILD via
+// ntreebuildstep (src/Tree/HydroTree.cpp:310).
+//
+// Margin-conservative MAC: if every particle moves at most `margin`, a
+// cell's bounding half-extent grows by at most margin per axis, its COM
+// and the group's box centre each move by at most margin, and the group
+// half-extent grows by at most margin.  Acceptance therefore uses
+//   gap_k  = max(|com_k - gc_k| - gh_k - 3 margin, 0)
+//   rmax^2 = sum_k (half_k + margin)^2
+//   accept iff gap^2 * theta_sqd > rmax^2
+// which implies the plain MAC at evaluation time.
+//
+// Two-pass protocol: with mp_cap == 0 only out_counts is written
+// (int32[3] = {mp_max, near_max, sup_max}); with caps > 0 the padded
+// id arrays are filled (-1 padding) and entries beyond a cap dropped
+// (the caller sizes caps from the first pass, so drops never happen).
+// sup counts near leaves within kernrange * max(hmax) + 2 margin of the
+// group box (sizing for the device's in-jit support-tier compaction).
+// Returns 0 on success.
+int64_t tree_walk_lists(const double* r, const double* m, const double* h,
+                        int64_t N, int32_t ndim, const int32_t* gmap,
+                        int64_t G_pad, int32_t leaf_size, double theta_sqd,
+                        double kernrange, double margin,
+                        int32_t mp_cap, int32_t near_cap,
+                        int32_t* mp_out, int32_t* near_out,
+                        int32_t* out_counts) {
+  out_counts[0] = out_counts[1] = out_counts[2] = 0;
+  if (G_pad <= 0 || ndim <= 0 || ndim > 8) return -1;
+  std::vector<Level> levels;
+  const int depth = build_levels(r, m, h, ndim, gmap, G_pad, leaf_size,
+                                 levels);
+  if (depth < 0) return -1;
+  const Level& leaf = levels[depth];
+  if (mp_cap > 0) {
+    for (int64_t i = 0; i < G_pad * int64_t(mp_cap); ++i) mp_out[i] = -1;
+    for (int64_t i = 0; i < G_pad * int64_t(near_cap); ++i)
+      near_out[i] = -1;
+  }
+
+  int32_t mp_max = 0, near_max = 0, sup_max = 0;
+  std::vector<int64_t> front, next;
+  for (int64_t g = 0; g < G_pad; ++g) {
+    if (leaf.mass[g] <= 0.0) continue;
+    double gc[8], gh[8];
+    for (int k = 0; k < ndim; ++k) {
+      gc[k] = 0.5 * (leaf.lo[g * ndim + k] + leaf.hi[g * ndim + k]);
+      gh[k] = 0.5 * (leaf.hi[g * ndim + k] - leaf.lo[g * ndim + k]);
+    }
+    const double hg_max = leaf.hmax[g];
+    int32_t n_mp = 0, n_near = 0, n_sup = 0;
+    int32_t* mp_row = mp_cap > 0 ? mp_out + g * mp_cap : nullptr;
+    int32_t* near_row = mp_cap > 0 ? near_out + g * near_cap : nullptr;
+    front.assign(1, 0);
+    for (int ell = 0; ell <= depth; ++ell) {
+      const Level& lv = levels[ell];
+      next.clear();
+      const int64_t packed_base = (int64_t(1) << ell) - 1;
+      for (const int64_t c : front) {
+        if (lv.mass[c] <= 0.0) continue;
+        double dsqd = 0.0, rmax_sqd = 0.0;
+        for (int k = 0; k < ndim; ++k) {
+          const double half =
+              0.5 * (lv.hi[c * ndim + k] - lv.lo[c * ndim + k]) + margin;
+          double d = std::abs(lv.com[c * ndim + k] - gc[k]) - gh[k]
+                     - 3.0 * margin;
+          if (d < 0.0) d = 0.0;
+          dsqd += d * d;
+          rmax_sqd += half * half;
+        }
+        if (dsqd * theta_sqd > rmax_sqd) {
+          if (mp_row && n_mp < mp_cap)
+            mp_row[n_mp] = static_cast<int32_t>(packed_base + c);
+          ++n_mp;
+          continue;
+        }
+        if (ell < depth) {
+          next.push_back(2 * c);
+          next.push_back(2 * c + 1);
+        } else {
+          if (near_row && n_near < near_cap)
+            near_row[n_near] = static_cast<int32_t>(c);
+          ++n_near;
+          if (h) {
+            double gap2 = 0.0;
+            for (int k = 0; k < ndim; ++k) {
+              const double half =
+                  0.5 * (lv.hi[c * ndim + k] - lv.lo[c * ndim + k]);
+              const double centre =
+                  0.5 * (lv.hi[c * ndim + k] + lv.lo[c * ndim + k]);
+              double d = std::abs(centre - gc[k]) - half - gh[k];
+              if (d < 0.0) d = 0.0;
+              gap2 += d * d;
+            }
+            const double hm = hg_max > lv.hmax[c] ? hg_max : lv.hmax[c];
+            const double rad = kernrange * hm + 2.0 * margin;
+            if (gap2 < rad * rad) ++n_sup;
+          }
+        }
+      }
+      front.swap(next);
+    }
+    if (n_mp > mp_max) mp_max = n_mp;
+    if (n_near > near_max) near_max = n_near;
+    if (n_sup > sup_max) sup_max = n_sup;
+  }
+  out_counts[0] = mp_max;
+  out_counts[1] = near_max;
+  out_counts[2] = sup_max;
   return 0;
 }
 

@@ -57,6 +57,7 @@ class TreeSpec:
     support_cap: int = 64   # max kernel-support cells per group (Ws)
     mac: str = "geometric"  # | "gadget2" | "eigenmac" (KDTree.cpp:824-843)
     macerror: float = 1e-4
+    mp_cap: int = 0         # > 0: listed walk, width of the multipole lists
 
     @property
     def n_leaves(self) -> int:
@@ -274,7 +275,8 @@ def tree_gravity(spec: TreeSpec, tree: TreeLevels,
                  group_range=None, zeta_scaling: str = "sph",
                  ewald_table=None, ewald_extent=None,
                  amag_s: Array = None, gpot_s: Array = None,
-                 group_ids: Array = None):
+                 group_ids: Array = None,
+                 mp_lists: Array = None, near_lists: Array = None):
     """Frontier-walk gravity for every particle (sorted order).
 
     Near-field (unopened leaf pairs) uses the reference's SYMMETRIC grad-h
@@ -337,6 +339,12 @@ def tree_gravity(spec: TreeSpec, tree: TreeLevels,
     pcols.append(zh_leaf[..., None] if zh_leaf is not None
                  else jnp.zeros_like(m_leaf)[..., None])
     leaf_tab = jnp.concatenate(pcols, -1)        # (n_leaves, L, ndim+3)
+    all_tab = None
+    if mp_lists is not None:
+        # listed-walk mode: one level-concatenated cell table whose row
+        # (1 << ell) - 1 + c is cell c of level ell — the exact packed-id
+        # layout the native tree_walk_lists pass emits
+        all_tab = jnp.concatenate(levels_tab, axis=0)
 
     def _quad_terms(q6, dr):
         """qdr = Q.dr and dr.Q.dr from upper-triangle components."""
@@ -499,12 +507,66 @@ def tree_gravity(spec: TreeSpec, tree: TreeLevels,
                                             jnp.asarray(-1, jnp.int32))
                 overflow = overflow | (n_near > Wn)
 
-        # near field, two tiers: Newtonian over the FULL (L, Wn*L) block
-        # (cheap: one rsqrt per pair), kernel-softening CORRECTION only
-        # over the few cells within kernel support — beyond support the
-        # symmetric grad-h formula IS Newtonian, so the correction is
-        # exactly zero there and a conservative support selection loses
-        # nothing (measured ~2x on the near field)
+        return _near_field(g, rt, gc, gh, near_ids, overflow,
+                           (a0, pot0, jac) if spec.fast
+                           else (a_acc, pot_acc))
+
+    def walk_group_listed(g, mp_row, near_row):
+        """Listed-walk far field: evaluate the host-emitted multipole cell
+        list directly (one gather from the level-concatenated table), no
+        frontier iteration.  The near list is likewise precomputed; the
+        drift-skin MAC at plan time guarantees both stay valid while
+        max per-particle drift <= margin (checked by the caller)."""
+        rt = r_leaf[g]
+        gc = leaf_centre[g]
+        gh = leaf_half[g]
+        valid = mp_row >= 0
+        idx = jnp.maximum(mp_row, 0)
+        tab = all_tab[idx]                           # (Wm, 1+2nd+nq)
+        m_a = jnp.where(valid, tab[:, 0], 0.0)
+        com_c = tab[:, 1:1 + ndim]
+        q6 = None
+        if spec.quadrupole:
+            q6 = jnp.where(valid[:, None], tab[:, 1 + 2 * ndim:], 0.0)
+        if spec.fast:
+            dr = com_c - gc[None, :]                 # (Wm, ndim)
+            a_f, p_f = _mp_accel(dr, m_a, q6)
+            a0 = jnp.sum(a_f, axis=0)
+            pot0 = jnp.sum(p_f, axis=0)
+            drsqd = jnp.sum(dr * dr, axis=-1)
+            inv_r = _safe_invr(drsqd)
+            inv_r3 = inv_r * inv_r * inv_r
+            inv_r5 = inv_r3 * inv_r * inv_r
+            outer = dr[:, :, None] * dr[:, None, :]
+            jac = jnp.sum(
+                m_a[:, None, None]
+                * (3.0 * outer * inv_r5[:, None, None]
+                   - jnp.eye(ndim, dtype=dtype) * inv_r3[:, None, None]),
+                axis=0)
+            far = (a0, pot0, jac)
+        else:
+            dr = com_c[None, :, :] - rt[:, None, :]  # (L, Wm, ndim)
+            a_f, p_f = _mp_accel(dr, m_a[None, :],
+                                 q6[None] if q6 is not None else None)
+            far = (jnp.sum(a_f, axis=1), jnp.sum(p_f, axis=1))
+        return _near_field(g, rt, gc, gh, near_row, jnp.asarray(False),
+                           far)
+
+    def _near_field(g, rt, gc, gh, near_ids, overflow, far):
+        """Near-field leaf pair block + kernel-support correction tier +
+        far-field finalisation (shared by the frontier and listed walks).
+
+        Two tiers: Newtonian over the FULL (L, Wn*L) block
+        (cheap: one rsqrt per pair), kernel-softening CORRECTION only
+        over the few cells within kernel support — beyond support the
+        symmetric grad-h formula IS Newtonian, so the correction is
+        exactly zero there and a conservative support selection loses
+        nothing (measured ~2x on the near field)"""
+        if spec.fast:
+            a0, pot0, jac = far
+        else:
+            a_acc, pot_acc = far
+        Wn = near_ids.shape[0]
         nvalid = near_ids >= 0
         nidx = jnp.maximum(near_ids, 0)
         ntab = leaf_tab[nidx]                             # (Wn, L, nd+3)
@@ -683,7 +745,12 @@ def tree_gravity(spec: TreeSpec, tree: TreeLevels,
     gids = jnp.arange(n_chunks * group_chunk, dtype=jnp.int32) % g_count \
         + jnp.asarray(g_start, jnp.int32)
     gids = gids.reshape(n_chunks, group_chunk)
-    a, pot, overflow = jax.lax.map(jax.vmap(walk_group), gids)
+    if mp_lists is not None:
+        chunk_fn = lambda gc_: jax.vmap(walk_group_listed)(
+            gc_, mp_lists[gc_], near_lists[gc_])
+    else:
+        chunk_fn = lambda gc_: jax.vmap(walk_group)(gc_)
+    a, pot, overflow = jax.lax.map(chunk_fn, gids)
     a = a.reshape(-1, L, ndim)[:g_count]
     pot = pot.reshape(-1, L)[:g_count]
     return TreeGravityResult(a=a.reshape(g_count * L, ndim),
@@ -920,6 +987,174 @@ def unwrap_to_buckets(spec: TreeSpec, r_s: Array, in_map: Array,
         jnp.where(ext > 0, delta / jnp.where(ext > 0, ext, 1.0), 0.0))
     out = (anchor + wrapped).reshape(-1, ndim)
     return jnp.where(in_map[:, None], out, r_s)
+
+
+def unwrap_to_anchors(spec: TreeSpec, r_s: Array, in_map: Array,
+                      anchors: Array, periodic_extent) -> Array:
+    """unwrap_to_buckets with FIXED plan-time anchors: the listed walk's
+    bucket frames must not jump when a live anchor particle crosses the
+    periodic seam (a frame jump displaces the whole bucket by the box
+    length relative to the cached interaction lists), so images are taken
+    around the anchors captured at plan time."""
+    L = spec.leaf_size
+    n_leaves = spec.n_leaves
+    ndim = r_s.shape[1]
+    ext = jnp.asarray(periodic_extent, r_s.dtype)
+    r_g = r_s.reshape(n_leaves, L, ndim)
+    delta = r_g - anchors[:, None, :]
+    wrapped = delta - ext * jnp.round(
+        jnp.where(ext > 0, delta / jnp.where(ext > 0, ext, 1.0), 0.0))
+    out = (anchors[:, None, :] + wrapped).reshape(-1, ndim)
+    return jnp.where(in_map[:, None], out, r_s)
+
+
+class WalkLists(NamedTuple):
+    """Host-planned interaction lists (drift-skin cached walk)."""
+
+    mp: np.ndarray       # (G_pad, Wm) int32 packed cell ids, -1 padded
+    near: np.ndarray     # (G_pad, Wn) int32 leaf ids, -1 padded
+    sup_max: int         # measured kernel-support leaf demand (cap sizing)
+    r_plan: np.ndarray   # (N, ndim) unwrapped plan positions
+    anchors: np.ndarray  # (n_leaves, ndim) bucket unwrap anchors
+    margin: float        # drift skin the lists stay valid within
+
+
+def plan_walk_lists(gmap: np.ndarray, r: np.ndarray, m: np.ndarray = None,
+                    h: np.ndarray = None, theta_sqd: float = 0.1,
+                    kernrange: float = 2.0, margin: float = 0.0,
+                    periodic_extent=None, mp_floor: int = 0,
+                    near_floor: int = 0):
+    """Host-side interaction-list planning (per tree-rebuild cadence):
+    walks the implicit tree once per group with the margin-deflated MAC
+    (native tree_walk_lists; the Verlet-list skin technique applied to
+    the BH acceptance criterion) and returns per-group multipole/near
+    lists that the device evaluates directly — replacing the in-jit
+    frontier walk of the reference's per-step
+    Tree::ComputeGravityInteractionAndGhostList (src/Tree/Tree.cpp:628).
+
+    Returns None when the native library is unavailable (callers fall
+    back to the frontier walk).  mp_floor/near_floor are hysteresis
+    floors: measured demand below an old cap keeps the old cap so the
+    padded shapes (and the compiled step) stay stable across replans."""
+    from ..native import load as _load_native
+
+    lib = _load_native()
+    if lib is None or not hasattr(lib, "tree_walk_lists"):
+        return None
+    G_pad, L = gmap.shape
+    N, ndim = r.shape
+    r64 = np.ascontiguousarray(r, np.float64)
+    # per-bucket periodic unwrap around the first-real-slot anchor, in
+    # ORIGINAL particle order (each particle sits in exactly one bucket)
+    flat = gmap.reshape(-1)
+    in_map = flat >= 0
+    safe = np.maximum(flat, 0)
+    r_g = np.where(in_map[:, None], r64[safe], 1e15).reshape(
+        G_pad, L, ndim)
+    first = np.argmax(in_map.reshape(G_pad, L), axis=1)
+    anchors = r_g[np.arange(G_pad), first]
+    if periodic_extent is not None:
+        ext = np.asarray(periodic_extent, np.float64)
+        r_unw = r64.copy()
+        delta = r_g - anchors[:, None, :]
+        wdelta = delta - np.where(ext > 0, ext, 1.0) * np.round(
+            np.where(ext > 0, delta / np.where(ext > 0, ext, 1.0), 0.0))
+        unw = (anchors[:, None, :] + wdelta).reshape(-1, ndim)
+        pid = flat[in_map]
+        r_unw[pid] = unw[in_map]
+    else:
+        r_unw = r64
+    g_c = np.ascontiguousarray(gmap, np.int32)
+    r_c = np.ascontiguousarray(r_unw)
+    m_c = np.ascontiguousarray(m, np.float64) if m is not None else None
+    h_c = np.ascontiguousarray(h, np.float64) if h is not None else None
+    counts = np.zeros(3, np.int32)
+    rc = lib.tree_walk_lists(
+        r_c.ctypes.data,
+        m_c.ctypes.data if m_c is not None else None,
+        h_c.ctypes.data if h_c is not None else None,
+        N, ndim, g_c.ctypes.data, G_pad, L, float(theta_sqd),
+        float(kernrange), float(margin), 0, 0, None, None,
+        counts.ctypes.data)
+    if rc != 0:
+        return None
+    mp_max, near_max, sup_max = (int(c) for c in counts)
+    q32 = lambda x: max(-(-int(x) // 32) * 32, 32)
+
+    def _cap(measured, floor):
+        # same hysteresis law as the frontier caps (_settle): keep the
+        # old cap while demand fits within [cap, 4*cap]; on growth
+        # overshoot by 25% of the old cap so steadily-rising demand (a
+        # collapsing core) doesn't recompile at every rebuild cadence
+        cap = q32(measured)
+        if floor:
+            if measured <= floor <= 4 * cap:
+                return floor
+            if cap > floor:
+                return q32(max(cap, int(1.25 * floor)))
+        return cap
+
+    mp_cap = _cap(mp_max, mp_floor)
+    near_cap = _cap(near_max, near_floor)
+    mp = np.empty((G_pad, mp_cap), np.int32)
+    near = np.empty((G_pad, near_cap), np.int32)
+    rc = lib.tree_walk_lists(
+        r_c.ctypes.data,
+        m_c.ctypes.data if m_c is not None else None,
+        h_c.ctypes.data if h_c is not None else None,
+        N, ndim, g_c.ctypes.data, G_pad, L, float(theta_sqd),
+        float(kernrange), float(margin), mp_cap, near_cap,
+        mp.ctypes.data, near.ctypes.data, counts.ctypes.data)
+    if rc != 0:
+        return None
+    return WalkLists(mp=mp, near=near, sup_max=sup_max, r_plan=r_unw,
+                     anchors=anchors, margin=float(margin))
+
+
+def tree_gravity_listed(spec: TreeSpec, gmap: Array, mp_lists: Array,
+                        near_lists: Array, r_plan: Array, anchors: Array,
+                        margin: float, r: Array, m: Array,
+                        h: Array = None, kern=None, alive: Array = None,
+                        zh: Array = None, periodic_extent=None,
+                        zeta_scaling: str = "sph"):
+    """Gravity over host-planned interaction lists (plan_walk_lists):
+    stock multipoles from live positions, evaluate each group's cached
+    multipole/near lists, and flag overflow when any particle drifted
+    beyond the plan margin (the Verlet-skin validity criterion — the
+    caller replans exactly as for a frontier-cap overflow).
+
+    Geometric MAC only; the frontier walk remains the path for Ewald,
+    accuracy MACs and active-subset (block-timestep) walks."""
+    N, ndim = r.shape
+    flat = gmap.reshape(-1)
+    safe = jnp.maximum(flat, 0)
+    in_map = flat >= 0
+    r_s = jnp.where(in_map[:, None], r[safe], 1e15)
+    plan_rs = jnp.where(in_map[:, None], r_plan[safe], 1e15)
+    if periodic_extent is not None:
+        r_s = unwrap_to_anchors(spec, r_s, in_map, anchors,
+                                periodic_extent)
+    m_s = jnp.where(in_map, m[safe], 0.0)
+    alive_s = in_map if alive is None else in_map & alive[safe]
+    # drift-skin validity: lists hold while every LIVE particle stays
+    # within margin of its plan position (dead particles drop to m = 0
+    # and cannot invalidate an acceptance)
+    drift = jnp.where(alive_s[:, None], jnp.abs(r_s - plan_rs), 0.0)
+    drift_ovf = jnp.max(drift) > margin
+    h_s = zh_s = None
+    if h is not None:
+        h_s = jnp.where(in_map, h[safe], 1.0)
+    if zh is not None:
+        zh_s = jnp.where(in_map, zh[safe], 0.0)
+    tree = build_tree(spec, r_s, m_s, alive_s)
+    res, overflow = tree_gravity(spec, tree, r_s, m_s, alive_s, h_s, kern,
+                                 zh_s, zeta_scaling=zeta_scaling,
+                                 mp_lists=mp_lists, near_lists=near_lists)
+    a = jnp.zeros((N, ndim), r.dtype).at[safe].add(
+        jnp.where(in_map[:, None], res.a, 0.0))
+    gpot = jnp.zeros((N,), r.dtype).at[safe].add(
+        jnp.where(in_map, res.gpot, 0.0))
+    return a, gpot, overflow | drift_ovf
 
 
 def tree_gravity_grouped(spec: TreeSpec, gmap: Array, r: Array, m: Array,

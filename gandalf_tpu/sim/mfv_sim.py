@@ -303,11 +303,19 @@ class MfvMusclSimulation(SimulationBase):
         (MfvCommon::ComputeSmoothedGravForces, MfvCommon.cpp:413-416);
         oracle path: all-pairs."""
         if self.treespec is not None:
-            from ..ops.tree import tree_gravity_grouped
+            from ..ops.tree import tree_gravity_grouped, tree_gravity_listed
 
             pdims = self.box.periodic_dims()
             pext = [self.box.size[k] if k in pdims else 0.0
                     for k in range(self.ndim)] if pdims else None
+            if self.treespec.mp_cap > 0 and s.walk_mp is not None:
+                # listed (drift-skin) walk — see SimulationBase._hydro_pass
+                return tree_gravity_listed(
+                    self.treespec, s.bucket_map, s.walk_mp, s.walk_near,
+                    s.walk_plan_r, s.walk_anchors, s.walk_margin,
+                    s.r, s.m, s.h, self.kern, alive=s.alive,
+                    zh=s.zeta * s.hfactor, periodic_extent=pext,
+                    zeta_scaling="mfv")
             a_g, gpot, overflow = tree_gravity_grouped(
                 self.treespec, s.bucket_map, s.r, s.m, s.h, self.kern,
                 alive=s.alive, zh=s.zeta * s.hfactor,

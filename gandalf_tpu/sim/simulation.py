@@ -237,25 +237,127 @@ class SimulationBase:
             gmap = plan_buckets(r_np, leaf_size=L)
         else:
             gmap = plan_buckets_kd(r_np, leaf_size=L)
-        # Cap sizing: MEASURED per distribution — the native walk-stats
-        # pass replays the device MAC over a sample of groups and reports
-        # the worst frontier/near/support demand (the reference sizes its
-        # neighbour buffers from observed demand the same way,
-        # GradhSphTree.cpp:172-185).  The margins cover particle drift
-        # over ntreebuildstep steps between replans; the in-jit overflow
-        # flag + grow_tree_caps remain the backstop.  Falls back to the
-        # conservative worst-case law when the native library is absent.
         h_np = None
         try:
             if self.state is not None and self.state.h.shape[0] == len(r_np):
                 h_np = np.asarray(self.state.h)
         except AttributeError:
             pass
+        q32 = lambda x: -(-x // 32) * 32        # quantise: fewer distinct
+        # cap values = fewer shapes
+
+        def _settle(new, old_v):
+            # Hysteresis (every cap change costs a recompile): keep the
+            # old cap unless demand grew past it or collapsed to < 1/4 of
+            # it; when a cap must grow, overshoot by 25% of the old value
+            # so slowly-rising demand (a collapsing core) doesn't trigger
+            # a recompile at every rebuild cadence.
+            if new is None or old_v is None:
+                return new
+            if new <= old_v <= 4 * new:
+                return old_v
+            if new > old_v:
+                return q32(max(new, int(1.25 * old_v)))
+            return new
+
+        # Listed (drift-skin) walk: the native pass walks the tree ONCE
+        # per rebuild with a margin-deflated MAC and caches per-group
+        # multipole/near interaction lists; the device step evaluates the
+        # lists directly (no per-level frontier iteration — the Verlet
+        # neighbour-list skin technique applied to the BH acceptance
+        # criterion).  Geometric MAC only; Ewald and accuracy MACs keep
+        # the per-step frontier walk.
+        lw = None
+        if (p.stringparams["gravity_mac"] == "geometric"
+                and not getattr(self, "use_ewald", False)
+                and not getattr(self, "use_block", False)
+                and os.environ.get("GANDALF_TREE_WALK") != "frontier"):
+            # (block-timestep runs keep the frontier walk: the active-
+            # subset walk, tree_gravity_active, needs real frontier caps)
+            from ..ops.tree import plan_walk_lists
+
+            pdims = self.box.periodic_dims()
+            pext = [self.box.size[k] if k in pdims else 0.0
+                    for k in range(self.ndim)] if pdims else None
+            # drift skin: must cover the worst particle drift across the
+            # ntreebuildstep steps between replans (CFL-limited drift is
+            # ~0.1 h per step, but fast movers exist), so take the max of
+            # a quarter median smoothing length and 2x the measured
+            # worst-case drift vmax * dt * ntreebuildstep.  Quantised to
+            # powers of two so the captured constant (and the compiled
+            # step) stays stable across replans; drifting past the skin
+            # raises the in-jit overflow -> replan, so the margin tunes
+            # replan frequency, never correctness.
+            margin = 0.0
+            if h_np is not None and np.isfinite(h_np).all() \
+                    and float(np.median(h_np)) > 0.0:
+                margin = 0.25 * float(np.median(h_np))
+            try:
+                if self.state is not None \
+                        and self.state.v.shape[0] == len(r_np):
+                    vmax = float(np.max(np.linalg.norm(
+                        np.asarray(self.state.v), axis=1)))
+                    dt_prev = float(self.state.dt)
+                    ntb = max(p.intparams["ntreebuildstep"], 1)
+                    if np.isfinite(vmax) and dt_prev > 0.0:
+                        margin = max(margin, 2.0 * vmax * dt_prev * ntb)
+            except (AttributeError, TypeError):
+                pass
+            if margin > 0.0:
+                margin = float(2.0 ** np.floor(np.log2(margin)))
+            m_np = None
+            try:
+                if self.state is not None \
+                        and self.state.m.shape[0] == len(r_np):
+                    m_np = np.asarray(self.state.m)
+            except AttributeError:
+                pass
+            old_listed = old is not None and old.mp_cap > 0
+            lw = plan_walk_lists(
+                gmap, r_np, m=m_np, h=h_np, theta_sqd=theta_sqd,
+                kernrange=getattr(self.kern, "kernrange", 2.0),
+                margin=float(margin), periodic_extent=pext,
+                mp_floor=old.mp_cap if old_listed else 0,
+                near_floor=old.near_cap if old_listed else 0)
+        if lw is not None:
+            support_cap = 64
+            if h_np is not None:
+                support_cap = q32(min(int(1.2 * lw.sup_max) + 8,
+                                      lw.near.shape[1]))
+            if old is not None:
+                support_cap = _settle(support_cap, old.support_cap)
+            spec = plan_tree_for_buckets(
+                gmap, theta_sqd=theta_sqd,
+                quadrupole=mp in ("quadrupole", "fast_quadrupole"),
+                fast=mp.startswith("fast"),
+                near_cap=lw.near.shape[1], frontier=64,
+                mac="geometric", macerror=p.floatparams["macerror"])
+            spec = dataclasses.replace(spec, mp_cap=lw.mp.shape[1],
+                                       support_cap=support_cap)
+            self.treespec = spec
+            rdt = self.state.r.dtype
+            self.state = self.state.replace(
+                bucket_map=jnp.asarray(gmap),
+                walk_mp=jnp.asarray(lw.mp),
+                walk_near=jnp.asarray(lw.near),
+                walk_plan_r=jnp.asarray(lw.r_plan, rdt),
+                walk_anchors=jnp.asarray(lw.anchors, rdt),
+                walk_margin=jnp.asarray(lw.margin, rdt))
+            self._set_leaf_of(gmap)
+            return old != spec
+        # Frontier-walk cap sizing: MEASURED per distribution — the
+        # native walk-stats pass replays the device MAC over a sample of
+        # groups and reports the worst frontier/near/support demand (the
+        # reference sizes its neighbour buffers from observed demand the
+        # same way, GradhSphTree.cpp:172-185).  The margins cover
+        # particle drift over ntreebuildstep steps between replans; the
+        # in-jit overflow flag + grow_tree_caps remain the backstop.
+        # Falls back to the conservative worst-case law when the native
+        # library is absent.
         stats = walk_stats_native(
             r_np, gmap, theta_sqd, h=h_np,
             kernrange=getattr(self.kern, "kernrange", 2.0), sample=4096)
-        q32 = lambda x: -(-x // 32) * 32        # quantise: fewer distinct
-        support_cap = None                      # cap values = fewer shapes
+        support_cap = None
         if stats is not None:
             near_max, front_max, sup_max = stats
             near_cap = q32(int(1.25 * near_max) + 16)
@@ -269,19 +371,6 @@ class SimulationBase:
         if stats is None:
             frontier = 2 * near_cap + 64
         if old is not None:
-            # Hysteresis (every cap change costs a recompile): keep the
-            # old cap unless demand grew past it or collapsed to < 1/4 of
-            # it; when a cap must grow, overshoot by 25% of the old value
-            # so slowly-rising demand (a collapsing core) doesn't trigger
-            # a recompile at every rebuild cadence.
-            def _settle(new, old_v):
-                if new is None or old_v is None:
-                    return new
-                if new <= old_v <= 4 * new:
-                    return old_v
-                if new > old_v:
-                    return q32(max(new, int(1.25 * old_v)))
-                return new
             near_cap = _settle(near_cap, old.near_cap)
             frontier = _settle(frontier, old.frontier)
             support_cap = _settle(support_cap, old.support_cap)
@@ -297,7 +386,15 @@ class SimulationBase:
         if grow_caps:
             spec = grow_tree_caps(spec)
         self.treespec = spec
-        self.state = self.state.replace(bucket_map=jnp.asarray(gmap))
+        self.state = self.state.replace(bucket_map=jnp.asarray(gmap),
+                                        walk_mp=None, walk_near=None,
+                                        walk_plan_r=None,
+                                        walk_anchors=None,
+                                        walk_margin=None)
+        self._set_leaf_of(gmap)
+        return old != spec
+
+    def _set_leaf_of(self, gmap: np.ndarray) -> None:
         # particle -> leaf map for the block-timestep active-group walk
         leaf_of = np.full(self.state.N, -1, np.int32)
         rows = np.repeat(np.arange(gmap.shape[0], dtype=np.int32),
@@ -305,7 +402,6 @@ class SimulationBase:
         flat = gmap.reshape(-1)
         leaf_of[flat[flat >= 0]] = rows[flat >= 0]
         self._leaf_of = leaf_of
-        return old != spec
 
     @staticmethod
     def factory(params: Parameters) -> "SimulationBase":
@@ -1173,18 +1269,31 @@ class GradhSphSimulation(SimulationBase):
                 pdims = self.box.periodic_dims()
                 pext = [self.box.size[k] if k in pdims else 0.0
                         for k in range(self.ndim)] if pdims else None
-                mac_kw = {}
-                if self.treespec.mac == "gadget2":
-                    mac_kw["amag"] = jnp.sqrt(jnp.sum(s.a0 * s.a0, -1))
-                elif self.treespec.mac == "eigenmac":
-                    mac_kw["gpot_prev"] = s.gpot
-                a_g, gpot, overflow = tree_gravity_grouped(
-                    self.treespec, s.bucket_map, s.r,
-                    self._gravity_mass(s), s.h, self.kern,
-                    alive=s.alive, zh=s.zeta * s.hfactor,
-                    periodic_extent=pext,
-                    ewald_table=self.ewald_table if self.use_ewald
-                    else None, **mac_kw)
+                if self.treespec.mp_cap > 0 and s.walk_mp is not None:
+                    # listed (drift-skin) walk: evaluate the host-cached
+                    # interaction lists directly; drift beyond the skin
+                    # raises neib_overflow -> replan
+                    from ..ops.tree import tree_gravity_listed
+
+                    a_g, gpot, overflow = tree_gravity_listed(
+                        self.treespec, s.bucket_map, s.walk_mp,
+                        s.walk_near, s.walk_plan_r, s.walk_anchors,
+                        s.walk_margin, s.r, self._gravity_mass(s),
+                        s.h, self.kern, alive=s.alive,
+                        zh=s.zeta * s.hfactor, periodic_extent=pext)
+                else:
+                    mac_kw = {}
+                    if self.treespec.mac == "gadget2":
+                        mac_kw["amag"] = jnp.sqrt(jnp.sum(s.a0 * s.a0, -1))
+                    elif self.treespec.mac == "eigenmac":
+                        mac_kw["gpot_prev"] = s.gpot
+                    a_g, gpot, overflow = tree_gravity_grouped(
+                        self.treespec, s.bucket_map, s.r,
+                        self._gravity_mass(s), s.h, self.kern,
+                        alive=s.alive, zh=s.zeta * s.hfactor,
+                        periodic_extent=pext,
+                        ewald_table=self.ewald_table if self.use_ewald
+                        else None, **mac_kw)
                 s = s.replace(a=s.a + a_g, gpot=gpot,
                               neib_overflow=s.neib_overflow | overflow)
             else:
@@ -1911,6 +2020,11 @@ class GradhSphSimulation(SimulationBase):
         self._clamp_dt_to_tend()
         with self.timing.block("MAIN_LOOP"):
             prev = self.state
+            # the overflow retry below re-runs the step from `prev`; the
+            # sink/block side state must rewind with it or an accretion
+            # that happened on the overflowed attempt double-counts
+            prev_sinks = self.sinks if self.has_sinks else None
+            prev_sched = self._blocksched if self.use_block else None
             if self.use_block and self.use_celllist \
                     and not self.has_sinks and not self.has_dust:
                 self._block_step_compact()
@@ -1942,6 +2056,10 @@ class GradhSphSimulation(SimulationBase):
                 with self.timing.block("GRID_REPLAN"):
                     for attempt in range(4):
                         self.state = prev
+                        if prev_sinks is not None:
+                            self.sinks = prev_sinks
+                        if prev_sched is not None:
+                            self._blocksched = prev_sched
                         self._note_grid_overflow()
                         self._plan_grid(prev.r, prev.h, alive=prev.alive,
                                         growth=1.3 * (1.2 ** attempt))

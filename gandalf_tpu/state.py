@@ -100,6 +100,13 @@ class SphState:
     # host-planned gravity-tree bucket gather map (G_pad, L), -1 = empty
     # (None when tree gravity is off; replanned every ntreebuildstep)
     bucket_map: Array = None
+    # host-planned interaction lists for the listed (drift-skin) gravity
+    # walk (ops.tree.plan_walk_lists); None when the frontier walk is used
+    walk_mp: Array = None       # (G_pad, Wm) packed multipole cell ids
+    walk_near: Array = None     # (G_pad, Wn) near-field leaf ids
+    walk_plan_r: Array = None   # (N, ndim) unwrapped plan positions
+    walk_anchors: Array = None  # (G_pad, ndim) bucket unwrap anchors
+    walk_margin: Array = None   # () drift skin the lists stay valid within
 
     # -- helpers ------------------------------------------------------------
     @property
@@ -196,6 +203,12 @@ class MfvState:
     nlast: Array = None
     tlast: Array = None
     bucket_map: Array = None    # (n_leaves, L) gravity-tree bucket plan
+    # listed (drift-skin) gravity-walk plan, as on SphState
+    walk_mp: Array = None
+    walk_near: Array = None
+    walk_plan_r: Array = None
+    walk_anchors: Array = None
+    walk_margin: Array = None
 
     @property
     def N(self) -> int:

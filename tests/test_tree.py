@@ -129,6 +129,108 @@ def test_octtree_param_selects_octant_planner():
         not np.array_equal(gmaps["kdtree"], gmaps["octtree"])
 
 
+class TestListedWalk:
+    """Listed (drift-skin) gravity walk: host-cached interaction lists
+    (ops.tree.plan_walk_lists / tree_gravity_listed) must match the
+    per-step frontier walk's accuracy gates, and the in-jit drift check
+    must invalidate the lists once any particle leaves the skin (the
+    Verlet-list criterion).  Replaces the per-step walk of the reference
+    Tree::ComputeGravityInteractionAndGhostList (src/Tree/Tree.cpp:628)."""
+
+    def _listed(self, r, m, gmap, margin, h=None, kern=None, zh=None,
+                pext=None, **kw):
+        import dataclasses
+
+        from gandalf_tpu.ops.tree import (plan_tree_for_buckets,
+                                          plan_walk_lists,
+                                          tree_gravity_listed)
+
+        spec = plan_tree_for_buckets(gmap, theta_sqd=0.1, quadrupole=True)
+        lw = plan_walk_lists(gmap, np.asarray(r), np.asarray(m),
+                             np.asarray(h) if h is not None else None,
+                             theta_sqd=0.1,
+                             kernrange=kern.kernrange if kern else 2.0,
+                             margin=margin, periodic_extent=pext)
+        if lw is None:
+            pytest.skip("native planner unavailable")
+        spec = dataclasses.replace(
+            spec, near_cap=lw.near.shape[1], mp_cap=lw.mp.shape[1],
+            support_cap=max(32, -(-int(1.2 * max(lw.sup_max, 1)) // 32)
+                            * 32))
+        return lw, tree_gravity_listed(
+            spec, jnp.asarray(gmap), jnp.asarray(lw.mp),
+            jnp.asarray(lw.near), jnp.asarray(lw.r_plan),
+            jnp.asarray(lw.anchors), lw.margin, r, m, h=h, kern=kern,
+            zh=zh, periodic_extent=pext, **kw)
+
+    def test_matches_oracle(self, cluster):
+        from gandalf_tpu.ops.tree import plan_buckets_kd
+
+        r, m = cluster
+        a_ref = direct_nbody(r, r * 0, m, compute_jerk=False).a
+        gmap = plan_buckets_kd(np.asarray(r), leaf_size=32)
+        _, (a, gpot, ovf) = self._listed(r, m, gmap, margin=0.01)
+        assert not bool(ovf)
+        err = force_error(a, a_ref)
+        assert np.median(err) < 3e-3 and err.mean() < 1e-2
+
+    def test_drift_triggers_overflow(self, cluster):
+        from gandalf_tpu.ops.tree import plan_buckets_kd
+
+        r, m = cluster
+        gmap = plan_buckets_kd(np.asarray(r), leaf_size=32)
+        lw, (_, _, ovf0) = self._listed(r, m, gmap, margin=0.01)
+        assert not bool(ovf0)
+        r2 = np.asarray(r).copy()
+        r2[42] += 0.05                      # beyond the 0.01 skin
+        import dataclasses
+
+        from gandalf_tpu.ops.tree import (plan_tree_for_buckets,
+                                          tree_gravity_listed)
+
+        spec = plan_tree_for_buckets(gmap, theta_sqd=0.1, quadrupole=True)
+        spec = dataclasses.replace(spec, near_cap=lw.near.shape[1],
+                                   mp_cap=lw.mp.shape[1])
+        _, _, ovf = tree_gravity_listed(
+            spec, jnp.asarray(gmap), jnp.asarray(lw.mp),
+            jnp.asarray(lw.near), jnp.asarray(lw.r_plan),
+            jnp.asarray(lw.anchors), lw.margin, jnp.asarray(r2), m)
+        assert bool(ovf)
+
+    def test_smoothed_periodic_matches_frontier(self):
+        """Kernel-softened near field + periodic bucket unwrap: listed vs
+        frontier agree to MAC-error level on a periodic jittered box."""
+        from gandalf_tpu.kernels.smoothing import kernel_factory
+        from gandalf_tpu.ops.tree import (plan_buckets_kd,
+                                          plan_tree_for_buckets,
+                                          tree_gravity_grouped)
+
+        rng = np.random.default_rng(9)
+        n_side = 12
+        g = np.stack(np.meshgrid(*[np.arange(n_side)] * 3, indexing="ij"),
+                     -1).reshape(-1, 3) / n_side
+        r = np.mod(g + 0.25 / n_side * rng.standard_normal(g.shape), 1.0)
+        N = len(r)
+        m = np.full(N, 1.0 / N)
+        h = np.full(N, 1.2 / n_side)
+        zh = jnp.asarray(0.01 * rng.standard_normal(N) / h ** 4)
+        kern = kernel_factory("m4", 3)
+        rj, mj, hj = jnp.asarray(r), jnp.asarray(m), jnp.asarray(h)
+        pext = [1.0, 1.0, 1.0]
+        gmap = plan_buckets_kd(r, leaf_size=32)
+        _, (a_l, _, ovf) = self._listed(rj, mj, gmap, margin=0.005,
+                                        h=hj, kern=kern, zh=zh, pext=pext)
+        assert not bool(ovf)
+        spec = plan_tree_for_buckets(gmap, theta_sqd=0.1, quadrupole=True)
+        a_f, _, _ = tree_gravity_grouped(spec, jnp.asarray(gmap), rj, mj,
+                                         h=hj, kern=kern, zh=zh,
+                                         periodic_extent=pext)
+        rel = np.linalg.norm(np.asarray(a_l - a_f), axis=1) \
+            / np.maximum(np.linalg.norm(np.asarray(a_f), axis=1), 1e-30)
+        assert np.median(rel) < 1e-3
+        assert rel.max() < 2e-2
+
+
 def test_tree_mass_conservation(cluster):
     """Root cell must hold the total mass and COM (KD-tree invariant test,
     src/UnitTesting/TestTree.cpp:36-57 analogue)."""

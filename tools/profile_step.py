@@ -66,9 +66,17 @@ def main():
         return out.rho.sum() + out.a.sum()
 
     def gravity_only(s):
-        a, gpot, ovf = tree_gravity_grouped(
-            sim.treespec, s.bucket_map, s.r, s.m, s.h, sim.kern,
-            alive=s.alive, zh=s.zeta * s.hfactor)
+        if sim.treespec.mp_cap > 0 and s.walk_mp is not None:
+            from gandalf_tpu.ops.tree import tree_gravity_listed
+
+            a, gpot, ovf = tree_gravity_listed(
+                sim.treespec, s.bucket_map, s.walk_mp, s.walk_near,
+                s.walk_plan_r, s.walk_anchors, s.walk_margin, s.r, s.m,
+                s.h, sim.kern, alive=s.alive, zh=s.zeta * s.hfactor)
+        else:
+            a, gpot, ovf = tree_gravity_grouped(
+                sim.treespec, s.bucket_map, s.r, s.m, s.h, sim.kern,
+                alive=s.alive, zh=s.zeta * s.hfactor)
         return a.sum() + gpot.sum()
 
     def full_step(s):
