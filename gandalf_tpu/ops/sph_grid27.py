@@ -425,12 +425,15 @@ def density_grid27(kern: SmoothingKernel, spec: Grid27Spec,
         # of S separate (c, K, K) blocks — see _concat_shift_table
         r_tab = _concat_shift_table(sub, rp, 1)
         m_tab = _concat_shift_table(sub, mp, 0)
+        # pair separations are h-independent: materialise drsqd ONCE per
+        # slab (a loop constant) instead of re-deriving the (c, K, S*K, nd)
+        # dr tensor inside every h-iteration sweep
+        dr = r_tab[..., None, :, :] - r_dc[..., :, None, :]
+        drsqd = jnp.sum(dr * dr, axis=-1)
 
         def sums_at(h):
             invh = 1.0 / h
             invhsqd = invh * invh
-            dr = r_tab[..., None, :, :] - r_dc[..., :, None, :]
-            drsqd = jnp.sum(dr * dr, axis=-1)
             ssqd = drsqd * invhsqd[..., None]
             m_b = m_tab[..., None, :]
             rho = jnp.sum(m_b * kern.w0_s2(ssqd), -1)
