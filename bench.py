@@ -66,6 +66,11 @@ def build_sim(n_side: int, self_gravity: int = 1):
         "dimensionless": 1, "gas_eos": "energy_eqn", "gamma_eos": 1.4,
         "rhofluid1": 1.0, "press1": 1.0, "tend": 1.0e30,
         "tsnapfirst": 1.0e30, "self_gravity": self_gravity, "ewald": 0,
+        # rebuild cadence: the listed gravity walk amortises its host-side
+        # interaction-list planning over ntreebuildstep steps (the drift
+        # skin keeps the cached lists exact in between — overflow forces
+        # an early replan, so this knob tunes speed, never correctness)
+        "ntreebuildstep": int(os.environ.get("BENCH_NTB", "32")),
     }
     if os.environ.get("BENCH_MULTIPOLE"):
         updates["multipole"] = os.environ["BENCH_MULTIPOLE"]
@@ -84,7 +89,16 @@ def build_sim(n_side: int, self_gravity: int = 1):
 
 def measure(n_side: int, n_steps: int, neib: str = "kdtree",
             self_gravity: int = 1) -> dict:
-    """Measure one configuration; raises on any failure."""
+    """Measure one configuration; raises on any failure.
+
+    Drives the PRODUCTION host loop (sim.main_loop_step) — not the raw
+    jitted step — so the measurement includes everything a real run pays:
+    the tree-rebuild cadence (host-side interaction-list planning for the
+    drift-skin listed gravity walk) and any overflow-driven replans.  The
+    timed window is one full rebuild cadence (n_steps = ntreebuildstep by
+    default) so exactly one host replan is amortised into the number, the
+    same way the reference's 20-MainLoop-step measurement includes its
+    KD-tree builds (BASELINE_MEASURED.json methodology)."""
     import jax
 
     # persistent compile cache: repeated bench runs skip the slow
@@ -121,34 +135,45 @@ def measure(n_side: int, n_steps: int, neib: str = "kdtree",
 
     sim._compile()
     bootstrap = jax.jit(sim._build_bootstrap())
-    step = sim._step_fn if sim.use_celllist else jax.jit(sim._build_step())
-    state = sim.state               # includes the planned bucket_map
-    state = bootstrap(state)
-    state = step(state)                 # compile + warm
+    sim.state = bootstrap(sim.state)    # includes the planned bucket_map
+    # warmup: compile + first production step (any drift-skin replan the
+    # bootstrap-to-step transition needs happens here, off the clock)
+    sim.main_loop_step()
+    if sim.use_celllist and sim.treespec is not None:
+        # replan with the LIVE timestep: the pre-bootstrap plan had dt = 0,
+        # so its drift skin only covers ~0.25 h_med of motion; the post-
+        # warmup replan sizes the skin for a full rebuild cadence, putting
+        # the timed window on the production steady state (one cadence
+        # rebuild, no spurious overflow replans)
+        if sim._plan_tree_buckets(np.asarray(sim.state.r)):
+            sim._compile()
+        sim.main_loop_step()            # re-warm (recompiles if caps moved)
     # On the axon tunnel, block_until_ready does NOT surface device faults;
     # only host value reads do — sync through scalars and validate.
-    assert np.isfinite(float(state.rho.min())), "non-finite density"
-    if bool(state.neib_overflow):
-        raise RuntimeError("neighbour overflow in warmup")
+    assert np.isfinite(float(sim.state.rho.min())), "non-finite density"
 
     t0 = time.perf_counter()
     for _ in range(n_steps):
-        state = step(state)
-    t_end = float(state.t)              # forces full completion
+        sim.main_loop_step()
+    t_end = float(sim.state.t)          # forces full completion
     elapsed = time.perf_counter() - t0
+    state = sim.state
     rho_min = float(state.rho.min())
     rho_max = float(state.rho.max())
     assert t_end > 0.0 and np.isfinite(t_end)
     assert np.isfinite(rho_min) and np.isfinite(rho_max) and rho_min > 0.0, \
         f"invalid density after bench: [{rho_min}, {rho_max}]"
     if bool(state.neib_overflow):
-        raise RuntimeError("neighbour overflow during bench")
+        raise RuntimeError("neighbour overflow unresolved after bench")
     return {"N": N, "particle_steps_per_sec": N * n_steps / elapsed}
 
 
 def _child() -> int:
     n_side = int(os.environ["BENCH_NSIDE"])
-    n_steps = int(os.environ.get("BENCH_NSTEPS", "10"))
+    # default window = one full rebuild cadence, so the host replan is
+    # amortised into the measurement exactly once
+    n_steps = int(os.environ.get("BENCH_NSTEPS", "0")) \
+        or int(os.environ.get("BENCH_NTB", "32"))
     neib = os.environ.get("BENCH_NEIB", "kdtree")
     grav = int(os.environ.get("BENCH_GRAVITY", "1"))
     out = measure(n_side, n_steps, neib, grav)
@@ -211,7 +236,7 @@ def _emit(best, gravity: bool) -> None:
 # compile cache (each size's first compile is 2-6 min on this host's
 # remote-compile tunnel); with a warm .jax_bench_cache a full rerun
 # takes ~3 min.  The total is still clipped by BENCH_BUDGET.
-CHILD_TIMEOUTS = {16: 420, 32: 420, 64: 540, 100: 720}
+CHILD_TIMEOUTS = {16: 420, 32: 420, 64: 540, 100: 780}
 
 
 def main() -> None:
@@ -222,7 +247,7 @@ def main() -> None:
 
     sizes = [int(s) for s in os.environ.get(
         "BENCH_SIZES", "16,64,100").split(",")]
-    n_steps = os.environ.get("BENCH_NSTEPS", "10")
+    n_steps = os.environ.get("BENCH_NSTEPS", "0")
     gravity = bool(int(os.environ.get("BENCH_GRAVITY", "1")))
     t_start = time.perf_counter()
     budget = float(os.environ.get("BENCH_BUDGET", "1500"))

@@ -1069,13 +1069,34 @@ def plan_walk_lists(gmap: np.ndarray, r: np.ndarray, m: np.ndarray = None,
     m_c = np.ascontiguousarray(m, np.float64) if m is not None else None
     h_c = np.ascontiguousarray(h, np.float64) if h is not None else None
     counts = np.zeros(3, np.int32)
-    rc = lib.tree_walk_lists(
-        r_c.ctypes.data,
-        m_c.ctypes.data if m_c is not None else None,
-        h_c.ctypes.data if h_c is not None else None,
-        N, ndim, g_c.ctypes.data, G_pad, L, float(theta_sqd),
-        float(kernrange), float(margin), 0, 0, None, None,
-        counts.ctypes.data)
+
+    def _walk(mp_cap, near_cap, mp_buf, near_buf):
+        return lib.tree_walk_lists(
+            r_c.ctypes.data,
+            m_c.ctypes.data if m_c is not None else None,
+            h_c.ctypes.data if h_c is not None else None,
+            N, ndim, g_c.ctypes.data, G_pad, L, float(theta_sqd),
+            float(kernrange), float(margin), mp_cap, near_cap,
+            mp_buf.ctypes.data if mp_buf is not None else None,
+            near_buf.ctypes.data if near_buf is not None else None,
+            counts.ctypes.data)
+
+    if mp_floor > 0 and near_floor > 0:
+        # steady-state shortcut: the fill pass measures true demand as it
+        # fills, so when the previous caps still hold the whole walk runs
+        # ONCE (the rebuild-cadence replan is host-serial and sits on the
+        # step's critical path — this halves it).  Caps only shrink on an
+        # overflow-triggered full replan, which is the cap-monotone policy
+        # the overflow path already applies.
+        mp = np.empty((G_pad, mp_floor), np.int32)
+        near = np.empty((G_pad, near_floor), np.int32)
+        if _walk(mp_floor, near_floor, mp, near) != 0:
+            return None
+        if int(counts[0]) <= mp_floor and int(counts[1]) <= near_floor:
+            return WalkLists(mp=mp, near=near, sup_max=int(counts[2]),
+                             r_plan=r_unw, anchors=anchors,
+                             margin=float(margin))
+    rc = _walk(0, 0, None, None)
     if rc != 0:
         return None
     mp_max, near_max, sup_max = (int(c) for c in counts)
@@ -1098,14 +1119,7 @@ def plan_walk_lists(gmap: np.ndarray, r: np.ndarray, m: np.ndarray = None,
     near_cap = _cap(near_max, near_floor)
     mp = np.empty((G_pad, mp_cap), np.int32)
     near = np.empty((G_pad, near_cap), np.int32)
-    rc = lib.tree_walk_lists(
-        r_c.ctypes.data,
-        m_c.ctypes.data if m_c is not None else None,
-        h_c.ctypes.data if h_c is not None else None,
-        N, ndim, g_c.ctypes.data, G_pad, L, float(theta_sqd),
-        float(kernrange), float(margin), mp_cap, near_cap,
-        mp.ctypes.data, near.ctypes.data, counts.ctypes.data)
-    if rc != 0:
+    if _walk(mp_cap, near_cap, mp, near) != 0:
         return None
     return WalkLists(mp=mp, near=near, sup_max=sup_max, r_plan=r_unw,
                      anchors=anchors, margin=float(margin))
