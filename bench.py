@@ -49,11 +49,28 @@ def _probe() -> int:
     import jax.numpy as jnp
     jax.config.update("jax_compilation_cache_dir", _cache_dir())
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    _require_tpu(jax)
     x = jnp.ones((256, 256), jnp.float32)
     y = jax.jit(lambda a: (a @ a).sum())(x)
     assert np.isfinite(float(y))
     print("BENCH_PROBE_OK", jax.devices()[0].platform)
     return 0
+
+
+def _require_tpu(jax) -> None:
+    """Fail LOUDLY if the backend silently fell back to CPU.
+
+    When the TPU tunnel is down, jax falls back to the host CPU with only
+    a warning — the bench then 'succeeds' with numbers that are really
+    1-core-CPU throughput (the round-4 driver capture: 11.5k at N=4096 vs
+    623k measured on the chip).  A wrong number is worse than no number.
+    BENCH_ALLOW_CPU=1 opts out (used by the CPU-only unit tests)."""
+    platform = jax.devices()[0].platform
+    if platform != "tpu" and os.environ.get("BENCH_ALLOW_CPU") != "1":
+        raise RuntimeError(
+            f"bench: backend is {platform!r}, not TPU — refusing to "
+            "report CPU-fallback numbers (set BENCH_ALLOW_CPU=1 to "
+            "override for testing)")
 
 
 def build_sim(n_side: int, self_gravity: int = 1):
@@ -106,6 +123,7 @@ def measure(n_side: int, n_steps: int, neib: str = "kdtree",
     # /tmp cleanup between the builder session and the driver run.
     jax.config.update("jax_compilation_cache_dir", _cache_dir())
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    _require_tpu(jax)
 
     from gandalf_tpu.sim.ic import generate_ic
     from gandalf_tpu.state import make_sph_state
@@ -136,9 +154,20 @@ def measure(n_side: int, n_steps: int, neib: str = "kdtree",
     sim._compile()
     bootstrap = jax.jit(sim._build_bootstrap())
     sim.state = bootstrap(sim.state)    # includes the planned bucket_map
-    # warmup: compile + first production step (any drift-skin replan the
-    # bootstrap-to-step transition needs happens here, off the clock)
-    sim.main_loop_step()
+    ntb = max(sim.params.intparams["ntreebuildstep"], 1)
+    if n_steps % ntb != 0:
+        # the methodology amortises exactly (n_steps / ntb) host replans
+        # into the number; a misaligned window would time zero (or a
+        # fractional share of) cadence rebuilds and silently flatter the
+        # result (ADVICE r4)
+        print(f"bench: WARNING n_steps={n_steps} not a multiple of "
+              f"ntreebuildstep={ntb}; the timed window does not amortise "
+              "a whole number of cadence rebuilds", file=sys.stderr)
+    # warmup: compile + first production steps — BOTH the fused-cadence
+    # program (main_loop_steps) and the single-step fallback compile here,
+    # off the clock (any drift-skin replan the bootstrap-to-step
+    # transition needs also lands here)
+    sim.main_loop_steps(2)
     if sim.use_celllist and sim.treespec is not None:
         # replan with the LIVE timestep: the pre-bootstrap plan had dt = 0,
         # so its drift skin only covers ~0.25 h_med of motion; the post-
@@ -147,16 +176,23 @@ def measure(n_side: int, n_steps: int, neib: str = "kdtree",
         # rebuild, no spurious overflow replans)
         if sim._plan_tree_buckets(np.asarray(sim.state.r)):
             sim._compile()
-        sim.main_loop_step()            # re-warm (recompiles if caps moved)
+        sim.main_loop_steps(2)          # re-warm (recompiles if caps moved)
     # On the axon tunnel, block_until_ready does NOT surface device faults;
     # only host value reads do — sync through scalars and validate.
     assert np.isfinite(float(sim.state.rho.min())), "non-finite density"
 
+    steps0, ovf0 = sim.Nsteps, getattr(sim, "_n_grid_overflows", 0)
     t0 = time.perf_counter()
-    for _ in range(n_steps):
-        sim.main_loop_step()
+    done = 0
+    while done < n_steps:
+        done += sim.main_loop_steps(n_steps - done)
     t_end = float(sim.state.t)          # forces full completion
     elapsed = time.perf_counter() - t0
+    # cadence rebuilds amortised into the window (boundary crossings of
+    # the ntreebuildstep grid) + any overflow-driven replans
+    n_rebuilds = (sim.Nsteps // ntb) - (steps0 // ntb) if sim.use_celllist \
+        and sim.treespec is not None else 0
+    n_ovf = getattr(sim, "_n_grid_overflows", 0) - ovf0
     state = sim.state
     rho_min = float(state.rho.min())
     rho_max = float(state.rho.max())
@@ -165,7 +201,9 @@ def measure(n_side: int, n_steps: int, neib: str = "kdtree",
         f"invalid density after bench: [{rho_min}, {rho_max}]"
     if bool(state.neib_overflow):
         raise RuntimeError("neighbour overflow unresolved after bench")
-    return {"N": N, "particle_steps_per_sec": N * n_steps / elapsed}
+    return {"N": N, "particle_steps_per_sec": N * n_steps / elapsed,
+            "n_steps": n_steps, "rebuilds_in_window": n_rebuilds,
+            "overflow_replans_in_window": n_ovf}
 
 
 def _child() -> int:

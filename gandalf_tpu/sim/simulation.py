@@ -459,8 +459,16 @@ class SimulationBase:
                      if Nadvance < 0 else self.Nsteps + Nadvance)
         t_wall0 = time.time()
         run_id = self.params.stringparams["run_id"]
+        ndiag = max(self.params.intparams["ndiagstep"], 1)
         while self.t < tend and self.Nsteps < Nstepsmax:
-            self.main_loop_step()
+            # fused-window size: never skip past a host-event cadence
+            # (diagnostics tick, restart snapshot, Nstepsmax); the
+            # snapshot/tend time bounds are enforced on-device
+            n = Nstepsmax - self.Nsteps
+            n = min(n, ndiag - self.Nsteps % ndiag)
+            if run_id:
+                n = min(n, nrestart - self.Nsteps % nrestart)
+            self.main_loop_steps(n)
             self.output()
             if run_id and self.Nsteps % nrestart == 0:
                 self._write_restart_snapshot()
@@ -519,6 +527,23 @@ class SimulationBase:
         if getattr(self, "dust_forces", "none") != "full_twofluid":
             no_grav = no_grav | (s.ptype == DUST_TYPE)
         return jnp.where(no_grav, 0.0, m)
+
+    def _static_types_present(self) -> bool:
+        """Whether any boundary-type (static wall) particles exist.
+
+        Cached after the first read: ptype is fixed at IC/import time, and
+        reading it back from the device every step costs an N-sized
+        device->host transfer + a pipeline sync (measured: a visible
+        per-step stall over the remote-TPU tunnel).  Call sites that
+        replace the particle population reset `_static_types` to None."""
+        cached = getattr(self, "_static_types", None)
+        if cached is None:
+            from ..state import BOUNDARY_TYPE
+
+            cached = bool((np.asarray(self.state.ptype)
+                           == BOUNDARY_TYPE).any())
+            self._static_types = cached
+        return cached
 
     def _pin_static_types(self, s, prev):
         """Boundary-type particles are static walls: restore their
@@ -593,6 +618,65 @@ class SimulationBase:
 
     def main_loop_step(self):
         raise NotImplementedError
+
+    def main_loop_steps(self, n: int) -> int:
+        """Advance up to `n` steps, fused into one device program where
+        the configuration allows it (global-dt, no sinks/SN/static walls:
+        see the `_multi_fn` construction in `_compile`).  Falls back to a
+        single `main_loop_step` otherwise.  Returns the number of steps
+        actually completed (>= 1).
+
+        The fused window never crosses a host event: it is clipped to the
+        tree-rebuild cadence here and stops on-device before overshooting
+        tend (so the dt-clamped final step still lands exactly) and as
+        soon as t crosses tsnapnext (matching the per-step snapshot
+        cadence, which snapshots at the first step past the mark)."""
+        multi = getattr(self, "_multi_fn", None)
+        if multi is None or self._static_types_present():
+            self.main_loop_step()
+            return 1
+        p = self.params
+        ntb = max(p.intparams["ntreebuildstep"], 1)
+        if self.treespec is not None:
+            if self.Nsteps > 0 and self.Nsteps % ntb == 0:
+                with self.timing.block("TREE_REBUILD"):
+                    if self._plan_tree_buckets(np.asarray(self.state.r)):
+                        self._compile()
+                        multi = self._multi_fn
+            n = min(n, ntb - (self.Nsteps % ntb))
+        if n <= 1 or multi is None:
+            self.main_loop_step()
+            return 1
+        tdt = np.asarray(self.state.t).dtype
+        with self.timing.block("MAIN_LOOP"):
+            prev, cur, i = multi(
+                self.state, jnp.asarray(n, jnp.int32),
+                jnp.asarray(p.floatparams["tend"], tdt),
+                jnp.asarray(getattr(self, "tsnapnext", np.inf), tdt))
+            i_att = int(i)
+            if self.use_celllist and bool(cur.neib_overflow):
+                # the last attempted step overflowed its neighbour caps or
+                # drift skin: keep the i_att-1 good steps, rewind to the
+                # last valid state and let the per-step path replan+retry
+                completed = max(i_att - 1, 0)
+                self.state = prev
+                self.Nsteps += completed
+                self.t = float(self.state.t)
+                self.main_loop_step()
+                return completed + 1
+            self.state = cur
+        self.Nsteps += i_att
+        self.t = float(self.state.t)
+        if i_att == 0:
+            # time-bound hit before the first fused step (dt would
+            # overshoot tend, or t is already past tsnapnext): take one
+            # normal step (with its dt clamp)
+            self.main_loop_step()
+            return 1
+        if self.use_celllist \
+                and os.environ.get("GANDALF_VERIFY_ALL", "0") == "1":
+            self._verify_neighbour_completeness()
+        return i_att
 
     def output(self, final: bool = False):
         """Snapshot cadence + file output + diagnostics
@@ -926,9 +1010,37 @@ class GradhSphSimulation(SimulationBase):
             self._build_block_compact()
             self._bootstrap_fn = jax.jit(self._build_bootstrap())
             self._step_fn = None
+            self._multi_fn = None
             return
-        self._step_fn = jax.jit(self._build_step())
+        step_raw = self._build_step()
+        self._step_fn = jax.jit(step_raw)
         self._bootstrap_fn = jax.jit(self._build_bootstrap())
+        self._multi_fn = None
+        if not self.use_block and not self.has_sinks \
+                and getattr(self, "sn_driver", None) is None:
+            # Fused cadence stepping: run up to n_steps global-dt steps in
+            # ONE device program (lax.while_loop), early-exiting on
+            # neighbour/drift overflow or a time bound.  One dispatch +
+            # one scalar read-back per window instead of per step — the
+            # per-step host round-trips otherwise serialise the pipeline
+            # (the remote-TPU tunnel makes each sync a full RTT).  The
+            # carry holds (prev, cur) so an overflowed window rewinds to
+            # the last valid state, exactly like the per-step retry.
+            def multi(s: SphState, n_steps, t_end, t_snap):
+                def cond(carry):
+                    prev, cur, i = carry
+                    return ((i < n_steps) & ~cur.neib_overflow
+                            & (cur.t + cur.dt <= t_end)
+                            & (cur.t < t_snap))
+
+                def body(carry):
+                    prev, cur, i = carry
+                    return cur, step_raw(cur), i + jnp.int32(1)
+
+                return jax.lax.while_loop(cond, body,
+                                          (s, s, jnp.int32(0)))
+
+            self._multi_fn = jax.jit(multi)
 
     # -- active-compacted block timesteps (grid path) -----------------------
     def _build_block_compact(self):
@@ -1135,6 +1247,7 @@ class GradhSphSimulation(SimulationBase):
                 ic = generate_ic(self.params, self.eos)
             self.state = make_sph_state(ic["r"], ic["v"], ic["m"],
                                         ic["h"], ic["u"])
+            self._static_types = None   # fresh population: re-probe ptype
             if "ptype" in ic:
                 self.state = self.state.replace(
                     ptype=jnp.asarray(np.asarray(ic["ptype"], np.int32)))
@@ -2041,9 +2154,6 @@ class GradhSphSimulation(SimulationBase):
                 self.state, self.sinks = self._step_fn(prev, self.sinks)
             else:
                 self.state = self._step_fn(prev)
-            from ..state import BOUNDARY_TYPE as _BT
-            if bool((np.asarray(prev.ptype) == _BT).any()):
-                self.state = self._pin_static_types(self.state, prev)
             # neighbour-capacity overflow: replan the grid (and regrow the
             # tree caps) and redo the step from the pre-step state
             # (reference analogue: Nneibmax doubling, GradhSphTree.cpp:172).
@@ -2088,6 +2198,10 @@ class GradhSphSimulation(SimulationBase):
                     else:
                         raise RuntimeError(
                             "neighbour overflow persists after 4 replans")
+            if self._static_types_present():
+                # applied after any overflow retry too (the retried step
+                # integrates walls just like the first attempt did)
+                self.state = self._pin_static_types(self.state, prev)
         self.Nsteps += 1
         self.t = float(self.state.t)
         if self.use_celllist \
