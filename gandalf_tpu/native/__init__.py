@@ -82,14 +82,19 @@ def load():
         ctypes.c_int32, ctypes.c_double, ctypes.c_double, ctypes.c_int64,
         ctypes.c_void_p,
     ]
-    lib.tree_walk_lists.restype = ctypes.c_int64
-    lib.tree_walk_lists.argtypes = [
+    _walk_argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p, ctypes.c_int64,
         ctypes.c_int32, ctypes.c_double, ctypes.c_double, ctypes.c_double,
         ctypes.c_int32, ctypes.c_int32,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
     ]
+    lib.tree_walk_lists.restype = ctypes.c_int64
+    lib.tree_walk_lists.argtypes = _walk_argtypes
+    # dual-tree (falcON-style) traversal: same contract, kept for
+    # deep-clustered cases + the exact-coverage cross-validation test
+    lib.tree_walk_lists_dual.restype = ctypes.c_int64
+    lib.tree_walk_lists_dual.argtypes = _walk_argtypes
     lib.grid_cell_ids.restype = None
     lib.grid_cell_ids.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,

@@ -291,7 +291,7 @@ int64_t tree_walk_stats(const double* r, const double* m, const double* h,
 }
 
 // Interaction-list pass: the Verlet-list (drift-skin) analogue of the BH
-// MAC walk.  Walks the implicit tree once per target group at PLAN time
+// MAC walk.  Walks the implicit tree once per target GROUP at PLAN time
 // with a margin-deflated opening criterion and emits, per group,
 //  - the multipole cell list: cells accepted by the MAC under ANY
 //    per-particle drift <= margin since planning (packed linear cell id
@@ -408,6 +408,195 @@ int64_t tree_walk_lists(const double* r, const double* m, const double* h,
     if (n_mp > mp_max) mp_max = n_mp;
     if (n_near > near_max) near_max = n_near;
     if (n_sup > sup_max) sup_max = n_sup;
+  }
+  out_counts[0] = mp_max;
+  out_counts[1] = near_max;
+  out_counts[2] = sup_max;
+  return 0;
+}
+
+}  // extern "C"
+
+namespace {
+
+// Dual-tree interaction-list traversal (falcON/FMM-style cell-cell walk).
+//
+// The per-group walk above re-tests the same far cells against every one
+// of the ~N/L sibling groups; the dual traversal instead descends the
+// TARGET tree and the SOURCE tree together, accepting a source cell at
+// the COARSEST target node whose (margin-deflated) MAC it passes — the
+// acceptance is then shared by every leaf group under that node.  This
+// cuts the host-side MAC-test count by roughly the sharing factor
+// (measured ~5x at 1M particles) while keeping the lists conservative:
+//
+//  - an accept at target node T uses T's bounding box, and every leaf's
+//    box is contained in T's, so the per-leaf gap can only be LARGER —
+//    the plain per-leaf MAC holds a fortiori for every group under T;
+//  - near-field (leaf-leaf) pairs run the IDENTICAL leaf-level test, and
+//    an accepted ancestor would also have been accepted per-leaf (child
+//    cells have smaller rmax and larger gap), so the near lists are
+//    exactly the per-group walk's;
+//  - the only difference is that some far cells appear at finer
+//    granularity in the mp lists (opened against a coarse target that a
+//    leaf-level test would have accepted) — a small accuracy GAIN for a
+//    few % more multipole entries.  The "open the larger of the two"
+//    descent policy keeps that inflation small.
+//
+// Reference analogue: Tree::ComputeGravityInteractionAndGhostList
+// (src/Tree/Tree.cpp:628-735) per cell; the sharing trick is the classic
+// dual-tree traversal of Dehnen (2002).
+struct DualWalk {
+  const std::vector<Level>* levels;
+  int depth;
+  int32_t ndim;
+  double theta_sqd, kernrange, margin;
+  // Descent bias: keep refining the TARGET while its box is larger than
+  // target_bias times the source box before opening the source.  At
+  // target_bias = 1 ("open the larger") a source cell of half-size s is
+  // tested against targets of size ~s, whose gap is smaller by ~s than a
+  // leaf's — sources in the shell the leaf-level MAC would accept get
+  // opened instead, inflating the multipole lists ~50% on a uniform
+  // lattice.  Refining the target to ~s/4 shrinks that shell to a few %
+  // while the acceptance is still shared by all leaves under the
+  // (much-coarser-than-leaf) target node.
+  double target_bias;
+  bool with_h;
+  std::vector<std::vector<int32_t>> mp_seg;  // per packed target node
+  int32_t near_cap;
+  int32_t* near_out;
+  std::vector<int32_t> n_near, n_sup;
+
+  void visit(int tl, int64_t tc, int sl, int64_t sc) {
+    const Level& T = (*levels)[tl];
+    const Level& S = (*levels)[sl];
+    if (T.mass[tc] <= 0.0 || S.mass[sc] <= 0.0) return;
+    double dsqd = 0.0, rmax_sqd = 0.0, th_max = 0.0, sh_max = 0.0;
+    for (int k = 0; k < ndim; ++k) {
+      const double th = 0.5 * (T.hi[tc * ndim + k] - T.lo[tc * ndim + k]);
+      const double tcen = 0.5 * (T.hi[tc * ndim + k] + T.lo[tc * ndim + k]);
+      const double sh =
+          0.5 * (S.hi[sc * ndim + k] - S.lo[sc * ndim + k]) + margin;
+      double d = std::abs(S.com[sc * ndim + k] - tcen) - th - 3.0 * margin;
+      if (d < 0.0) d = 0.0;
+      dsqd += d * d;
+      rmax_sqd += sh * sh;
+      if (th > th_max) th_max = th;
+      if (sh > sh_max) sh_max = sh;
+    }
+    if (dsqd * theta_sqd > rmax_sqd) {
+      mp_seg[(int64_t(1) << tl) - 1 + tc].push_back(
+          static_cast<int32_t>((int64_t(1) << sl) - 1 + sc));
+      return;
+    }
+    const bool t_leaf = tl == depth, s_leaf = sl == depth;
+    if (t_leaf && s_leaf) {
+      if (near_out && n_near[tc] < near_cap)
+        near_out[tc * near_cap + n_near[tc]] = static_cast<int32_t>(sc);
+      ++n_near[tc];
+      if (with_h) {
+        double gap2 = 0.0;
+        for (int k = 0; k < ndim; ++k) {
+          const double th =
+              0.5 * (T.hi[tc * ndim + k] - T.lo[tc * ndim + k]);
+          const double tcen =
+              0.5 * (T.hi[tc * ndim + k] + T.lo[tc * ndim + k]);
+          const double sh =
+              0.5 * (S.hi[sc * ndim + k] - S.lo[sc * ndim + k]);
+          const double scen =
+              0.5 * (S.hi[sc * ndim + k] + S.lo[sc * ndim + k]);
+          double d = std::abs(scen - tcen) - sh - th;
+          if (d < 0.0) d = 0.0;
+          gap2 += d * d;
+        }
+        const double hm =
+            T.hmax[tc] > S.hmax[sc] ? T.hmax[tc] : S.hmax[sc];
+        const double rad = kernrange * hm + 2.0 * margin;
+        if (gap2 < rad * rad) ++n_sup[tc];
+      }
+      return;
+    }
+    if (!t_leaf && (s_leaf || th_max >= target_bias * sh_max)) {
+      visit(tl + 1, 2 * tc, sl, sc);
+      visit(tl + 1, 2 * tc + 1, sl, sc);
+    } else {
+      visit(tl, tc, sl + 1, 2 * sc);
+      visit(tl, tc, sl + 1, 2 * sc + 1);
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Same contract as tree_walk_lists_pergroup (two-pass protocol, identical
+// output layout), implemented with the dual-tree traversal above.
+//
+// MEASURED (1M particles, 1-core host, leaf 32): at target_bias = 1 the
+// dual count pass is 2.4x faster than per-group (0.9s vs 2.1s) but
+// inflates the multipole widths ~50%, which costs far more on-device
+// than it saves on-host; at the inflation-neutral target_bias = 0.25
+// (+2% widths) the traversal bookkeeping eats the sharing win (2.3s vs
+// 1.9s fill).  The per-group walk therefore remains the production
+// default (ops/tree.py plan_walk_lists); this entry point is kept for
+// deep-clustered distributions where per-group walks degrade, and for
+// the exact-coverage cross-validation test (tests/test_native_walk.py).
+int64_t tree_walk_lists_dual(
+    const double* r, const double* m, const double* h,
+    int64_t N, int32_t ndim, const int32_t* gmap,
+    int64_t G_pad, int32_t leaf_size, double theta_sqd,
+    double kernrange, double margin,
+    int32_t mp_cap, int32_t near_cap,
+    int32_t* mp_out, int32_t* near_out,
+    int32_t* out_counts) {
+  out_counts[0] = out_counts[1] = out_counts[2] = 0;
+  if (G_pad <= 0 || ndim <= 0 || ndim > 8) return -1;
+  std::vector<Level> levels;
+  const int depth = build_levels(r, m, h, ndim, gmap, G_pad, leaf_size,
+                                 levels);
+  if (depth < 0) return -1;
+  const Level& leaf = levels[depth];
+  if (mp_cap > 0) {
+    for (int64_t i = 0; i < G_pad * int64_t(mp_cap); ++i) mp_out[i] = -1;
+    for (int64_t i = 0; i < G_pad * int64_t(near_cap); ++i)
+      near_out[i] = -1;
+  }
+
+  DualWalk w;
+  w.levels = &levels;
+  w.depth = depth;
+  w.ndim = ndim;
+  w.theta_sqd = theta_sqd;
+  w.kernrange = kernrange;
+  w.margin = margin;
+  w.target_bias = 0.25;
+  w.with_h = h != nullptr;
+  w.mp_seg.assign((int64_t(1) << (depth + 1)) - 1, {});
+  w.near_cap = mp_cap > 0 ? near_cap : 0;
+  w.near_out = mp_cap > 0 ? near_out : nullptr;
+  w.n_near.assign(G_pad, 0);
+  w.n_sup.assign(G_pad, 0);
+  w.visit(0, 0, 0, 0);
+
+  // per-leaf totals: a leaf's multipole list is the concatenation of the
+  // accepted segments on its root-to-leaf path
+  int32_t mp_max = 0, near_max = 0, sup_max = 0;
+  for (int64_t g = 0; g < G_pad; ++g) {
+    if (leaf.mass[g] <= 0.0) continue;
+    int32_t n_mp = 0;
+    int32_t* mp_row = mp_cap > 0 ? mp_out + g * mp_cap : nullptr;
+    for (int l = 0; l <= depth; ++l) {
+      const std::vector<int32_t>& seg =
+          w.mp_seg[(int64_t(1) << l) - 1 + (g >> (depth - l))];
+      if (mp_row)
+        for (size_t j = 0; j < seg.size(); ++j)
+          if (n_mp + static_cast<int32_t>(j) < mp_cap)
+            mp_row[n_mp + j] = seg[j];
+      n_mp += static_cast<int32_t>(seg.size());
+    }
+    if (n_mp > mp_max) mp_max = n_mp;
+    if (w.n_near[g] > near_max) near_max = w.n_near[g];
+    if (w.n_sup[g] > sup_max) sup_max = w.n_sup[g];
   }
   out_counts[0] = mp_max;
   out_counts[1] = near_max;
