@@ -304,7 +304,11 @@ class SimulationBase:
             except (AttributeError, TypeError):
                 pass
             if margin > 0.0:
-                margin = float(2.0 ** np.floor(np.log2(margin)))
+                # quantise UP: an undersized skin costs a mid-cadence
+                # overflow -> replan (+ a recompile when the caps grow),
+                # which is far more expensive than the slightly longer
+                # lists a 2x-larger margin admits
+                margin = float(2.0 ** np.ceil(np.log2(margin)))
             m_np = None
             try:
                 if self.state is not None \
@@ -647,19 +651,38 @@ class SimulationBase:
         if n <= 1 or multi is None:
             self.main_loop_step()
             return 1
+        # snapshot bound: only meaningful once the output cadence is
+        # initialised (SetupSimulation -> _init_output_cadence); before
+        # that tsnapnext holds the 0.0 placeholder, which would pin the
+        # fused window to zero iterations.  A snapshot already due
+        # (tsnapnext <= t) defers to the per-step path so the caller's
+        # output() fires at the same step it would have.
+        t_snap = self.tsnapnext if self.setup_complete else np.inf
+        if t_snap <= self.t:
+            self.main_loop_step()
+            return 1
         tdt = np.asarray(self.state.t).dtype
+        t_end = jnp.asarray(p.floatparams["tend"], tdt)
+        t_snap_a = jnp.asarray(t_snap, tdt)
         with self.timing.block("MAIN_LOOP"):
-            prev, cur, i = multi(
-                self.state, jnp.asarray(n, jnp.int32),
-                jnp.asarray(p.floatparams["tend"], tdt),
-                jnp.asarray(getattr(self, "tsnapnext", np.inf), tdt))
+            start = self.state
+            cur, i = multi(start, jnp.asarray(n, jnp.int32), t_end,
+                           t_snap_a)
             i_att = int(i)
             if self.use_celllist and bool(cur.neib_overflow):
                 # the last attempted step overflowed its neighbour caps or
-                # drift skin: keep the i_att-1 good steps, rewind to the
-                # last valid state and let the per-step path replan+retry
+                # drift skin: recover the state BEFORE the bad step by
+                # replaying the window (deterministic), then let the
+                # per-step path replan+retry the failed step
                 completed = max(i_att - 1, 0)
-                self.state = prev
+                if completed > 0:
+                    cur2, i2 = multi(start,
+                                     jnp.asarray(completed, jnp.int32),
+                                     t_end, t_snap_a)
+                    assert int(i2) == completed
+                    self.state = cur2
+                else:
+                    self.state = start
                 self.Nsteps += completed
                 self.t = float(self.state.t)
                 self.main_loop_step()
@@ -1024,21 +1047,24 @@ class GradhSphSimulation(SimulationBase):
             # one scalar read-back per window instead of per step — the
             # per-step host round-trips otherwise serialise the pipeline
             # (the remote-TPU tunnel makes each sync a full RTT).  The
-            # carry holds (prev, cur) so an overflowed window rewinds to
-            # the last valid state, exactly like the per-step retry.
+            # carry is (cur, i) ONLY: carrying a rewind copy of the state
+            # costs a full-pytree copy per iteration (measured ~8x on a
+            # 16^3 box); after an overflow the host instead REPLAYS the
+            # window from its start state for i-1 steps — the same jitted
+            # program on the same inputs is bit-deterministic, so the
+            # replay reproduces the last valid state exactly.
             def multi(s: SphState, n_steps, t_end, t_snap):
                 def cond(carry):
-                    prev, cur, i = carry
+                    cur, i = carry
                     return ((i < n_steps) & ~cur.neib_overflow
                             & (cur.t + cur.dt <= t_end)
                             & (cur.t < t_snap))
 
                 def body(carry):
-                    prev, cur, i = carry
-                    return cur, step_raw(cur), i + jnp.int32(1)
+                    cur, i = carry
+                    return step_raw(cur), i + jnp.int32(1)
 
-                return jax.lax.while_loop(cond, body,
-                                          (s, s, jnp.int32(0)))
+                return jax.lax.while_loop(cond, body, (s, jnp.int32(0)))
 
             self._multi_fn = jax.jit(multi)
 

@@ -53,9 +53,15 @@ def test_fused_matches_per_step():
     for _ in range(NS):
         simA.main_loop_step()
     done = 0
+    windows = []
     while done < NS:
-        done += simB.main_loop_steps(NS - done)
+        k = simB.main_loop_steps(NS - done)
+        windows.append(k)
+        done += k
     assert done == NS
+    # the path must actually FUSE (a silent per-step fallback passes the
+    # parity assertions trivially — that bug shipped once)
+    assert max(windows) > 1, f"no window fused: {windows}"
     assert simB.Nsteps == simA.Nsteps
     assert simB.t == simA.t
     for f in ("r", "v", "rho", "u", "h", "a", "dt"):
@@ -63,10 +69,10 @@ def test_fused_matches_per_step():
         b = np.asarray(getattr(simB.state, f))
         assert np.array_equal(a, b), f"{f} diverged (max |d|="
     # the fused window is clipped at the rebuild cadence, so a single call
-    # must never run past the next boundary
+    # must never run past the next boundary — and must fuse right up to it
     simC = _box_sim()
     n = simC.main_loop_steps(100)
-    assert n <= 8
+    assert n == 8
 
 
 def test_fused_stops_at_tsnapnext():
@@ -79,10 +85,11 @@ def test_fused_stops_at_tsnapnext():
     t0 = sim.t
     sim.tsnapnext = t0 + 2.5 * dt
     n = sim.main_loop_steps(6)
-    # dt is constant-ish in a quiet box: t must stop within one step of
-    # crossing the mark, never the full 6-step window
-    assert n < 6
-    assert sim.t >= sim.tsnapnext or n <= 3
+    # dt is constant-ish in a quiet box: the window must FUSE up to the
+    # mark (not fall back per-step) and stop within one step of crossing
+    # it, never running the full 6-step window
+    assert 1 < n < 6
+    assert sim.t >= sim.tsnapnext
 
 
 def test_fused_respects_tend():
