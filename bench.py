@@ -272,9 +272,10 @@ def _emit(best, gravity: bool) -> None:
 
 # Per-size child timeouts (seconds), smallest first.  Sized for a COLD
 # compile cache (each size's first compile is 2-6 min on this host's
-# remote-compile tunnel); with a warm .jax_bench_cache a full rerun
+# remote-compile tunnel, and the fused-cadence program roughly doubles
+# the per-size compile load); with a warm .jax_bench_cache a full rerun
 # takes ~3 min.  The total is still clipped by BENCH_BUDGET.
-CHILD_TIMEOUTS = {16: 420, 32: 420, 64: 540, 100: 780}
+CHILD_TIMEOUTS = {16: 480, 32: 480, 64: 660, 100: 1080}
 
 
 def main() -> None:
@@ -288,7 +289,7 @@ def main() -> None:
     n_steps = os.environ.get("BENCH_NSTEPS", "0")
     gravity = bool(int(os.environ.get("BENCH_GRAVITY", "1")))
     t_start = time.perf_counter()
-    budget = float(os.environ.get("BENCH_BUDGET", "1500"))
+    budget = float(os.environ.get("BENCH_BUDGET", "2100"))
     best = None
     _emit(best, gravity)
 

@@ -648,6 +648,18 @@ class SimulationBase:
                         self._compile()
                         multi = self._multi_fn
             n = min(n, ntb - (self.Nsteps % ntb))
+        # Adaptive window cap: the remote-TPU tunnel's worker has been
+        # observed to CRASH on single device executions that run for tens
+        # of seconds (an RPC deadline, not a memory fault), so the fused
+        # window starts small and self-tunes toward the largest length
+        # whose wall time stays comfortably under that ceiling.  The
+        # window length is a dynamic scalar — retuning never recompiles.
+        chunk = getattr(self, "_fuse_chunk", 0)
+        if chunk <= 0:
+            chunk = int(os.environ.get("GANDALF_FUSE_CHUNK", "0")) or 4
+            self._fuse_chunk = chunk
+        chunk = max(chunk, 2)   # 1 would bypass fusion below — dead end
+        n = min(n, chunk)
         if n <= 1 or multi is None:
             self.main_loop_step()
             return 1
@@ -666,10 +678,28 @@ class SimulationBase:
         t_snap_a = jnp.asarray(t_snap, tdt)
         with self.timing.block("MAIN_LOOP"):
             start = self.state
+            t_wall = time.time()
             cur, i = multi(start, jnp.asarray(n, jnp.int32), t_end,
                            t_snap_a)
-            i_att = int(i)
-            if self.use_celllist and bool(cur.neib_overflow):
+            # ONE host fetch for all three scalars — each separate
+            # int()/bool()/float() read pays a full tunnel RTT
+            i_att, ovf, t_now = jax.device_get(
+                (i, cur.neib_overflow, cur.t))
+            i_att = int(i_att)
+            wall = time.time() - t_wall
+            if not getattr(self, "_multi_warmed", False):
+                # first call of a freshly compiled multi pays XLA compile
+                # (minutes on the remote-compile tunnel) — that wall says
+                # nothing about steady-state execution length
+                self._multi_warmed = True
+            elif i_att == n and n == chunk and wall < 4.0:
+                # grow only when the cap was the binding constraint — a
+                # short warmup window finishing fast says nothing about
+                # what a full-length one would cost
+                self._fuse_chunk = min(2 * chunk, 256)
+            elif wall > 10.0:
+                self._fuse_chunk = max(chunk // 2, 2)
+            if self.use_celllist and bool(ovf):
                 # the last attempted step overflowed its neighbour caps or
                 # drift skin: recover the state BEFORE the bad step by
                 # replaying the window (deterministic), then let the
@@ -689,7 +719,7 @@ class SimulationBase:
                 return completed + 1
             self.state = cur
         self.Nsteps += i_att
-        self.t = float(self.state.t)
+        self.t = float(t_now)
         if i_att == 0:
             # time-bound hit before the first fused step (dt would
             # overshoot tend, or t is already past tsnapnext): take one
@@ -1067,6 +1097,7 @@ class GradhSphSimulation(SimulationBase):
                 return jax.lax.while_loop(cond, body, (s, jnp.int32(0)))
 
             self._multi_fn = jax.jit(multi)
+            self._multi_warmed = False
 
     # -- active-compacted block timesteps (grid path) -----------------------
     def _build_block_compact(self):

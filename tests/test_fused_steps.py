@@ -42,6 +42,9 @@ def _box_sim(n_side=6, self_gravity=1, tend=1.0e30, tsnapfirst=1.0e30):
     v = 0.05 * rng.standard_normal(np.asarray(sim.state.v).shape)
     sim.state = sim.state.replace(v=jnp.asarray(v, sim.state.v.dtype),
                                   v0=jnp.asarray(v, sim.state.v.dtype))
+    # pin the adaptive window cap so the tests exercise full windows
+    # deterministically (production starts at 4 and self-tunes)
+    sim._fuse_chunk = 64
     return sim
 
 
