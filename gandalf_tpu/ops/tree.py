@@ -1093,17 +1093,17 @@ def plan_walk_lists(gmap: np.ndarray, r: np.ndarray, m: np.ndarray = None,
         if _walk(mp_floor, near_floor, mp, near) != 0:
             return None
         if int(counts[0]) <= mp_floor and int(counts[1]) <= near_floor:
-            # shrink check (ADVICE r4): when measured demand collapsed to
-            # < 1/4 of both old caps, fall through to the full two-pass
-            # plan so the padded widths (device compute + memory on -1
-            # entries) can come back down; otherwise keep the caps and
-            # the single-pass lists
-            q = lambda x: max(-(-int(x) // 32) * 32, 32)
-            if 4 * q(counts[0]) >= mp_floor and 4 * q(counts[1]) \
-                    >= near_floor:
-                return WalkLists(mp=mp, near=near, sup_max=int(counts[2]),
-                                 r_plan=r_unw, anchors=anchors,
-                                 margin=float(margin))
+            # List widths are deliberately MONOTONE for the run (ADVICE
+            # r4 considered a shrink-on-collapse fall-through): a width
+            # change means new padded shapes, i.e. a full XLA recompile —
+            # minutes on this host's remote-compile tunnel, landing on
+            # the rebuild-cadence critical path — while oversized widths
+            # only cost masked -1 lanes.  A demand collapse big enough to
+            # matter coincides with an overflow-triggered full replan
+            # anyway (cap-monotone growth policy), which re-measures.
+            return WalkLists(mp=mp, near=near, sup_max=int(counts[2]),
+                             r_plan=r_unw, anchors=anchors,
+                             margin=float(margin))
     rc = _walk(0, 0, None, None)
     if rc != 0:
         return None

@@ -560,6 +560,10 @@ class MfvMusclSimulation(SimulationBase):
     def _compile(self):
         self._step_fn = jax.jit(self._build_step())
         self._bootstrap_fn = jax.jit(self._build_bootstrap())
+        # async-burst stepping (SimulationBase.main_loop_steps): sound for
+        # the global-dt scheme, where one host-free jitted step advances
+        # the whole simulation
+        self._can_burst = not self.use_block
 
     def SetupSimulation(self):
         with self.timing.block("SETUP"):

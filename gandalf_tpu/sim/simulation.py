@@ -289,9 +289,11 @@ class SimulationBase:
             # raises the in-jit overflow -> replan, so the margin tunes
             # replan frequency, never correctness.
             margin = 0.0
+            h_med = 0.0
             if h_np is not None and np.isfinite(h_np).all() \
                     and float(np.median(h_np)) > 0.0:
-                margin = 0.25 * float(np.median(h_np))
+                h_med = float(np.median(h_np))
+                margin = 0.25 * h_med
             try:
                 if self.state is not None \
                         and self.state.v.shape[0] == len(r_np):
@@ -303,12 +305,28 @@ class SimulationBase:
                         margin = max(margin, 2.0 * vmax * dt_prev * ntb)
             except (AttributeError, TypeError):
                 pass
+            if h_med > 0.0:
+                # Cap the skin at half a smoothing length: the deflated
+                # MAC's near-field radius grows with the margin, and the
+                # worst-case drift bound (fastest particle x full
+                # cadence) can exceed the LEAF size, at which point the
+                # near lists engulf a finite fraction of the whole box
+                # (measured 11x near-list width -> ~4x slower steps at
+                # 64^3).  A skin of 0.5 h_med bounds the near-radius
+                # inflation at ~25% while still covering ~15 steps of the
+                # fastest particle's drift; the in-jit drift check
+                # replans early when the bound is actually violated —
+                # that occasional replan is far cheaper than paying the
+                # inflated pair block on EVERY step.
+                margin = min(margin, 0.5 * h_med)
             if margin > 0.0:
-                # quantise UP: an undersized skin costs a mid-cadence
-                # overflow -> replan (+ a recompile when the caps grow),
-                # which is far more expensive than the slightly longer
-                # lists a 2x-larger margin admits
-                margin = float(2.0 ** np.ceil(np.log2(margin)))
+                # quantise DOWN: the margin deflates the MAC by 3x margin
+                # per axis, so the near-field radius (and the pair-block
+                # cost of EVERY step) grows with it — a ceil here was
+                # measured to inflate the 64^3 step ~5x, vastly worse
+                # than the occasional drift-overflow replan a tighter
+                # skin admits (the overflow path is the designed backstop)
+                margin = float(2.0 ** np.floor(np.log2(margin)))
             m_np = None
             try:
                 if self.state is not None \
@@ -624,19 +642,33 @@ class SimulationBase:
         raise NotImplementedError
 
     def main_loop_steps(self, n: int) -> int:
-        """Advance up to `n` steps, fused into one device program where
-        the configuration allows it (global-dt, no sinks/SN/static walls:
-        see the `_multi_fn` construction in `_compile`).  Falls back to a
-        single `main_loop_step` otherwise.  Returns the number of steps
-        actually completed (>= 1).
+        """Advance up to `n` steps as an ASYNC DISPATCH BURST where the
+        configuration allows it (global-dt, no sinks/SN/static walls: see
+        the `_can_burst` flag set in `_compile`).  Falls back to a single
+        `main_loop_step` otherwise.  Returns the number of steps actually
+        completed (>= 1).
 
-        The fused window never crosses a host event: it is clipped to the
-        tree-rebuild cadence here and stops on-device before overshooting
-        tend (so the dt-clamped final step still lands exactly) and as
-        soon as t crosses tsnapnext (matching the per-step snapshot
-        cadence, which snapshots at the first step past the mark)."""
-        multi = getattr(self, "_multi_fn", None)
-        if multi is None or self._static_types_present():
+        Design: the per-step host round-trips (each a full RTT on the
+        remote-TPU tunnel) are what the per-step loop pays, NOT dispatch
+        — so the burst enqueues up to `n` jitted step executions without
+        reading anything back, then syncs ONCE on the final state's
+        (overflow, t) scalars.  The overflow flag is sticky through the
+        step (each step ORs its own overflow into the carried one), so a
+        single end-of-burst read detects a mid-burst overflow; the burst
+        is then replayed per-step from its start state to find and
+        replan the offending step.  An on-device lax.while_loop variant
+        was tried first and REJECTED: XLA compiles the loop body ~8x
+        slower than the standalone step program (carried-buffer layout
+        constraints defeat the fusions the plain step gets).
+
+        The burst never crosses a host event: it is clipped to the
+        tree-rebuild cadence, and near tend/tsnapnext it defers to the
+        per-step path (exact dt-clamped landing / snapshot-at-crossing
+        semantics), using a conservative steps-to-bound estimate from the
+        current dt."""
+        step = getattr(self, "_step_fn", None)
+        if not getattr(self, "_can_burst", False) or step is None \
+                or self._static_types_present():
             self.main_loop_step()
             return 1
         p = self.params
@@ -646,90 +678,50 @@ class SimulationBase:
                 with self.timing.block("TREE_REBUILD"):
                     if self._plan_tree_buckets(np.asarray(self.state.r)):
                         self._compile()
-                        multi = self._multi_fn
+                        step = self._step_fn
             n = min(n, ntb - (self.Nsteps % ntb))
-        # Adaptive window cap: the remote-TPU tunnel's worker has been
-        # observed to CRASH on single device executions that run for tens
-        # of seconds (an RPC deadline, not a memory fault), so the fused
-        # window starts small and self-tunes toward the largest length
-        # whose wall time stays comfortably under that ceiling.  The
-        # window length is a dynamic scalar — retuning never recompiles.
-        chunk = getattr(self, "_fuse_chunk", 0)
-        if chunk <= 0:
-            chunk = int(os.environ.get("GANDALF_FUSE_CHUNK", "0")) or 4
-            self._fuse_chunk = chunk
-        chunk = max(chunk, 2)   # 1 would bypass fusion below — dead end
+        # in-flight cap: every queued execution keeps its input state
+        # alive on the device, so the burst length bounds HBM held by
+        # the pipeline (~8 states ~ 1 GB at 1M particles in f32)
+        chunk = int(os.environ.get("GANDALF_FUSE_CHUNK", "0")) or 8
         n = min(n, chunk)
-        if n <= 1 or multi is None:
-            self.main_loop_step()
-            return 1
-        # snapshot bound: only meaningful once the output cadence is
-        # initialised (SetupSimulation -> _init_output_cadence); before
-        # that tsnapnext holds the 0.0 placeholder, which would pin the
-        # fused window to zero iterations.  A snapshot already due
-        # (tsnapnext <= t) defers to the per-step path so the caller's
-        # output() fires at the same step it would have.
+        # time bounds: stay clear of tend/tsnapnext by a 2x dt margin so
+        # the per-step path handles the crossing with exact semantics
+        # (dt can grow between steps; the estimate uses the current dt)
         t_snap = self.tsnapnext if self.setup_complete else np.inf
-        if t_snap <= self.t:
+        t_stop = min(p.floatparams["tend"], t_snap)
+        if t_stop < 1e20:       # far bounds skip the dt read (one RTT)
+            dt0 = float(self.state.dt)
+            if dt0 > 0.0 and np.isfinite(dt0):
+                n = min(n, int(max((t_stop - self.t) / dt0 * 0.5, 0.0)))
+        if n <= 1:
             self.main_loop_step()
             return 1
-        tdt = np.asarray(self.state.t).dtype
-        t_end = jnp.asarray(p.floatparams["tend"], tdt)
-        t_snap_a = jnp.asarray(t_snap, tdt)
         with self.timing.block("MAIN_LOOP"):
             start = self.state
-            t_wall = time.time()
-            cur, i = multi(start, jnp.asarray(n, jnp.int32), t_end,
-                           t_snap_a)
-            # ONE host fetch for all three scalars — each separate
-            # int()/bool()/float() read pays a full tunnel RTT
-            i_att, ovf, t_now = jax.device_get(
-                (i, cur.neib_overflow, cur.t))
-            i_att = int(i_att)
-            wall = time.time() - t_wall
-            if not getattr(self, "_multi_warmed", False):
-                # first call of a freshly compiled multi pays XLA compile
-                # (minutes on the remote-compile tunnel) — that wall says
-                # nothing about steady-state execution length
-                self._multi_warmed = True
-            elif i_att == n and n == chunk and wall < 4.0:
-                # grow only when the cap was the binding constraint — a
-                # short warmup window finishing fast says nothing about
-                # what a full-length one would cost
-                self._fuse_chunk = min(2 * chunk, 256)
-            elif wall > 10.0:
-                self._fuse_chunk = max(chunk // 2, 2)
+            cur = start
+            for _ in range(n):          # async: no host reads in the loop
+                cur = step(cur)
+            # ONE host fetch — each separate bool()/float() read pays RTT
+            ovf, t_now = jax.device_get((cur.neib_overflow, cur.t))
             if self.use_celllist and bool(ovf):
-                # the last attempted step overflowed its neighbour caps or
-                # drift skin: recover the state BEFORE the bad step by
-                # replaying the window (deterministic), then let the
-                # per-step path replan+retry the failed step
-                completed = max(i_att - 1, 0)
-                if completed > 0:
-                    cur2, i2 = multi(start,
-                                     jnp.asarray(completed, jnp.int32),
-                                     t_end, t_snap_a)
-                    assert int(i2) == completed
-                    self.state = cur2
-                else:
-                    self.state = start
-                self.Nsteps += completed
-                self.t = float(self.state.t)
-                self.main_loop_step()
-                return completed + 1
+                # some step in the burst overflowed its neighbour caps or
+                # drift skin (every later state is invalid): rewind and
+                # redo the window per-step — main_loop_step finds the
+                # offending step and replans it
+                self.state = start
+                done = 0
+                while done < n:
+                    self.main_loop_step()
+                    done += 1
+                return n
             self.state = cur
-        self.Nsteps += i_att
+        self.Nsteps += n
         self.t = float(t_now)
-        if i_att == 0:
-            # time-bound hit before the first fused step (dt would
-            # overshoot tend, or t is already past tsnapnext): take one
-            # normal step (with its dt clamp)
-            self.main_loop_step()
-            return 1
         if self.use_celllist \
                 and os.environ.get("GANDALF_VERIFY_ALL", "0") == "1":
             self._verify_neighbour_completeness()
-        return i_att
+        return n
 
     def output(self, final: bool = False):
         """Snapshot cadence + file output + diagnostics
@@ -1063,41 +1055,15 @@ class GradhSphSimulation(SimulationBase):
             self._build_block_compact()
             self._bootstrap_fn = jax.jit(self._build_bootstrap())
             self._step_fn = None
-            self._multi_fn = None
+            self._can_burst = False
             return
-        step_raw = self._build_step()
-        self._step_fn = jax.jit(step_raw)
+        self._step_fn = jax.jit(self._build_step())
         self._bootstrap_fn = jax.jit(self._build_bootstrap())
-        self._multi_fn = None
-        if not self.use_block and not self.has_sinks \
-                and getattr(self, "sn_driver", None) is None:
-            # Fused cadence stepping: run up to n_steps global-dt steps in
-            # ONE device program (lax.while_loop), early-exiting on
-            # neighbour/drift overflow or a time bound.  One dispatch +
-            # one scalar read-back per window instead of per step — the
-            # per-step host round-trips otherwise serialise the pipeline
-            # (the remote-TPU tunnel makes each sync a full RTT).  The
-            # carry is (cur, i) ONLY: carrying a rewind copy of the state
-            # costs a full-pytree copy per iteration (measured ~8x on a
-            # 16^3 box); after an overflow the host instead REPLAYS the
-            # window from its start state for i-1 steps — the same jitted
-            # program on the same inputs is bit-deterministic, so the
-            # replay reproduces the last valid state exactly.
-            def multi(s: SphState, n_steps, t_end, t_snap):
-                def cond(carry):
-                    cur, i = carry
-                    return ((i < n_steps) & ~cur.neib_overflow
-                            & (cur.t + cur.dt <= t_end)
-                            & (cur.t < t_snap))
-
-                def body(carry):
-                    cur, i = carry
-                    return step_raw(cur), i + jnp.int32(1)
-
-                return jax.lax.while_loop(cond, body, (s, jnp.int32(0)))
-
-            self._multi_fn = jax.jit(multi)
-            self._multi_warmed = False
+        # async-burst stepping (main_loop_steps) is sound whenever one
+        # host-free jitted step advances the whole simulation: global dt,
+        # no sinks (sink carries), no pending SN events between steps
+        self._can_burst = (not self.use_block and not self.has_sinks
+                           and getattr(self, "sn_driver", None) is None)
 
     # -- active-compacted block timesteps (grid path) -----------------------
     def _build_block_compact(self):
