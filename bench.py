@@ -83,10 +83,10 @@ def build_sim(n_side: int, self_gravity: int = 1):
         "dimensionless": 1, "gas_eos": "energy_eqn", "gamma_eos": 1.4,
         "rhofluid1": 1.0, "press1": 1.0, "tend": 1.0e30,
         "tsnapfirst": 1.0e30, "self_gravity": self_gravity, "ewald": 0,
-        # rebuild cadence: the listed gravity walk amortises its host-side
-        # interaction-list planning over ntreebuildstep steps (the drift
-        # skin keeps the cached lists exact in between — overflow forces
-        # an early replan, so this knob tunes speed, never correctness)
+        # rebuild cadence: the KD-bucket replan (and, opt-in, the listed
+        # walk's interaction-list planning) amortises over ntreebuildstep
+        # steps; overflow forces an early replan, so this knob tunes
+        # speed, never correctness
         "ntreebuildstep": int(os.environ.get("BENCH_NTB", "32")),
     }
     if os.environ.get("BENCH_MULTIPOLE"):

@@ -265,13 +265,20 @@ class SimulationBase:
         # multipole/near interaction lists; the device step evaluates the
         # lists directly (no per-level frontier iteration — the Verlet
         # neighbour-list skin technique applied to the BH acceptance
-        # criterion).  Geometric MAC only; Ewald and accuracy MACs keep
-        # the per-step frontier walk.
+        # criterion).  OPT-IN (GANDALF_TREE_WALK=listed): measured on the
+        # chip, the margin-deflated MAC's near-field lists grow so fast
+        # with a realistic drift skin (live vmax*dt*ntreebuildstep is
+        # comparable to the leaf half-extent) that the per-step frontier
+        # walk beats it at every size tried — 332k vs 153k
+        # particle-steps/s at 262k, 286k vs 143k at 1M — and a skin
+        # small enough to keep the lists tight replans every few steps.
+        # Geometric MAC only; Ewald and accuracy MACs always keep the
+        # per-step frontier walk.
         lw = None
         if (p.stringparams["gravity_mac"] == "geometric"
                 and not getattr(self, "use_ewald", False)
                 and not getattr(self, "use_block", False)
-                and os.environ.get("GANDALF_TREE_WALK") != "frontier"):
+                and os.environ.get("GANDALF_TREE_WALK") == "listed"):
             # (block-timestep runs keep the frontier walk: the active-
             # subset walk, tree_gravity_active, needs real frontier caps)
             from ..ops.tree import plan_walk_lists
@@ -305,20 +312,23 @@ class SimulationBase:
                         margin = max(margin, 2.0 * vmax * dt_prev * ntb)
             except (AttributeError, TypeError):
                 pass
-            if h_med > 0.0:
-                # Cap the skin at half a smoothing length: the deflated
+            cap_fac = float(os.environ.get("GANDALF_SKIN_CAP_HMED",
+                                           "0.5"))
+            if h_med > 0.0 and cap_fac > 0.0:
+                # Cap the skin at cap_fac smoothing lengths: the deflated
                 # MAC's near-field radius grows with the margin, and the
                 # worst-case drift bound (fastest particle x full
                 # cadence) can exceed the LEAF size, at which point the
                 # near lists engulf a finite fraction of the whole box
                 # (measured 11x near-list width -> ~4x slower steps at
                 # 64^3).  A skin of 0.5 h_med bounds the near-radius
-                # inflation at ~25% while still covering ~15 steps of the
-                # fastest particle's drift; the in-jit drift check
-                # replans early when the bound is actually violated —
-                # that occasional replan is far cheaper than paying the
-                # inflated pair block on EVERY step.
-                margin = min(margin, 0.5 * h_med)
+                # inflation while still covering ~15 steps of the fastest
+                # particle's drift; the in-jit drift check replans early
+                # when the bound is actually violated — that occasional
+                # replan is far cheaper than paying the inflated pair
+                # block on EVERY step.  GANDALF_SKIN_CAP_HMED=0 disables
+                # the cap (full worst-case drift bound, zero replans).
+                margin = min(margin, cap_fac * h_med)
             if margin > 0.0:
                 # quantise DOWN: the margin deflates the MAC by 3x margin
                 # per axis, so the near-field radius (and the pair-block

@@ -15,6 +15,9 @@ import time
 
 import numpy as np
 
+# the listed walk is opt-in since the frontier walk became the default
+os.environ.setdefault("GANDALF_TREE_WALK", "listed")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
