@@ -82,6 +82,9 @@ def load():
         ctypes.c_int32, ctypes.c_double, ctypes.c_double, ctypes.c_int64,
         ctypes.c_void_p,
     ]
+    lib.tree_walk_stats_levels.restype = ctypes.c_int64
+    lib.tree_walk_stats_levels.argtypes = \
+        lib.tree_walk_stats.argtypes + [ctypes.c_void_p]
     _walk_argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p, ctypes.c_int64,

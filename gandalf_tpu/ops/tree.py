@@ -58,6 +58,13 @@ class TreeSpec:
     mac: str = "geometric"  # | "gadget2" | "eigenmac" (KDTree.cpp:824-843)
     macerror: float = 1e-4
     mp_cap: int = 0         # > 0: listed walk, width of the multipole lists
+    # Per-level frontier caps (depth+1 ints; entry ell = padded frontier
+    # width ENTERING level ell), measured by the native stats pass.  The
+    # walk's gather/MAC/evaluate/compact work is proportional to each
+    # level's padded width, so per-level sizing beats one global W by the
+    # ratio sum(widths)/(depth * max) — measured ~40% of the gravity pass
+    # at 1M.  None = size every level at min(frontier, 2^ell) as before.
+    frontier_levels: tuple = None
 
     @property
     def n_leaves(self) -> int:
@@ -96,6 +103,11 @@ def grow_tree_caps(spec: TreeSpec, factor: float = 1.6) -> TreeSpec:
     monotone: the n_leaves bound must never SHRINK a cap below its
     current value (a shrink here rebounds at the next measured replan
     and thrashes recompiles)."""
+    fl = spec.frontier_levels
+    if fl is not None:
+        fl = tuple(max(w, min(int(w * factor) + 16,
+                              min(1 << ell, 2 * spec.n_leaves)))
+                   for ell, w in enumerate(fl))
     return dataclasses.replace(
         spec,
         near_cap=max(spec.near_cap,
@@ -105,7 +117,8 @@ def grow_tree_caps(spec: TreeSpec, factor: float = 1.6) -> TreeSpec:
                          2 * spec.n_leaves)),
         support_cap=max(spec.support_cap,
                         min(int(spec.support_cap * factor) + 8,
-                            spec.n_leaves)))
+                            spec.n_leaves)),
+        frontier_levels=fl)
 
 
 def morton_codes(r: Array, lo: Array, extent: Array, bits: int = 10) -> Array:
@@ -496,6 +509,8 @@ def tree_gravity(spec: TreeSpec, tree: TreeLevels,
                 child1 = jnp.where(open_, 2 * idx + 1, -1)
                 kids = jnp.stack([child0, child1], axis=-1).reshape(-1)
                 W_next = min(W, 2 ** (ell + 1))
+                if spec.frontier_levels is not None:
+                    W_next = min(W_next, spec.frontier_levels[ell + 1])
                 if kids.shape[0] <= W_next:
                     front = kids
                 else:
@@ -878,6 +893,41 @@ def walk_stats_native(r: np.ndarray, gmap: np.ndarray, theta_sqd: float,
     if rc != 0:
         return None
     return int(out[0]), int(out[1]), int(out[2])
+
+
+def walk_stats_levels_native(r: np.ndarray, gmap: np.ndarray,
+                             theta_sqd: float, m: np.ndarray = None,
+                             h: np.ndarray = None, kernrange: float = 2.0,
+                             sample: int = 2048):
+    """Like walk_stats_native but additionally returns the per-level
+    frontier maxima (np.int32 array of depth+1 entries — the width
+    entering each level), for per-level frontier sizing.  Returns
+    (near_max, front_max, sup_max, level_maxima) or None."""
+    from ..native import load as _load_native
+
+    lib = _load_native()
+    if lib is None or not hasattr(lib, "tree_walk_stats_levels"):
+        return None
+    G_pad, L = gmap.shape
+    depth = int(np.log2(G_pad))
+    r_c = np.ascontiguousarray(r, dtype=np.float64)
+    g_c = np.ascontiguousarray(gmap, dtype=np.int32)
+    m_c = (np.ascontiguousarray(m, dtype=np.float64)
+           if m is not None else None)
+    h_c = (np.ascontiguousarray(h, dtype=np.float64)
+           if h is not None else None)
+    out = np.zeros(3, dtype=np.int32)
+    out_levels = np.zeros(depth + 1, dtype=np.int32)
+    rc = lib.tree_walk_stats_levels(
+        r_c.ctypes.data,
+        m_c.ctypes.data if m_c is not None else None,
+        h_c.ctypes.data if h_c is not None else None,
+        r_c.shape[0], r_c.shape[1], g_c.ctypes.data, G_pad, L,
+        float(theta_sqd), float(kernrange), int(sample), out.ctypes.data,
+        out_levels.ctypes.data)
+    if rc != 0:
+        return None
+    return int(out[0]), int(out[1]), int(out[2]), out_levels
 
 
 def plan_buckets_kd(r: np.ndarray, leaf_size: int) -> np.ndarray:

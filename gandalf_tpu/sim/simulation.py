@@ -386,16 +386,29 @@ class SimulationBase:
         # in-jit overflow flag + grow_tree_caps remain the backstop.
         # Falls back to the conservative worst-case law when the native
         # library is absent.
-        stats = walk_stats_native(
+        from ..ops.tree import walk_stats_levels_native
+
+        stats = walk_stats_levels_native(
             r_np, gmap, theta_sqd, h=h_np,
             kernrange=getattr(self.kern, "kernrange", 2.0), sample=4096)
         support_cap = None
+        level_caps = None
         if stats is not None:
-            near_max, front_max, sup_max = stats
+            near_max, front_max, sup_max, level_max = stats
             near_cap = q32(int(1.25 * near_max) + 16)
             frontier = q32(int(1.25 * front_max) + 32)
             if h_np is not None:
                 support_cap = q32(min(int(1.5 * sup_max) + 8, near_cap))
+            # per-level frontier caps: the walk pays gather/MAC/eval/
+            # compact work proportional to each level's PADDED width, so
+            # size every level from its own measured maximum instead of
+            # the single worst-level width (~40% of the gravity pass at
+            # 1M).  Same 1.25x+margin sizing + q32 quantisation as the
+            # global caps so the shapes stay stable across replans.
+            level_caps = [
+                max(min(q32(int(1.25 * int(w)) + 16), 1 << ell, frontier),
+                    1)
+                for ell, w in enumerate(level_max)]
         else:
             near_cap = int(13.0 * L
                            * (0.1 / max(theta_sqd, 1e-3)) ** 1.5) + 48
@@ -406,6 +419,10 @@ class SimulationBase:
             near_cap = _settle(near_cap, old.near_cap)
             frontier = _settle(frontier, old.frontier)
             support_cap = _settle(support_cap, old.support_cap)
+            if level_caps is not None and old.frontier_levels is not None \
+                    and len(old.frontier_levels) == len(level_caps):
+                level_caps = [_settle(w, ow) for w, ow in
+                              zip(level_caps, old.frontier_levels)]
         spec = plan_tree_for_buckets(
             gmap, theta_sqd=theta_sqd,
             quadrupole=mp in ("quadrupole", "fast_quadrupole"),
@@ -415,6 +432,9 @@ class SimulationBase:
             macerror=p.floatparams["macerror"])
         if support_cap is not None:
             spec = dataclasses.replace(spec, support_cap=support_cap)
+        if level_caps is not None:
+            spec = dataclasses.replace(spec,
+                                       frontier_levels=tuple(level_caps))
         if grow_caps:
             spec = grow_tree_caps(spec)
         self.treespec = spec

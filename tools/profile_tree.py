@@ -92,6 +92,9 @@ def main():
             spec, near_cap=spec.near_cap // 4,
             frontier=spec.frontier // 2), False),
         "gc256": (dataclasses.replace(spec, group_chunk=256), False),
+        "gc512": (dataclasses.replace(spec, group_chunk=512), False),
+        "gc1024": (dataclasses.replace(spec, group_chunk=1024), False),
+        "gc64": (dataclasses.replace(spec, group_chunk=64), False),
         "L0mac": (dataclasses.replace(spec, mac="geometric"), True),
     }
     out = {}
