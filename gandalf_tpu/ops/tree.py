@@ -87,9 +87,11 @@ def plan_tree(N: int, leaf_size: int = 32, frontier: int = None,
     if frontier is None:
         frontier = min(max(2 * near_cap, 64), 2 * n_leaves)
     if group_chunk is None:
-        # bound the (Gc, L, Wn*L) near-field pair block to ~32M lanes
-        # (TPU-measured optimum at leaf 32 / near 464 is Gc ~ 64-128)
-        group_chunk = int(np.clip(2 ** 25 // max(leaf_size * leaf_size
+        # bound the (Gc, L, Wn*L) near-field pair block to ~16M lanes:
+        # chip-measured sweep at 1M / leaf 32 / near 256 gives
+        # 64 > 128 > 32 > 256 (1.78 vs 2.10 vs 1.89 vs 1.99 s gravity) —
+        # the smaller block pipelines better through VMEM
+        group_chunk = int(np.clip(2 ** 24 // max(leaf_size * leaf_size
                                                  * near_cap, 1), 8, 128))
     return TreeSpec(n_pad=n_leaves * leaf_size, leaf_size=leaf_size,
                     depth=int(np.log2(n_leaves)), frontier=frontier,

@@ -95,6 +95,8 @@ def main():
         "gc512": (dataclasses.replace(spec, group_chunk=512), False),
         "gc1024": (dataclasses.replace(spec, group_chunk=1024), False),
         "gc64": (dataclasses.replace(spec, group_chunk=64), False),
+        "gc32": (dataclasses.replace(spec, group_chunk=32), False),
+        "gc16": (dataclasses.replace(spec, group_chunk=16), False),
         "L0mac": (dataclasses.replace(spec, mac="geometric"), True),
     }
     out = {}
