@@ -626,12 +626,52 @@ def _force_shifts(kern, visc, spec, nd, i_of, rp, vp, pkp, fp_, r_d, v_i,
     f_nb = _concat_shift_table(spec, fp_, 0)
 
     g = lambda k: pk_nb[..., None, :, i_of[k]]     # (*nc, 1, S*K)
-    dr = r_nb[..., None, :, :] - r_d[..., :, None, :]  # (*nc, K, S*K, nd)
-    drsqd = jnp.sum(dr * dr, axis=-1)
+
+    # MXU pair geometry (same formulation as the gravity near field,
+    # ops/tree.py _near_field): pair distances from the dot-product
+    # expansion and every vector contraction as a batched matmul — the
+    # (cells, K, S*K, nd) displacement/unit tensors are never
+    # materialised and the reductions ride the MXU instead of the VPU.
+    # Cell-anchored coordinates keep the expansion's cancellation error
+    # at the pair scale (~cells) rather than the domain scale; the
+    # anchor is the masked mean of the central cell's own positions
+    # (empty slots hold r = 0, which must not drag it).
+    K = r_d.shape[-2]
+    shifts = _shifts(spec.ndim, spec.qz)
+    z0 = shifts.index((spec.qz,) + (1,) * (spec.ndim - 1))
+    fill_c = jax.lax.slice_in_dim(f_nb, z0 * K, (z0 + 1) * K, axis=-1)
+    w_anc = fill_c.astype(r_d.dtype)
+    anchor = (jnp.sum(r_d * w_anc[..., None], axis=-2)
+              / jnp.maximum(jnp.sum(w_anc, axis=-1), 1.0)[..., None])
+    rc_d = r_d - anchor[..., None, :]                 # (*nc, K, nd)
+    rc_nb = r_nb - anchor[..., None, :]               # (*nc, S*K, nd)
+    hi_p = jax.lax.Precision.HIGHEST
+    rr_i = jnp.sum(rc_d * rc_d, axis=-1)
+    rr_j = jnp.sum(rc_nb * rc_nb, axis=-1)
+    cross = jnp.einsum("...kd,...jd->...kj", rc_d, rc_nb,
+                       precision=hi_p)
+    drsqd = jnp.maximum(rr_i[..., :, None] + rr_j[..., None, :]
+                        - 2.0 * cross, 0.0)
+    # Self pairs are masked by IDENTITY (central-shift slot k is row k):
+    # the expansion need not cancel exactly for i == j, and a residual
+    # above the coincidence floor would inject a huge spurious force.
+    col = jnp.arange(f_nb.shape[-1], dtype=jnp.int32)
+    row = jnp.arange(K, dtype=jnp.int32)
+    self_pair = col[None, :] == z0 * K + row[:, None]
+    # coincidence floor: separations whose square sits below the
+    # expansion's cancellation noise (~eps * coordinate-scale^2) are
+    # numerically degenerate and treated as coincident, exactly like the
+    # old drmag > 0 test treated exact overlaps.  Scale from the
+    # anchored coordinates (~2 cells); dims >= 1 carry the true cell
+    # width (dim 0 of a slab sub-spec holds the slab count, not ncells)
+    dims = range(1, spec.ndim) if spec.ndim > 1 else range(1)
+    cell_w = min(spec.extents[k] / spec.ncells[k] for k in dims)
+    eps = jnp.finfo(drsqd.dtype).eps
+    tiny = 64.0 * eps * jnp.asarray((2.0 * cell_w) ** 2, drsqd.dtype)
     drmag = jnp.sqrt(drsqd)
-    valid = f_nb[..., None, :] & (drmag > 0.0)
-    inv_drmag = jnp.where(valid, 1.0 / jnp.maximum(drmag, 1e-300), 0.0)
-    unit = dr * inv_drmag[..., None]
+    valid = f_nb[..., None, :] & ~self_pair & (drsqd > tiny)
+    inv_drmag = jnp.where(valid,
+                          jax.lax.rsqrt(jnp.maximum(drsqd, tiny)), 0.0)
 
     m_j = g("m")
     h_j = jnp.where(valid, g("h"), 1.0)
@@ -642,8 +682,15 @@ def _force_shifts(kern, visc, spec, nd, i_of, rp, vp, pkp, fp_, r_d, v_i,
     wkerni = jnp.where(valid, wkerni, 0.0)
     wkernj = jnp.where(valid, wkernj, 0.0)
 
-    dvdr = jnp.sum((v_nb[..., None, :, :] - v_i[..., :, None, :])
-                   * unit, axis=-1)
+    # (v_j - v_i).(r_j - r_i) = v_j.r_j - r_i.v_j - v_i.r_j + v_i.r_i
+    vr_ii = jnp.sum(v_i * rc_d, axis=-1)
+    vr_jj = jnp.sum(v_nb * rc_nb, axis=-1)
+    cross_jv = jnp.einsum("...kd,...jd->...kj", rc_d, v_nb,
+                          precision=hi_p)
+    cross_iv = jnp.einsum("...kd,...jd->...kj", v_i, rc_nb,
+                          precision=hi_p)
+    dvdr = (vr_jj[..., None, :] - cross_jv - cross_iv
+            + vr_ii[..., :, None]) * inv_drmag
     div_v = div_v - jnp.sum(m_j * dvdr * wkerni, axis=-1)
 
     paux = ((press_i * invom_i * invrho_i * invrho_i)[..., None] * wkerni
@@ -677,7 +724,11 @@ def _force_shifts(kern, visc, spec, nd, i_of, rp, vp, pkp, fp_, r_d, v_i,
                                          - g("pressure"))))
             dudt = dudt + jnp.sum(jnp.where(approach, cond_t, 0.0), -1)
 
-    a = a + jnp.sum((m_j * paux)[..., None] * unit, axis=-2)
+    # a_i += sum_j w_ij (r_j - r_i)/d = (w/d) @ r_j - r_i sum_j (w/d)
+    w_pair = m_j * paux * inv_drmag                   # (*nc, K, S*K)
+    a = a + (jnp.einsum("...kj,...jd->...kd", w_pair, rc_nb,
+                        precision=hi_p)
+             - rc_d * jnp.sum(w_pair, axis=-1)[..., None])
 
     # div_v normalisation and dalphadt happen in the caller (whole grid)
     return a, dudt, div_v
