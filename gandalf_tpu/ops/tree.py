@@ -401,6 +401,21 @@ def tree_gravity(spec: TreeSpec, tree: TreeLevels,
             a_acc = jnp.zeros((L, ndim), dtype)
             pot_acc = jnp.zeros((L,), dtype)
 
+        # matmul far-field precomputes (non-fast, non-Ewald): the
+        # (L, W, ndim) displacement tensors otherwise tile-pad their
+        # minor dim 3 -> 128 lanes on TPU (a 42x lane waste on every VPU
+        # op over them), so distances come from the group-centred
+        # dot-product expansion and every vector contraction is a matmul
+        use_mm = (not spec.fast) and ewald_table is None
+        if use_mm:
+            rt_c = rt - gc[None, :]                       # (L, ndim)
+            rr_t = jnp.sum(rt_c * rt_c, axis=-1)
+            if spec.quadrupole:
+                rr6_t = jnp.stack(
+                    [(1.0 if i_ == j_ else 2.0)
+                     * rt_c[:, i_] * rt_c[:, j_]
+                     for (i_, j_) in tri], axis=-1)       # (L, nq)
+
         front = jnp.zeros((1,), dtype=jnp.int32)   # level-0 root
         overflow = jnp.asarray(False)
         near_ids = jnp.full((Wn,), -1, dtype=jnp.int32)
@@ -419,17 +434,24 @@ def tree_gravity(spec: TreeSpec, tree: TreeLevels,
             # geometric MAC (reference KDTree.cpp:824-843: open if
             # drsqd < rmax^2/theta^2).  Gap = worst-case distance from any
             # group particle to the cell COM; rmax = cell half-diagonal;
-            # conservative for the whole group at once.
-            dcc = com_c - gc
+            # conservative for the whole group at once.  Component-
+            # unrolled: per-axis (W,)-shaped full-lane arrays, not a
+            # (W, ndim) tensor (see use_mm above).
             if ewald_table is not None:
-                # periodic walk geometry: a cell CLOSE through the seam
-                # must be opened (its multipole would otherwise be
-                # evaluated at an invalid min-image distance)
                 _Lg = _ext_safe(ewald_extent, dtype)
-                dcc = dcc - _Lg * jnp.round(dcc / _Lg)
-            gap = jnp.maximum(jnp.abs(dcc) - gh, 0.0)
-            dsqd = jnp.sum(gap * gap, axis=-1)
-            rmax_sqd = jnp.sum(half_c * half_c, axis=-1)
+            dsqd = jnp.zeros_like(m_c)
+            rmax_sqd = jnp.zeros_like(m_c)
+            for k_ in range(ndim):
+                dk = tab[:, 1 + k_] - gc[k_]
+                if ewald_table is not None:
+                    # periodic walk geometry: a cell CLOSE through the
+                    # seam must be opened (its multipole would otherwise
+                    # be evaluated at an invalid min-image distance)
+                    dk = dk - _Lg[k_] * jnp.round(dk / _Lg[k_])
+                gap_k = jnp.maximum(jnp.abs(dk) - gh[k_], 0.0)
+                dsqd = dsqd + gap_k * gap_k
+                hk = tab[:, 1 + ndim + k_]
+                rmax_sqd = rmax_sqd + hk * hk
             nonzero = m_c > 0.0
             accept = valid & nonzero & (dsqd * theta_sqd > rmax_sqd)
             if spec.mac == "gadget2":
@@ -488,19 +510,60 @@ def tree_gravity(spec: TreeSpec, tree: TreeLevels,
                     * (3.0 * outer * inv_r5[:, None, None]
                        - jnp.eye(ndim, dtype=dtype) * inv_r3[:, None, None]),
                     axis=0)
+            elif use_mm:
+                # matmul far field: all heavy intermediates are (L, W)
+                # full-lane scalars; reductions over W ride the MXU
+                hi_p = jax.lax.Precision.HIGHEST
+                com_cc = com_c - gc[None, :]              # (W, ndim)
+                rr_c = jnp.sum(com_cc * com_cc, axis=-1)
+                cross = jnp.matmul(rt_c, com_cc.T, precision=hi_p)
+                dsq_e = jnp.maximum(rr_t[:, None] + rr_c[None, :]
+                                    - 2.0 * cross, 0.0)
+                inv_r = _safe_invr(dsq_e)                 # (L, W)
+                inv_r3 = inv_r * inv_r * inv_r
+                w_m = m_a[None, :] * inv_r3
+                # a_i += sum_c w (com_c - r_i) = w @ com - r_i sum_c w
+                a_acc = a_acc + (jnp.matmul(w_m, com_cc, precision=hi_p)
+                                 - rt_c * jnp.sum(w_m, -1)[:, None])
+                pot_acc = pot_acc + jnp.matmul(inv_r, m_a,
+                                               precision=hi_p)
+                if spec.quadrupole:
+                    # per-cell precomputes: qcom = Q com, cQc = com.Q.com
+                    qcom = jnp.stack(
+                        [sum(q6[:, tri.index((min(i_, j_), max(i_, j_)))]
+                             * com_cc[:, j_] for j_ in range(ndim))
+                         for i_ in range(ndim)], axis=-1)  # (W, ndim)
+                    cQc = jnp.sum(qcom * com_cc, axis=-1)
+                    inv_r5 = inv_r3 * inv_r * inv_r
+                    # dr.Q.dr = com.Q.com - 2 r.Qcom + r.Q.r (dr = com-r)
+                    drqdr = (cQc[None, :]
+                             - 2.0 * jnp.matmul(rt_c, qcom.T,
+                                                precision=hi_p)
+                             + jnp.matmul(rr6_t, q6.T, precision=hi_p))
+                    # -sum_c inv_r5 (qcom - Q r_i): the Q r_i part via
+                    # the per-particle contracted tensor B6 = inv_r5 @ Q
+                    B6 = jnp.matmul(inv_r5, q6, precision=hi_p)  # (L, nq)
+                    bterm = jnp.stack(
+                        [sum(B6[:, tri.index((min(i_, j_), max(i_, j_)))]
+                             * rt_c[:, j_] for j_ in range(ndim))
+                         for i_ in range(ndim)], axis=-1)  # (L, ndim)
+                    s7 = 2.5 * drqdr * inv_r5 * inv_r * inv_r
+                    a_acc = a_acc + (
+                        -jnp.matmul(inv_r5, qcom, precision=hi_p) + bterm
+                        + jnp.matmul(s7, com_cc, precision=hi_p)
+                        - rt_c * jnp.sum(s7, -1)[:, None])
+                    pot_acc = pot_acc + 0.5 * jnp.sum(drqdr * inv_r5, -1)
             else:
                 dr = com_c[None, :, :] - rt[:, None, :]   # (L, W, ndim)
-                if ewald_table is not None:
-                    _L = _ext_safe(ewald_extent, dtype)
-                    dr = dr - _L * jnp.round(dr / _L)
+                _L = _ext_safe(ewald_extent, dtype)
+                dr = dr - _L * jnp.round(dr / _L)
                 a_f, p_f = _mp_accel(dr, m_a[None, :],
                                      q6[None] if q6 is not None else None)
-                if ewald_table is not None:
-                    from .ewald import ewald_correction
+                from .ewald import ewald_correction
 
-                    e_a, e_p = ewald_correction(ewald_table, dr)
-                    a_f = a_f + m_a[None, :, None] * e_a
-                    p_f = p_f + m_a[None, :] * e_p
+                e_a, e_p = ewald_correction(ewald_table, dr)
+                a_f = a_f + m_a[None, :, None] * e_a
+                p_f = p_f + m_a[None, :] * e_p
                 a_acc = a_acc + jnp.sum(a_f, axis=1)
                 pot_acc = pot_acc + jnp.sum(p_f, axis=1)
 
@@ -671,56 +734,116 @@ def tree_gravity(spec: TreeSpec, tree: TreeLevels,
             svalid = sup_ids >= 0
             sidx = jnp.maximum(sup_ids, 0)
             stab = leaf_tab[sidx]                          # (Ws, L, nd+3)
-            r_sb = stab[..., :ndim]
-            m_sb = jnp.where(svalid[:, None], stab[..., ndim], 0.0)
-            drs = r_sb[None, :, :, :] - rt[:, None, None, :]
-            if ewald_table is not None:
+            if ewald_table is None:
+                # matmul formulation (see use_mm above): flatten the
+                # (Ws, L) partner block to Ws*L columns, distances from
+                # the group-centred expansion, self pairs by slot
+                # IDENTITY plus a per-pair cancellation-noise floor
+                # (the expansion need not produce exactly 0 for i == j)
+                Wf = stab.shape[0] * L
+                r_fb = stab[..., :ndim].reshape(Wf, ndim)
+                m_fb = jnp.where(svalid[:, None],
+                                 stab[..., ndim], 0.0).reshape(Wf)
+                h_fb = stab[..., ndim + 1].reshape(Wf)
+                zh_fb = stab[..., ndim + 2].reshape(Wf)
+                hi_p = jax.lax.Precision.HIGHEST
+                rc_t = rt - gc[None, :]
+                rc_f = r_fb - gc[None, :]
+                rr_tt = jnp.sum(rc_t * rc_t, axis=-1)      # (L,)
+                rr_ff = jnp.sum(rc_f * rc_f, axis=-1)      # (Wf,)
+                cross_s = jnp.matmul(rc_t, rc_f.T, precision=hi_p)
+                dsqs = jnp.maximum(rr_tt[:, None] + rr_ff[None, :]
+                                   - 2.0 * cross_s, 0.0)
+                scol = (sidx[:, None] * L
+                        + jnp.arange(L, dtype=sidx.dtype)).reshape(Wf)
+                srow = g * L + jnp.arange(L, dtype=sidx.dtype)
+                eps_s = jnp.asarray(64.0 * jnp.finfo(dtype).eps, dtype)
+                selfp = (scol[None, :] == srow[:, None]) \
+                    | (dsqs <= eps_s * (rr_tt[:, None] + rr_ff[None, :]))
+                invh_t = (1.0 / h_leaf[g])[:, None]
+                invh_nb = (1.0 / h_fb)[None, :]
+                dmag = jnp.sqrt(jnp.maximum(dsqs, 1e-300))
+                s_t = dmag * invh_t
+                s_nb = dmag * invh_nb
+                paux = 0.5 * (invh_t * invh_t * kern.wgrav(s_t)
+                              + invh_nb * invh_nb * kern.wgrav(s_nb))
+                zcoef = None
+                if zh_leaf is not None:
+                    zterm = 0.5 * (zh_leaf[g][:, None] * kern.w1(s_t)
+                                   + zh_fb[None, :] * kern.w1(s_nb))
+                    if zeta_scaling == "sph":
+                        paux = paux + zterm
+                    else:
+                        invm_t = 1.0 / jnp.maximum(m_leaf[g], 1e-30)
+                        zcoef = jnp.where(
+                            selfp | (m_fb[None, :] <= 0.0), 0.0,
+                            invm_t[:, None] * zterm)
+                gaux = 0.5 * (invh_t * kern.wpot(s_t)
+                              + invh_nb * kern.wpot(s_nb))
+                inv_ds = jnp.where(selfp, 0.0, _safe_invr(dsqs))
+                coef = jnp.where(selfp, 0.0,
+                                 m_fb[None, :] * (paux / dmag
+                                                  - inv_ds ** 3))
+                if zcoef is not None:
+                    coef = coef + zcoef / dmag
+                # a += sum_j coef (r_j - r_i) = coef @ r_j - r_i sum coef
+                a_n = a_n + (jnp.matmul(coef, rc_f, precision=hi_p)
+                             - rc_t * jnp.sum(coef, -1)[:, None])
+                p_n = p_n + jnp.sum(
+                    jnp.where(selfp, 0.0,
+                              m_fb[None, :] * (gaux - inv_ds)), axis=-1)
+                overflow = overflow | sup_overflow
+            else:
+                r_sb = stab[..., :ndim]
+                m_sb = jnp.where(svalid[:, None], stab[..., ndim],
+                                 0.0)
+                drs = r_sb[None, :, :, :] - rt[:, None, None, :]
                 # keep the smoothed-pair images consistent with the
                 # min-imaged near field
                 _Ls = _ext_safe(ewald_extent, dtype)
                 drs = drs - _Ls * jnp.round(drs / _Ls)
-            dsqs = jnp.sum(drs * drs, axis=-1)
-            selfp = dsqs <= 0.0
-            # symmetric grad-h smoothed gravity (GradhSph.cpp:598-640):
-            # paux = 0.5*[wgrav(s_i)/h_i^2 + zh_i*w1(s_i)
-            #           + wgrav(s_j)/h_j^2 + zh_j*w1(s_j)]
-            invh_t = (1.0 / h_leaf[g])[:, None, None]
-            invh_nb = (1.0 / stab[..., ndim + 1])[None, :, :]
-            dmag = jnp.sqrt(jnp.maximum(dsqs, 1e-300))
-            s_t = dmag * invh_t
-            s_nb = dmag * invh_nb
-            paux = 0.5 * (invh_t * invh_t * kern.wgrav(s_t)
-                          + invh_nb * invh_nb * kern.wgrav(s_nb))
-            zcoef = None
-            if zh_leaf is not None:
-                zterm = 0.5 * (
-                    zh_leaf[g][:, None, None] * kern.w1(s_t)
-                    + stab[..., ndim + 2][None, :, :] * kern.w1(s_nb))
-                if zeta_scaling == "sph":
-                    # m_j * (zh_i w1_i + zh_j w1_j) (GradhSph.cpp:616-621)
-                    paux = paux + zterm
-                else:
-                    # MFV: (1/m_i) * (zh_i w1_i + zh_j w1_j), NOT scaled by
-                    # m_j (MfvCommon::ComputeSmoothedGravForces,
-                    # MfvCommon.cpp:413-416) — applied outside the m_sb
-                    # factor below, masked to live neighbour slots.
-                    invm_t = 1.0 / jnp.maximum(m_leaf[g], 1e-30)
-                    zcoef = jnp.where(selfp | (m_sb[None] <= 0.0), 0.0,
-                                      invm_t[:, None, None] * zterm)
-            gaux = 0.5 * (invh_t * kern.wpot(s_t)
-                          + invh_nb * kern.wpot(s_nb))
-            # subtract the Newtonian part already accumulated
-            inv_ds = jnp.where(selfp, 0.0, _safe_invr(dsqs))
-            coef = jnp.where(selfp, 0.0,
-                             m_sb[None] * (paux / dmag
-                                           - inv_ds ** 3))
-            if zcoef is not None:
-                coef = coef + zcoef / dmag
-            a_n = a_n + jnp.sum(coef[..., None] * drs, axis=(1, 2))
-            p_n = p_n + jnp.sum(
-                jnp.where(selfp, 0.0, m_sb[None] * (gaux - inv_ds)),
-                axis=(1, 2))
-            overflow = overflow | sup_overflow
+                dsqs = jnp.sum(drs * drs, axis=-1)
+                selfp = dsqs <= 0.0
+                # symmetric grad-h smoothed gravity (GradhSph.cpp:598-640):
+                # paux = 0.5*[wgrav(s_i)/h_i^2 + zh_i*w1(s_i)
+                #           + wgrav(s_j)/h_j^2 + zh_j*w1(s_j)]
+                invh_t = (1.0 / h_leaf[g])[:, None, None]
+                invh_nb = (1.0 / stab[..., ndim + 1])[None, :, :]
+                dmag = jnp.sqrt(jnp.maximum(dsqs, 1e-300))
+                s_t = dmag * invh_t
+                s_nb = dmag * invh_nb
+                paux = 0.5 * (invh_t * invh_t * kern.wgrav(s_t)
+                              + invh_nb * invh_nb * kern.wgrav(s_nb))
+                zcoef = None
+                if zh_leaf is not None:
+                    zterm = 0.5 * (
+                        zh_leaf[g][:, None, None] * kern.w1(s_t)
+                        + stab[..., ndim + 2][None, :, :] * kern.w1(s_nb))
+                    if zeta_scaling == "sph":
+                        # m_j * (zh_i w1_i + zh_j w1_j)
+                        # (GradhSph.cpp:616-621)
+                        paux = paux + zterm
+                    else:
+                        # MFV: (1/m_i) * (zh_i w1_i + zh_j w1_j), NOT
+                        # scaled by m_j (MfvCommon.cpp:413-416)
+                        invm_t = 1.0 / jnp.maximum(m_leaf[g], 1e-30)
+                        zcoef = jnp.where(selfp | (m_sb[None] <= 0.0),
+                                          0.0,
+                                          invm_t[:, None, None] * zterm)
+                gaux = 0.5 * (invh_t * kern.wpot(s_t)
+                              + invh_nb * kern.wpot(s_nb))
+                # subtract the Newtonian part already accumulated
+                inv_ds = jnp.where(selfp, 0.0, _safe_invr(dsqs))
+                coef = jnp.where(selfp, 0.0,
+                                 m_sb[None] * (paux / dmag
+                                               - inv_ds ** 3))
+                if zcoef is not None:
+                    coef = coef + zcoef / dmag
+                a_n = a_n + jnp.sum(coef[..., None] * drs, axis=(1, 2))
+                p_n = p_n + jnp.sum(
+                    jnp.where(selfp, 0.0, m_sb[None] * (gaux - inv_ds)),
+                    axis=(1, 2))
+                overflow = overflow | sup_overflow
 
         if spec.fast:
             # Taylor expansion of the far field at each particle
